@@ -1,0 +1,49 @@
+"""Table loading for the driver-provided testdata.
+
+One entry point — ``load_table(spark, sf_dir, name)`` — so every query
+goes through the same scan setup:
+
+* parquet scans (columnar, Catalyst pushdown/pruning apply);
+* the ``events`` table's TIMESTAMP(NANOS) column is read as long
+  (``nanosAsLong``) and converted ns->us JVM-side — the conversion is a
+  single projection, stays inside whole-stage codegen, and preserves
+  min/max-based row-group pruning on the other columns;
+* no caching here — callers decide; at 100 TB you never blanket-cache.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_kafka_project_spark.schemas import TESTDATA_TABLES
+from cdc_kafka_project_spark.session import configure_session
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table as a DataFrame with canonical types."""
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    configure_session(spark)  # driver may hand us an unconfigured session
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw ns-since-epoch; truncate to micros.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # keep original column order
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    use = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so queries can be written in pure SQL too."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,92 @@
+"""Reusable column expressions.
+
+Two cross-cutting concerns live here:
+
+* **Deterministic aggregation** — float sums are order-dependent, and a
+  distributed engine must not let partition count change the answer.
+  ``dsum``/``davg`` route double aggregation through DECIMAL(25,2)
+  (exact, associative, overflow-safe far past 100 TB row counts) and
+  cast the final result back to double. This also makes results
+  bit-identical to any other engine doing exact arithmetic (the DuckDB
+  oracle), independent of parallelism.
+
+* **Vector math on array<float>** — JVM-side higher-order functions
+  (zip_with/aggregate/transform), computed in float64. No UDF: stays in
+  codegen, no Python serde in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _dec(col: Column | str) -> Column:
+    # 6 fractional digits: enough that 2dp-valued inputs AND products of
+    # up to three 2dp factors (price * (1-disc) * (1+tax)) convert
+    # exactly, so no engine-specific decimal rounding mode is exercised.
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(25,6)")
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent sum of a double column, returned as double."""
+    return F.sum(_dec(col)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Deterministic mean: exact decimal sum / count, in float64."""
+    return (F.sum(_dec(col)).cast("double") / F.count(F.lit(1))).cast("double")
+
+
+def lsum(col: Column | str) -> Column:
+    """Sum cast to long (bigint) — matches the oracle's CAST(... AS BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Vector expressions (array<float> embeddings)
+# ---------------------------------------------------------------------------
+
+
+def to_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (sequential left fold —
+    same evaluation order on every engine, so float64 results agree)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity in float64; inputs may be array<float>."""
+    ad, bd = to_double_array(a), to_double_array(b)
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+# ---------------------------------------------------------------------------
+# Text expressions
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")

@@ -1,0 +1,158 @@
+"""CDC core: incremental scan, validation split, keyed apply, replica view.
+
+Re-expresses the reference's change-data-capture semantics
+(Yaliang105/cdc-kafka-project) as declarative DataFrame transforms:
+
+* incremental scan with a watermark predicate   (producer.py:30-35)
+* validation + dead-letter routing              (consumer.py:44-58)
+* last-writer-wins per key                      (implicit in the
+  reference: ORDER BY last_updated_at + single Kafka partition +
+  single consumer, producer.py:34 / consumer.py:26-34 — made explicit
+  here as a window dedup so it survives parallelism)
+* insert/update/delete apply                    (consumer.py:70-91)
+
+Design stance: **the change-log is a DataFrame; the replica is a view.**
+``apply_changes`` turns any append-only change-log into the
+latest-state table in one shuffle (hash partition by key), with no
+per-row connections, no global sort, and no driver-side loop — the
+properties that make it survive 100 TB where the reference's
+row-at-a-time apply cannot.
+
+All functions are generic over (key_cols, order_cols, action_col) and
+are shared by the batch and Structured Streaming paths (foreachBatch
+calls the same ``apply_changes``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Action vocabulary (project2_dag.py trigger: 'insert'|'update'|'delete';
+#: consumer.py:44 lower-cases before dispatch, we do the same).
+INSERT, UPDATE, DELETE = "insert", "update", "delete"
+
+
+def normalize_actions(df: DataFrame, action_col: str = "action") -> DataFrame:
+    """lower(action) — consumer.py:44's str().lower() as a column op."""
+    return df.withColumn(action_col, F.lower(F.col(action_col)))
+
+
+def incremental_scan(
+    df: DataFrame,
+    watermark: str | None,
+    ts_col: str = "last_updated_at",
+) -> DataFrame:
+    """Rows strictly newer than the high-water mark (producer.py:30-35).
+
+    The predicate is a plain Catalyst filter, so it pushes down to the
+    source (parquet min/max pruning, JDBC WHERE, Kafka startingOffsets
+    in the streaming path). The reference's ORDER BY (producer.py:34)
+    is deliberately NOT reproduced: a global sort at 100 TB is the
+    bottleneck, and per-key ordering is all the apply step needs —
+    ``apply_changes`` recovers it with a window.
+    """
+    if watermark is None:
+        return df
+    return df.filter(F.col(ts_col) > F.lit(watermark))
+
+
+def employee_invalid_predicate(
+    dob_col: str = "dob", salary_col: str = "salary", id_col: str = "emp_id"
+) -> Column:
+    """The reference's validation gate (consumer.py:47-48).
+
+    invalid  <=>  year(dob) <= 2007 OR salary <= 100 OR emp_id < 0
+    with dob-year null-guarded to 0 (consumer.py:47's ``except: 0``).
+    """
+    dob_year = F.coalesce(F.year(F.col(dob_col)), F.lit(0))
+    return (
+        (dob_year <= F.lit(2007))
+        | (F.col(salary_col) <= F.lit(100))
+        | (F.col(id_col) < F.lit(0))
+    )
+
+
+def validate_split(
+    df: DataFrame, invalid: Column
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, dlq) off one logical scan (consumer.py:48-58).
+
+    The reference re-publishes the *original payload* of invalid rows to
+    a DLQ topic and drops them from the main flow; here both branches
+    are filters over the same plan so the source is scanned once per
+    sink, with the predicate pushed down. NULL-safe: rows where the
+    predicate is NULL are routed to the DLQ (the reference would have
+    crashed into its broad except at consumer.py:95 — we route, never
+    swallow; see SURVEY §2 #28).
+    """
+    inv = F.coalesce(invalid, F.lit(True))
+    return df.filter(~inv), df.filter(inv)
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Last-writer-wins: keep the newest change row per key.
+
+    The explicit form of the reference's implicit ordering guarantee
+    (SURVEY §2 #19). ``order_cols`` should end with a tiebreaker (seq /
+    Kafka offset) — the reference breaks ``last_updated_at`` ties by log
+    position, which a parallel engine must encode explicitly.
+
+    One shuffle on ``key_cols``; the window sort is per-partition and
+    spills gracefully. At scale, pre-bucketing the change-log by key
+    makes this shuffle-free.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    changelog: DataFrame,
+    key_cols: Sequence[str] = ("emp_id",),
+    order_cols: Sequence[str] = ("last_updated_at", "seq"),
+    action_col: str = "action",
+    delete_action: str = DELETE,
+) -> DataFrame:
+    """Change-log -> current replica state (consumer.py:70-91 collapsed).
+
+    insert/update collapse into "latest row image wins"; delete removes
+    the key. Replays are idempotent by construction (same log -> same
+    state), strictly stronger than the reference's ON CONFLICT paper-over
+    (consumer.py:74).
+    """
+    latest = latest_per_key(normalize_actions(changelog, action_col), key_cols, order_cols)
+    return latest.filter(F.col(action_col) != F.lit(delete_action))
+
+
+def merge_upsert(
+    replica: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str] = ("emp_id",),
+    order_cols: Sequence[str] = ("last_updated_at", "seq"),
+    action_col: str = "action",
+) -> DataFrame:
+    """MERGE-emulation for incremental maintenance (no Delta in this env).
+
+    new_replica = apply(changes)  ∪  (replica ⟕anti changes.keys)
+
+    i.e. rows whose key saw any change are replaced by the change-log
+    outcome (which may be nothing, for deletes); untouched rows pass
+    through. The anti-join broadcasts when the micro-batch of changes is
+    small — the common case — so incremental maintenance costs one
+    broadcast hash join, not a full shuffle of the replica.
+    Used by streaming foreachBatch (streaming/pipeline.py).
+    """
+    new_state = apply_changes(changes, key_cols, order_cols, action_col)
+    changed_keys = changes.select(*key_cols).distinct()
+    untouched = replica.join(F.broadcast(changed_keys), list(key_cols), "left_anti")
+    return untouched.unionByName(new_state.select(*replica.columns))

@@ -1,0 +1,293 @@
+"""Deduplication for training-data pipelines (north-star extension).
+
+Four tiers, all pure column expressions / joins (no Python in the hot
+path), each with a different cost/recall point at 100 TB:
+
+1. **exact** — group on an 8-byte content hash (xxhash64), confirm on
+   full text. Shuffles hashes, not documents.
+2. **n-gram Jaccard (exact)** — word-shingle self-join; exact but
+   quadratic in the worst case. Used as the oracle-checkable ground
+   truth and as the *verify* step after LSH pruning.
+3. **MinHash + LSH** — 64-permutation signatures, banded bucketing;
+   candidate pairs come from equi-joins on (band, band_hash), so the
+   all-pairs blowup never materializes. The scale path.
+4. **SimHash** — 64-bit weighted fingerprint; near-dups are pairs
+   within small Hamming distance, found via band equi-joins too.
+
+MinHash permutations use (a*h + b) mod p with p = 2^31 - 1 — all
+intermediates fit in int64 so ANSI-mode overflow checking stays happy,
+and the same arithmetic is reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from cdc_kafka_project_spark.functions import tokens
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate groups by exact content: (fp_md5, keep_doc_id, n_dups).
+
+    The representative is min(doc_id) — deterministic under any
+    partitioning. Grouping key is the hash, so the shuffle moves 16-byte
+    digests instead of document bodies.
+    """
+    c = F.trim(F.col(text_col))
+    return (
+        df.select("doc_id", F.md5(c).alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min doc_id) per exact text."""
+    w = Window.partitionBy(F.xxhash64(F.trim(F.col(text_col)))).orderBy("doc_id")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Built with sequence+transform (codegen'd) then one explode — no
+    Python. Documents shorter than n words produce no shingles.
+    """
+    refs = ", ".join(f"__ws[i + {k}]" for k in range(n))
+    sh = df.withColumn("__ws", tokens(text_col)).withColumn(
+        "__sh",
+        F.expr(
+            f"transform(sequence(0, size(__ws) - {n}), i -> concat_ws(' ', {refs}))"
+        ),
+    )
+    return (
+        sh.filter(F.size("__ws") >= n)
+        .select("doc_id", F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    shingle self-join -> per-pair intersection count -> |A|+|B|-inter.
+    Exact but join-fanout-bound: a shingle shared by k docs contributes
+    k^2 rows, so at scale run this only on LSH candidates (see
+    minhash_lsh_candidates) — identical results, bounded cost.
+    """
+    sh = word_shingles(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """(doc_id, sig array<int>) MinHash signatures over word shingles.
+
+    Per shingle: h = xxhash64 mod p, then num_perm affine permutations;
+    per doc: column-wise min. The aggregation is num_perm independent
+    min()s — map-side combinable, one shuffle on doc_id.
+    """
+    coeffs = _perm_coeffs(num_perm)
+    sh = word_shingles(df, text_col, n)
+    hp = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    sig = sh.select(
+        "doc_id",
+        *[
+            F.pmod(hp * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+            .cast("int")
+            .alias(f"__h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+    mins = sig.groupBy("doc_id").agg(
+        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_perm)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Candidate pairs via banded LSH: (doc_a, doc_b, est_jaccard).
+
+    Each signature splits into ``bands`` bands of ``rows`` values; a
+    pair becomes a candidate iff some band hashes equal. The join key is
+    (band_id, band_hash) — a pure equi-join, shuffle-partitionable, no
+    quadratic blowup. est_jaccard = fraction of equal signature slots.
+    """
+    num_perm = bands * rows
+    banded = signatures.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * rows, (b + 1) * rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    ).select("doc_id", "sig", "band_id", "band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return cand.select(
+        "doc_a", "doc_b", (eq / F.lit(num_perm)).alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(doc_id, simhash long): weighted 64-bit SimHash over tokens.
+
+    Token hash bits vote +count/-count per position; the sign vector
+    packs back into one int64 with bitwise shifts (no arithmetic
+    overflow). Near-dup = small Hamming distance between fingerprints.
+    """
+    tok = (
+        df.select("doc_id", F.explode(tokens(text_col)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("word"))
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = None
+    for i in range(bits):
+        bit = F.shiftleft((F.col(f"__v{i}") > 0).cast("long"), i)
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    fingerprints: DataFrame, max_distance: int = 8, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands`` 16-bit
+    chunks (pigeonhole: distance <= bands-1 guarantees a shared band;
+    wider distances are caught with high probability), equi-join on
+    (band, chunk), verify exact Hamming distance with bit_count."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * width)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "doc_a", "doc_b", dist.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_distance)

@@ -1,0 +1,267 @@
+"""CDC operator surface (SURVEY.md §2 #1-#19), exercised on ``events``.
+
+The synthetic ``events`` table is the driver's stand-in for the
+reference's ``emp_cdc`` change-log (FIXTURES.md §7): key = ``user_id``,
+event time = ``ts``, action analog = ``event_type`` (with ``'error'``
+playing the role of ``'delete'``). The real employee-schema pipeline —
+including the golden 7-event workload — is tested in
+``tests/test_cdc_golden.py``; these registry entries prove the same
+operators against the oracle at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.operators import cdc
+from cdc_kafka_project_spark.registry import query
+
+#: event-time rendering shared by Spark (date_format) and DuckDB (strftime)
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+WATERMARK = "2024-01-15 00:00:00"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "cdc_incremental_scan",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '{TS_FMT_DUCK}') AS event_time
+    FROM events
+    WHERE ts > TIMESTAMP '{WATERMARK}'
+    """,
+)
+def cdc_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark scan + projection (ops #1-#3; producer.py:30-35).
+
+    Filter and column list push down to the parquet scan (PushedFilters
+    in the plan). The reference's ORDER BY (op #4) is dropped by design:
+    per-key order is recovered where it matters (see cdc_latest_state).
+    """
+    df = cdc.incremental_scan(_events(spark, sf_dir), WATERMARK, ts_col="ts")
+    return df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("event_time"),
+    )
+
+
+@query(
+    "cdc_latest_state",
+    oracle=f"""
+    SELECT user_id, last_action, last_value, last_event_time FROM (
+        SELECT user_id,
+               event_type AS last_action,
+               value AS last_value,
+               strftime(ts, '{TS_FMT_DUCK}') AS last_event_time,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins per key (op #19) — the core CDC semantic.
+
+    Window dedup with an explicit tiebreaker (event_id = log position),
+    replacing the reference's single-partition total order
+    (producer.py:34 + consumer.py:26-34). One hash shuffle on the key.
+    """
+    ev = _events(spark, sf_dir)
+    latest = cdc.latest_per_key(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_action"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", TS_FMT_SPARK).alias("last_event_time"),
+    )
+
+
+@query(
+    "cdc_replica",
+    oracle="""
+    SELECT user_id, last_action, last_value FROM (
+        SELECT user_id,
+               lower(event_type) AS last_action,
+               value AS last_value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND last_action <> 'error'
+    """,
+)
+def cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply: change-log -> replica (ops #16-#19; consumer.py:70-91).
+
+    'error' plays 'delete': a key whose final event is an error drops
+    out of the replica, exactly as a delete removes an emp_id. This is
+    the flagship ``entry()`` query.
+    """
+    replica = cdc.apply_changes(
+        _events(spark, sf_dir),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        action_col="event_type",
+        delete_action="error",
+    )
+    return replica.select(
+        "user_id",
+        F.col("event_type").alias("last_action"),
+        F.col("value").alias("last_value"),
+    )
+
+
+#: validation analog of consumer.py:47-48's 3-term disjunction:
+#: year(ts) <= 2023  OR  value <= 5.0  OR  user_id < 0   => invalid
+_INVALID_SQL = "(year(ts) <= 2023 OR value <= 5.0 OR user_id < 0)"
+
+
+def _invalid_col():
+    return (
+        (F.coalesce(F.year("ts"), F.lit(0)) <= 2023)
+        | (F.col("value") <= 5.0)
+        | (F.col("user_id") < 0)
+    )
+
+
+@query(
+    "cdc_validate_valid",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE NOT {_INVALID_SQL}
+    """,
+)
+def cdc_validate_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation gate, main branch (op #14; consumer.py:48)."""
+    valid, _dlq = cdc.validate_split(_events(spark, sf_dir), _invalid_col())
+    return valid.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "cdc_validate_dlq",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE {_INVALID_SQL}
+    """,
+)
+def cdc_validate_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter branch (op #15; consumer.py:50-58): same scan, negated
+    predicate; original payload preserved."""
+    _valid, dlq = cdc.validate_split(_events(spark, sf_dir), _invalid_col())
+    return dlq.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "cdc_json_decode",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def cdc_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON deserialize + typed predicate (op #11; consumer.py:42-43).
+
+    get_json_object is evaluated JVM-side; the filter applies post-parse
+    (no pushdown through JSON, same as any engine)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)
+
+
+@query(
+    "cdc_json_encode",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, user_id := user_id,
+                               event_type := event_type)) AS payload
+    FROM events
+    """,
+)
+def cdc_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON serialize (op #7; employee.py:19-20, producer.py:62-65) —
+    to_json(struct(...)), the keyed-sink wire format."""
+    ev = _events(spark, sf_dir)
+    payload = F.to_json(F.struct("event_id", "user_id", "event_type"))
+    return ev.select("event_id", payload.alias("payload"))
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    SELECT user_id, last_action, last_value FROM (
+        SELECT user_id,
+               lower(event_type) AS last_action,
+               value AS last_value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND last_action <> 'error'
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE (ops #16-#18 as micro-batch maintenance).
+
+    Builds the replica up to the watermark, then merges the remaining
+    changes via merge_upsert (anti-join + union, broadcast on the
+    changed-key set). The oracle is the full-log apply — proving
+    incremental == recompute, the invariant MERGE must preserve.
+    """
+    ev = _events(spark, sf_dir)
+    old = ev.filter(F.col("ts") <= F.lit(WATERMARK))
+    new = ev.filter(F.col("ts") > F.lit(WATERMARK))
+    base = cdc.apply_changes(
+        old, ["user_id"], ["ts", "event_id"], "event_type", "error"
+    )
+    merged = cdc.merge_upsert(
+        base, new, ["user_id"], ["ts", "event_id"], "event_type"
+    )
+    # merge_upsert's apply uses the default delete action; re-apply the
+    # 'error'-as-delete filter uniformly over the merged state.
+    merged = merged.filter(F.lower("event_type") != "error")
+    return merged.select(
+        "user_id",
+        F.lower("event_type").alias("last_action"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "cdc_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def cdc_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project-1 running aggregation (op #26; pdf p.4-6).
+
+    The reference accumulates per message with ON CONFLICT DO UPDATE;
+    here it's a groupBy with map-side partial aggregation — the
+    streaming twin (update-mode agg) is tested in tests/test_streaming.py.
+    Decimal-exact sum so partition count never changes the answer.
+    """
+    from cdc_kafka_project_spark.functions import dsum
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            dsum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Deduplication queries over ``documents`` (north-star extension).
+
+Exact and n-gram-Jaccard tiers are oracle-checked; MinHash/SimHash use
+Spark-specific hashing (xxhash64) so they get the rows-only check —
+their *semantics* (recall against exact Jaccard, known-duplicate
+fixtures) are proven in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.operators import dedup as dd
+from cdc_kafka_project_spark.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(trim(text)) AS fp_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY md5(trim(text))
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups keyed by content hash; representative = min id."""
+    return dd.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_exact_keep",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM documents
+    GROUP BY md5(trim(text))
+    """,
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving doc ids after exact dedup (one per distinct text)."""
+    return dd.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+               JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.2 — the ground-truth tier.
+    At scale this runs only on LSH candidates; semantics identical."""
+    return dd.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64-based permutations
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16x4 banded LSH candidate pairs with estimated
+    Jaccard >= 0.2 — the 100 TB near-dup path (equi-join, no all-pairs)."""
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir), n=3, num_perm=64)
+    cand = dd.minhash_lsh_candidates(sigs, bands=16, rows=4)
+    return cand.filter(F.col("est_jaccard") >= 0.2)
+
+
+@query("dedup_simhash")  # rows-only: xxhash64-based fingerprint
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document."""
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+@query("dedup_simhash_pairs")  # rows-only: xxhash64-based fingerprint
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 8) via 4x16-bit band join."""
+    fps = dd.simhash(_docs(spark, sf_dir))
+    return dd.simhash_hamming_pairs(fps, max_distance=8, bands=4)

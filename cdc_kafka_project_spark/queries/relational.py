@@ -1,0 +1,569 @@
+"""Relational operator surface: scalar exprs, filters, aggregation, sort,
+joins, windows, set ops (SURVEY.md §2 #2-#6, #12-#14, #20, #22-#26 and
+§7.3's "free extended surface").
+
+The reference delegates all relational work to Postgres SQL + Python
+loops; here each operator is a declarative DataFrame program whose plan
+Catalyst optimizes (pushdown, pruning, broadcast selection, AQE). Every
+double aggregate uses exact decimal sums (functions.dsum) so the answer
+is independent of partitioning — see functions/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import davg, dsum
+from cdc_kafka_project_spark.registry import query
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical grouped-aggregate scan.
+
+    Map-side partial aggregation + one shuffle on the (tiny) group key;
+    at 100 TB this is scan-bound, which is the right bottleneck.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "grouped_floor_sum",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS total_floor_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def grouped_floor_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project-1 department running-sum analog (ops #24, #26; pdf p.3-6):
+    floor() the measure, accumulate as integer per group."""
+    od = _t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.sum(F.floor("o_totalprice")).cast("long").alias("total_floor_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the hood).
+    The approximate twin (HLL approx_count_distinct, constant memory at
+    100 TB) is exercised in tests — it has no exact oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: rollup over two keys (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "pivot_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — never let
+    pivot() scan for distinct values at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar expressions / filters / sort-limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_exprs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price,
+           lower(o_orderpriority) AS priority_lc,
+           substr(o_orderpriority, 1, 1) AS priority_code,
+           CAST(o_totalprice AS VARCHAR) AS price_str
+    FROM orders
+    WHERE year(o_orderdate) >= 1998
+    """,
+)
+def scalar_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression pack (ops #6, #12, #13, #24, #25): year-extract
+    filter, floor, lower, substring, cast-to-string — all codegen'd."""
+    od = _t(spark, sf_dir, "orders")
+    return od.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.floor("o_totalprice").cast("long").alias("floor_price"),
+        F.lower("o_orderpriority").alias("priority_lc"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+    )
+
+
+@query(
+    "in_list_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error')
+    """,
+)
+def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list filter (op #23; pdf p.3's department IN (ECC,CIT,EMS))."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit (ops #4, #20). Spark plans TakeOrderedAndProject —
+    per-partition heaps, no global sort. Deterministic tiebreak on key."""
+    od = _t(spark, sf_dir, "orders")
+    return od.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+
+    customer (filtered) broadcasts; lineitem⋈orders is the one real
+    shuffle. Filters sit on the scans so parquet prunes row groups.
+    """
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00"
+    )
+    joined = li.join(
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey),
+        F.col("l_orderkey") == od.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join (region->nation->customer->orders->lineitem).
+
+    region/nation/customer all broadcast (dim tables); only the
+    orders⋈lineitem edge shuffles. AQE re-plans if a dim outgrows the
+    broadcast threshold.
+    """
+    re = _t(spark, sf_dir, "region")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = cu.join(
+        F.broadcast(na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey)),
+        cu.c_nationkey == na.n_nationkey,
+    )
+    joined = li.join(od, li.l_orderkey == od.o_orderkey).join(
+        F.broadcast(dims), od.o_custkey == dims.c_custkey
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_no_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def anti_join_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): the complement set."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "outer_join_nation_counts",
+    oracle="""
+    SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving empty groups (COUNT(col) skips nulls)."""
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        na.join(cu, na.n_nationkey == cu.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_active_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def set_union_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across two derived key sets."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    a = cu.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = od.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_except_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def set_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): rich customers who never placed a 450k+ order."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    a = cu.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = od.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Window functions / event-time patterns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranked window — one shuffle on the group key.
+    AQE handles group-count skew; no driver-side grouping ever."""
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running total over event time — the window-function form
+    of the reference's per-message accumulator (op #26)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+    return ev.select("user_id", "event_id", running.alias("running_value"))
+
+
+@query(
+    "sessionize",
+    oracle="""
+    SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (
+        SELECT user_id, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session assignment via lag + cumulative
+    sum. Gap math in exact integer microseconds so engines agree. The
+    streaming twin is session_window() (tests/test_streaming.py)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum).cast("long"))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+@query(
+    "asof_last_purchase",
+    oracle=f"""
+    SELECT event_id, user_id,
+           strftime(MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    '{TS_FMT_DUCK}') AS last_purchase_time
+    FROM events
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) lookup: for every event, the most recent
+    purchase at-or-before it for the same key — the window-composition
+    form of an as-of join (no native operator needed when the probe and
+    build sides share a key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format(last_purchase, TS_FMT_SPARK).alias("last_purchase_time"),
+    )
+
+
+@query(
+    "tumbling_hourly_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form; the streaming twin uses
+    window()+watermark — tests/test_streaming.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )

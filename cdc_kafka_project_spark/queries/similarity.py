@@ -1,0 +1,82 @@
+"""Similarity-search queries over ``embeddings`` (north-star extension).
+
+The brute-force tier is oracle-checked (cosine recomputed in DuckDB
+with the same float64 arithmetic, rounded to 4 decimals); the LSH tier
+is Spark-specific (seeded hyperplanes) and gets the rows-only check
+plus recall tests in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.operators import similarity as sim
+from cdc_kafka_project_spark.registry import query
+
+QUERY_VEC_ID = 0
+TOP_K = 20
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    pairs AS (
+        SELECT e.vec_id,
+               CAST(unnest(e.embedding) AS DOUBLE) AS x,
+               CAST(unnest(q.qe) AS DOUBLE) AS y
+        FROM embeddings e, q
+    ),
+    dots AS (
+        SELECT vec_id, SUM(x * y) AS dp,
+               SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+        FROM pairs GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(dp / (na * nb), 4) AS cos_sim
+    FROM dots
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (recall-1.0 baseline): one scan, fused vector
+    expression, per-partition heaps — no corpus shuffle."""
+    emb = _emb(spark, sf_dir)
+    qv = sim.query_vector(emb, QUERY_VEC_ID)
+    return sim.brute_force_topk(emb, qv, k=TOP_K, round_to=4)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms + dimensionality."""
+    return sim.embedding_norms(_emb(spark, sf_dir), round_to=4)
+
+
+@query("similarity_ann_lsh")  # rows-only: seeded-hyperplane LSH is engine-side
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via 8-plane LSH with 1-bit multi-probe —
+    scans ~3.5% of the corpus; recall measured in tests."""
+    emb = _emb(spark, sf_dir)
+    qv = sim.query_vector(emb, QUERY_VEC_ID)
+    return sim.lsh_ann_topk(emb, qv, k=TOP_K, n_planes=8, probe_hamming=1)
+
+
+@query("similarity_near_dup")  # rows-only: seeded-hyperplane LSH is engine-side
+def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.95) via LSH-bucketed
+    self-join + exact verify."""
+    return sim.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.95)

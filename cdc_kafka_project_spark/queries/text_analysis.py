@@ -1,0 +1,107 @@
+"""Text-analysis queries over ``documents`` (north-star extension)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.operators import text as text_ops
+from cdc_kafka_project_spark.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1) AS alpha_ratio,
+           CASE WHEN trim(text) = '' THEN NULL
+                ELSE (length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                     / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats pack: char/token counts, alpha ratio,
+    average token length — one codegen'd projection over the scan."""
+    return text_ops.text_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_wordish
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / marks)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", text_ops.regex_token_count("text").alias("n_wordish")
+    )
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH lex(cand_lang, word) AS (VALUES {lex_values}),
+    tok AS (
+        SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    hits AS (
+        SELECT doc_id, cand_lang, COUNT(*) AS hits
+        FROM tok JOIN lex USING (word)
+        GROUP BY doc_id, cand_lang
+    ),
+    ranked AS (
+        SELECT doc_id, cand_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, cand_lang ASC) AS rn
+        FROM hits
+    )
+    SELECT d.doc_id, COALESCE(r.cand_lang, 'und') AS pred_lang
+    FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+    """.format(
+        lex_values=", ".join(
+            f"('{lang}', '{w}')"
+            for lang, ws in text_ops.STOPWORDS.items()
+            for w in ws
+        )
+    ),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: explode + broadcast lexicon join +
+    argmax with deterministic tie-break."""
+    return text_ops.language_id(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_fingerprint_md5",
+    oracle="""
+    SELECT doc_id, md5(trim(text)) AS fp_md5
+    FROM documents
+    """,
+)
+def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-checkable content fingerprint (md5). The cheaper
+    xxhash64 fingerprint (engine-internal, used by dedup) has no
+    portable oracle and is covered by doc_fingerprint_xx below."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", F.md5(F.trim(F.col("text"))).alias("fp_md5"))
+
+
+@query("doc_fingerprint_xx")  # rows-only: xxhash64 seed/impl is Spark-specific
+def doc_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 fingerprints — the 8-byte dedup key used at scale."""
+    return text_ops.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp64")

@@ -1,0 +1,74 @@
+"""SparkSession factory + runtime configuration.
+
+The driver (and some hosts) hand us an externally-built SparkSession, so
+everything that can be applied at runtime lives in ``configure_session``
+and is applied defensively before reads — in particular the
+``nanosAsLong`` escape hatch: the synthetic ``events`` table is written
+with parquet TIMESTAMP(NANOS) which Spark's vectorized reader rejects
+unless this flag is set (we then convert ns->us ourselves, JVM-side).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL confs every session needs for correctness parity
+#: with the DuckDB oracle and for reading the testdata.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet uses TIMESTAMP(NANOS); read as long, convert ourselves.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are UTC-naive; pin Spark's session zone so
+    # date_format/unix_timestamp agree with the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalesce + skew-join handling. Free scalability.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-provided session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static on exotic deployments; never fail
+            # configuration — individual readers cope or raise clearly.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "cdc-kafka-project-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession sized for this host.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism;
+    shuffle partitions default to the same number — at cluster scale you
+    want ~2-3x total cores instead, which callers override.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_session(spark)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query at a given sf_dir on Spark AND its oracle
+SQL on DuckDB, then compares row count, column names, and values
+(order-insensitive: columns sorted by name, rows sorted by all
+columns). Use while iterating so the per-round CORRECTNESS file holds
+no surprises.
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def normalize(df):
+    """pandas frame -> (colnames, list of row tuples, canonicalized)."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if str(col.dtype).startswith("datetime"):
+            df[c] = col.astype("string")
+        elif col.dtype == object:
+            df[c] = col.apply(
+                lambda v: str(v) if not isinstance(v, (str, bytes, type(None))) else v
+            )
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        canon = []
+        for v in tup:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    canon.append("NaN")
+                else:
+                    canon.append(repr(v))
+            elif v is None or (isinstance(v, float) and pd.isna(v)):
+                canon.append("NULL")
+            else:
+                try:
+                    if pd.isna(v):
+                        canon.append("NULL")
+                        continue
+                except (TypeError, ValueError):
+                    pass
+                canon.append(str(v))
+        rows.append(tuple(canon))
+    rows.sort()
+    return list(df.columns), rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from cdc_kafka_project_spark.registry import all_oracles, all_queries
+    from cdc_kafka_project_spark.schemas import TESTDATA_TABLES
+    from cdc_kafka_project_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries, oracles = all_queries(), all_oracles()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        scols, srows = normalize(sdf)
+        ocols, orows = normalize(odf)
+        if scols != ocols:
+            print(f"FAIL  {name}: columns {scols} != {ocols}")
+            n_fail += 1
+        elif len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
+            n_fail += 1
+        elif srows != orows:
+            diffs = [
+                (a, b) for a, b in zip(srows, orows) if a != b
+            ][:3]
+            print(f"FAIL  {name}: values differ; first diffs: {diffs}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    import pandas as pd  # noqa: F401
+
+    sys.exit(main())
