@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into the no-op sink (format("noop")) so
+timing covers scan -> compute -> materialization without driver
+collection skew. One untimed warmup action absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_kafka_project_spark.registry import all_queries  # noqa: E402
+from cdc_kafka_project_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one per operator family (CDC apply, scan, agg, join,
+#: window, sessionize, dedup exact/LSH, text, similarity exact/ANN).
+HEADLINE = [
+    "cdc_incremental_scan",
+    "cdc_replica",
+    "cdc_running_totals",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topn_per_group",
+    "sessionize",
+    "tumbling_hourly_agg",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "lang_id",
+    "similarity_topk",
+    "similarity_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # untimed warmup: JVM, codegen, parquet footers
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,22 @@ def tokens(col: Column | str) -> Column:
 
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
+
+
+def spread(df, *cols):
+    """Repartition up to the session's default parallelism when the
+    input has fewer partitions.
+
+    Two jobs in one exchange: (a) a single parquet file reads as one
+    partition locally, which would serialize every downstream explode/
+    join onto one core; (b) the shuffle write *materializes* computed
+    columns (e.g. a tokenized array), so expressions referenced many
+    times downstream (array indexing in transform lambdas) are computed
+    once instead of being re-inlined per access by codegen. At cluster
+    scale inputs arrive pre-split, so this is a no-op there.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)

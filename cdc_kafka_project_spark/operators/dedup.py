@@ -65,17 +65,28 @@ def word_shingles(
 
     Built with sequence+transform (codegen'd) then one explode — no
     Python. Documents shorter than n words produce no shingles.
+
+    The token array is materialized through an exchange (spread) before
+    the transform: codegen otherwise inlines the split() into every
+    ``__ws[i]`` access, turning shingling O(len^2) — and a single-file
+    local read would run it all on one core.
     """
-    refs = ", ".join(f"__ws[i + {k}]" for k in range(n))
-    sh = df.withColumn("__ws", tokens(text_col)).withColumn(
-        "__sh",
-        F.expr(
-            f"transform(sequence(0, size(__ws) - {n}), i -> concat_ws(' ', {refs}))"
-        ),
+    from cdc_kafka_project_spark.functions import spread
+
+    words = df.select("doc_id", tokens(text_col).alias("__ws")).filter(
+        F.size("__ws") >= n
     )
+    words = spread(words)
+    refs = ", ".join(f"__ws[i + {k}]" for k in range(n))
     return (
-        sh.filter(F.size("__ws") >= n)
-        .select("doc_id", F.explode("__sh").alias("shingle"))
+        words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__ws) - {n}), i -> concat_ws(' ', {refs}))"
+                )
+            ).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -172,6 +183,10 @@ def minhash_lsh_candidates(
     quadratic blowup. est_jaccard = fraction of equal signature slots.
     """
     num_perm = bands * rows
+    # The self-join below references the signature pipeline twice;
+    # signatures are tiny (num_perm ints per doc) relative to the corpus
+    # that produced them, so persist rather than recompute both sides.
+    signatures = signatures.cache()
     banded = signatures.select(
         "doc_id",
         "sig",
@@ -225,8 +240,11 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     packs back into one int64 with bitwise shifts (no arithmetic
     overflow). Near-dup = small Hamming distance between fingerprints.
     """
+    from cdc_kafka_project_spark.functions import spread
+
     tok = (
-        df.select("doc_id", F.explode(tokens(text_col)).alias("word"))
+        spread(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(tokens(text_col)).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.xxhash64("word"))
@@ -258,6 +276,7 @@ def simhash_hamming_pairs(
     (band, chunk), verify exact Hamming distance with bit_count."""
     width = 64 // bands
     mask = (1 << width) - 1
+    fingerprints = fingerprints.cache()  # referenced twice by the self-join
     banded = fingerprints.select(
         "doc_id",
         "simhash",

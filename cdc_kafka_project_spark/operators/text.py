@@ -74,8 +74,12 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
         "cand_lang string, word string",
     )
-    tok = df.select("doc_id", F.explode(tokens(text_col)).alias("word")).withColumn(
-        "word", F.lower("word")
+    from cdc_kafka_project_spark.functions import spread
+
+    tok = (
+        spread(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(tokens(text_col)).alias("word"))
+        .withColumn("word", F.lower("word"))
     )
     hits = (
         tok.join(F.broadcast(lex), "word")

@@ -65,7 +65,16 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only JVM: the driver heap IS the executor
+        # heap. Measured on this host: a LARGE heap is a net loss — task
+        # page size scales with heap/cores, so 32 threads each zeroing
+        # multi-MB pages per hash-agg/shuffle turn small stages GC-bound
+        # (words-distinct at sf0.1: 2.8s @8g vs 7.5s+ @64g, degrading
+        # across a session). 16g fits sf0.1 joins + caches with headroom.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Cap task memory pages: tiny-partition stages dominate locally,
+        # and page zeroing otherwise scales with heap size.
+        .config("spark.buffer.pageSize", "4m")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,102 @@
+"""Kafka source/sink wrappers (SURVEY.md §2 #8, #10, #27).
+
+This container has no Kafka broker or spark-sql-kafka jar, so these
+builders are exercised only up to plan construction in tests; the
+transform layer they wrap (envelope encode/decode) is fully tested on
+static DataFrames — Structured Streaming's unified model guarantees
+the same plan runs on the Kafka source unchanged.
+
+Wire format per the reference (producer.py:51-71): JSON value, string
+key = primary key. Partition-by-key gives per-key ordering — the only
+ordering the apply step needs (cdc.latest_per_key handles the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def decode_envelope(raw: DataFrame, value_schema: StructType) -> DataFrame:
+    """Kafka record -> typed columns (consumer.py:42-43's json.loads +
+    Employee(**kwargs), minus the crash-on-corrupt).
+
+    Corrupt payloads decode to a NULL ``payload``; callers route
+    ``payload IS NULL`` to the DLQ instead of swallowing (the
+    reference's broad except at consumer.py:95-102 silently drops
+    them — deliberate divergence, documented in SURVEY §7).
+
+    PERMISSIVE from_json returns an all-NULL *struct* (not NULL) for
+    unparseable input, indistinguishable from valid JSON with absent
+    keys — so corruption is detected via columnNameOfCorruptRecord and
+    folded into payload nullability here, keeping the caller contract
+    a single null check."""
+    corrupt = StructType(
+        value_schema.fields + [StructField("_corrupt", StringType())]
+    )
+    parsed = raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(
+            F.col("value").cast("string"),
+            corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("__p"),
+    )
+    payload = F.when(
+        F.col("__p").isNotNull() & F.col("__p._corrupt").isNull(),
+        F.struct(*[F.col(f"__p.{f.name}").alias(f.name) for f in value_schema.fields]),
+    ).alias("payload")
+    return parsed.select("key", payload)
+
+
+def encode_envelope(df: DataFrame, key_col: str) -> DataFrame:
+    """Typed columns -> Kafka record (producer.py:62-71): JSON value,
+    stringified primary key."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
+def read_cdc_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: StructType,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Streaming Kafka source -> decoded envelope.
+
+    maxOffsetsPerTrigger bounds micro-batches (the reference's
+    max_messages, consumer.py:21); offsets checkpoint replaces its
+    auto-commit (at-least-once + idempotent apply => effective
+    exactly-once)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return decode_envelope(reader.load(), value_schema)
+
+
+def write_keyed_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str,
+    checkpoint_dir: str,
+):
+    """Keyed Kafka sink (producer.py:67-71): key routes the partition,
+    giving per-key ordering; acks=all durability is the sink default."""
+    return (
+        encode_envelope(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -1,0 +1,120 @@
+"""The reference's golden 7-event CDC workload (FIXTURES.md §5;
+airflow_dags/project2_dag.py:95-137) against the batch operators.
+
+Expected routing: 3 of 5 inserts fail validation -> DLQ; Alice is
+inserted, updated, then deleted; final replica = exactly Emma.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.operators import cdc
+from cdc_kafka_project_spark.schemas import EMP_CDC_SCHEMA
+
+
+def _ts(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, 0, i)
+
+
+def golden_rows():
+    d = dt.date
+    return [
+        # emp_id, first, last, dob, city, salary, action, last_updated_at, seq
+        (1, "Alice", "Johnson", d(2012, 4, 10), "San Francisco", 80000, "insert", _ts(1), 1),
+        (2, "Emma", "Wood", d(2015, 7, 1), "Boston", 72000, "insert", _ts(2), 2),
+        (3, "Too", "Low", d(2000, 1, 1), "LA", 50, "insert", _ts(3), 3),
+        (4, "Too", "Old", d(1900, 1, 1), "San Jose", 50000, "insert", _ts(4), 4),
+        (-100, "Wrong", "ID", d(2000, 1, 1), "Chicago", 45000, "insert", _ts(5), 5),
+        (1, "Alice", "Johnson", d(2012, 4, 10), "San Francisco", 75000, "update", _ts(6), 6),
+        (1, "Alice", "Johnson", d(2012, 4, 10), "San Francisco", 75000, "delete", _ts(7), 7),
+    ]
+
+
+@pytest.fixture()
+def changelog(spark):
+    return spark.createDataFrame(golden_rows(), EMP_CDC_SCHEMA)
+
+
+def test_validation_split_routes_three_to_dlq(changelog):
+    valid, dlq = cdc.validate_split(changelog, cdc.employee_invalid_predicate())
+    dlq_rows = {r.emp_id for r in dlq.collect()}
+    assert dlq_rows == {3, 4, -100}
+    assert valid.count() == 4  # Alice ins/upd/del + Emma ins
+
+
+def test_final_replica_is_exactly_emma(changelog):
+    valid, _ = cdc.validate_split(changelog, cdc.employee_invalid_predicate())
+    replica = cdc.apply_changes(valid)
+    rows = replica.collect()
+    assert len(rows) == 1
+    emma = rows[0]
+    assert (emma.emp_id, emma.first_name, emma.salary) == (2, "Emma", 72000)
+
+
+def test_update_wins_before_delete(spark):
+    """Drop the delete event: Alice must survive with the UPDATED salary."""
+    rows = [r for r in golden_rows() if r[6] != "delete"]
+    df = spark.createDataFrame(rows, EMP_CDC_SCHEMA)
+    valid, _ = cdc.validate_split(df, cdc.employee_invalid_predicate())
+    replica = cdc.apply_changes(valid)
+    got = {r.emp_id: r.salary for r in replica.collect()}
+    assert got == {1: 75000, 2: 72000}
+
+
+def test_equal_timestamp_ties_break_by_seq(spark):
+    """The reference breaks last_updated_at ties by log position
+    (single partition); we encode it as the seq tiebreaker."""
+    t = _ts(1)
+    d = dt.date(2012, 4, 10)
+    rows = [
+        (1, "A", "A", d, "X", 10000, "insert", t, 1),
+        (1, "A", "A", d, "Y", 20000, "update", t, 2),  # same ts, later seq
+    ]
+    df = spark.createDataFrame(rows, EMP_CDC_SCHEMA)
+    replica = cdc.apply_changes(df)
+    row = replica.collect()[0]
+    assert (row.city, row.salary) == ("Y", 20000)
+
+
+def test_replay_is_idempotent(spark, changelog):
+    """Re-delivering the whole log (at-least-once) changes nothing —
+    strictly stronger than the reference's ON CONFLICT paper-over."""
+    doubled = changelog.unionByName(changelog)
+    valid, _ = cdc.validate_split(doubled, cdc.employee_invalid_predicate())
+    replica = cdc.apply_changes(valid)
+    rows = replica.collect()
+    assert len(rows) == 1 and rows[0].emp_id == 2
+
+
+def test_actions_normalized_case_insensitively(spark):
+    """consumer.py:44 lower-cases actions; so do we."""
+    t = _ts(1)
+    d = dt.date(2012, 4, 10)
+    rows = [
+        (1, "A", "A", d, "X", 10000, "INSERT", t, 1),
+        (1, "A", "A", d, "X", 10000, "Delete", _ts(2), 2),
+    ]
+    df = spark.createDataFrame(rows, EMP_CDC_SCHEMA)
+    assert cdc.apply_changes(df).count() == 0
+
+
+def test_merge_upsert_equals_full_recompute(spark, changelog):
+    """Incremental maintenance invariant: base-state + merge(new) ==
+    apply(full log)."""
+    valid, _ = cdc.validate_split(changelog, cdc.employee_invalid_predicate())
+    old = valid.filter(F.col("seq") <= 2)
+    new = valid.filter(F.col("seq") > 2)
+    base = cdc.apply_changes(old)
+    merged = cdc.merge_upsert(base, new)
+    merged = merged.filter(F.lower("action") != "delete")
+    full = cdc.apply_changes(valid)
+    assert sorted(r.emp_id for r in merged.collect()) == sorted(
+        r.emp_id for r in full.collect()
+    )
+
+
+def test_incremental_scan_watermark_exclusive(spark, changelog):
+    out = cdc.incremental_scan(changelog, "2024-01-01 12:00:05")
+    assert {r.seq for r in out.collect()} == {6, 7}

@@ -1,0 +1,112 @@
+"""Dedup semantics on synthesized corpora with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.operators import dedup as dd
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    ws = text.split()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
+OTHER = "completely different content about spark engines and columnar formats"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0/1
+        (3, OTHER),
+        (4, "  " + BASE + "  "),  # exact after trim
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_exact_dedup_keeps_min_doc_id(docs):
+    kept = {r.doc_id for r in dd.exact_dedup(docs).collect()}
+    assert kept == {0, 2, 3}
+
+
+def test_exact_groups_count_duplicates(docs):
+    groups = {r.keep_doc_id: r.n_dups for r in dd.exact_dedup_groups(docs).collect()}
+    assert groups[0] == 3  # 0, 1, 4
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_word_shingles_match_python_reference(spark):
+    df = spark.createDataFrame([(0, BASE)], DOC_SCHEMA)
+    got = {r.shingle for r in dd.word_shingles(df, n=3).collect()}
+    assert got == _shingles(BASE, 3)
+
+
+def test_short_docs_produce_no_shingles(spark):
+    df = spark.createDataFrame([(0, "one two"), (1, ""), (2, "a b c")], DOC_SCHEMA)
+    got = dd.word_shingles(df, n=3).collect()
+    assert {r.doc_id for r in got} == {2}
+
+
+def test_jaccard_pairs_exact_values(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    # exact dups: jaccard 1.0 in every combination of {0,1,4}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert pairs[(0, 4)] == pytest.approx(1.0)
+    assert pairs[(1, 4)] == pytest.approx(1.0)
+    # near dup: matches the python reference computation
+    assert pairs[(0, 2)] == pytest.approx(_jaccard(BASE, NEAR))
+    # unrelated doc shares nothing
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_estimates_track_exact_jaccard(docs):
+    sigs = dd.minhash_signatures(docs, n=3, num_perm=64)
+    # 32 bands x 2 rows: P(candidate | J=0.6) = 1-(1-0.36)^32 ~ 1-6e-7,
+    # so the near-dup pair is a candidate for (essentially) any hash
+    # seeding; 16x4 banding sits at ~0.89 and can deterministically miss.
+    cand = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dd.minhash_lsh_candidates(sigs, bands=32, rows=2).collect()
+    }
+    # identical docs -> identical signatures -> est 1.0, always candidates
+    assert cand[(0, 1)] == pytest.approx(1.0)
+    assert cand[(0, 4)] == pytest.approx(1.0)
+    # near dup (true J = 0.6: 12 shingles each, 3 differ) must surface
+    assert (0, 2) in cand
+    assert cand[(0, 2)] == pytest.approx(_jaccard(BASE, NEAR), abs=0.25)
+
+
+def test_minhash_signature_is_deterministic(docs):
+    a = dd.minhash_signatures(docs).filter(F.col("doc_id") == 0).collect()[0].sig
+    b = dd.minhash_signatures(docs).filter(F.col("doc_id") == 0).collect()[0].sig
+    assert a == b and len(a) == 64
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    fp = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    assert fp[0] == fp[1] == fp[4]
+    assert fp[0] != fp[3]
+
+
+def test_simhash_near_dup_within_hamming(docs):
+    fps = dd.simhash(docs)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_hamming_pairs(fps, max_distance=16, bands=4).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 16

@@ -1,0 +1,105 @@
+"""Similarity-search semantics on synthesized vectors with known
+structure (clustered + noise), plus recall of the ANN tier."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.operators import similarity as sim
+
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+DIM = 16
+
+
+def _unit(rng):
+    v = [rng.gauss(0, 1) for _ in range(DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _perturb(v, rng, eps=0.05):
+    out = [x + rng.gauss(0, eps) for x in v]
+    n = math.sqrt(sum(x * x for x in out))
+    return [x / n for x in out]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(7)
+    q = _unit(rng)
+    rows = [(0, q)]
+    # 10 near-neighbors of the query vector
+    rows += [(i, _perturb(q, rng)) for i in range(1, 11)]
+    # 200 random distractors
+    rows += [(i, _unit(rng)) for i in range(11, 211)]
+    # one exact duplicate pair among the distractors
+    dup = _unit(rng)
+    rows += [(300, dup), (301, dup)]
+    return spark.createDataFrame(rows, EMB_SCHEMA), q
+
+
+def _cos(a, b):
+    return sum(x * y for x, y in zip(a, b)) / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+    )
+
+
+def test_brute_force_topk_matches_python_reference(corpus):
+    emb, q = corpus
+    got = sim.brute_force_topk(emb, q, k=11, round_to=None).collect()
+    # python reference ranking
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    expect = sorted(
+        ((vid, _cos(v, q)) for vid, v in rows), key=lambda t: (-t[1], t[0])
+    )[:11]
+    assert [r.vec_id for r in got] == [vid for vid, _ in expect]
+    for r, (_, c) in zip(got, expect):
+        assert r.cos_sim == pytest.approx(c, abs=1e-6)
+    # the query itself ranks first with cos 1.0
+    assert got[0].vec_id == 0 and got[0].cos_sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_query_vector_lookup(corpus):
+    emb, q = corpus
+    assert sim.query_vector(emb, 0) == pytest.approx(q, abs=1e-6)
+    with pytest.raises(KeyError):
+        sim.query_vector(emb, 99999)
+
+
+def test_ann_lsh_recall_on_clustered_neighbors(corpus):
+    """Tight cluster around the query: LSH with multi-probe must find
+    most of the true top-11 (the 10 perturbed copies + query)."""
+    emb, q = corpus
+    truth = {r.vec_id for r in sim.brute_force_topk(emb, q, k=11).collect()}
+    ann = {r.vec_id for r in sim.lsh_ann_topk(emb, q, k=11, n_planes=8).collect()}
+    recall = len(truth & ann) / len(truth)
+    assert 0 in ann  # the query's own bucket is always probed
+    assert recall >= 0.6, f"recall {recall} too low for a tight cluster"
+
+
+def test_ann_results_subset_of_brute_force_ranking(corpus):
+    """ANN scores must be exact cosines (only the candidate set is
+    approximate)."""
+    emb, q = corpus
+    brute = {r.vec_id: r.cos_sim for r in sim.brute_force_topk(emb, q, k=250).collect()}
+    for r in sim.lsh_ann_topk(emb, q, k=11).collect():
+        assert r.cos_sim == pytest.approx(brute[r.vec_id], abs=1e-9)
+
+
+def test_cosine_near_dup_finds_exact_duplicate_pair(corpus):
+    emb, _ = corpus
+    pairs = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert (300, 301) in pairs
+    assert pairs[(300, 301)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_embedding_norms_unit_vectors(corpus):
+    emb, _ = corpus
+    out = sim.embedding_norms(emb).collect()
+    assert all(r.dim == DIM for r in out)
+    assert all(abs(r.l2_norm - 1.0) < 1e-3 for r in out)

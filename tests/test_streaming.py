@@ -1,0 +1,179 @@
+"""Streaming pipeline tests: file-source micro-batches drive the same
+operators the Kafka path uses (unified model), bounded with
+availableNow triggers — the reference's short-burst runs."""
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.operators import cdc
+from cdc_kafka_project_spark.schemas import EMP_CDC_SCHEMA, EMPLOYEE_SALARIES_SCHEMA
+from cdc_kafka_project_spark.streaming import kafka_io
+from cdc_kafka_project_spark.streaming.pipeline import (
+    CdcFileStreamPipeline,
+    streaming_running_totals,
+    streaming_windowed_counts,
+)
+from tests.test_cdc_golden import golden_rows
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    src = tmp_path / "src"
+    work = tmp_path / "work"
+    src.mkdir()
+    return str(src), str(work)
+
+
+def _pipeline(spark, src, work):
+    return CdcFileStreamPipeline(
+        spark,
+        source_dir=src,
+        work_dir=work,
+        schema=EMP_CDC_SCHEMA,
+        invalid=cdc.employee_invalid_predicate(),
+    )
+
+
+def test_streaming_cdc_golden_workload(spark, tmpdirs):
+    src, work = tmpdirs
+    spark.createDataFrame(golden_rows(), EMP_CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p = _pipeline(spark, src, work)
+    p.run_available_now()
+
+    assert {r.emp_id for r in p.dlq().collect()} == {3, 4, -100}
+    snap = p.snapshot().collect()
+    assert len(snap) == 1 and snap[0].emp_id == 2  # Emma
+
+
+def test_streaming_incremental_batches_resume_from_checkpoint(spark, tmpdirs):
+    """Two short-burst runs over a growing source directory: the second
+    run must process only the new files (checkpointed offsets) and the
+    replica view must reflect the merged state."""
+    src, work = tmpdirs
+    rows = golden_rows()
+    first, second = rows[:5], rows[5:]  # inserts | update+delete of Alice
+
+    spark.createDataFrame(first, EMP_CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p = _pipeline(spark, src, work)
+    p.run_available_now()
+    snap1 = {r.emp_id: r.salary for r in p.snapshot().collect()}
+    assert snap1 == {1: 80000, 2: 72000}  # Alice + Emma
+
+    spark.createDataFrame(second, EMP_CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p2 = _pipeline(spark, src, work)
+    p2.run_available_now()
+    snap2 = p2.snapshot().collect()
+    assert len(snap2) == 1 and snap2[0].emp_id == 2
+
+    # curated log holds exactly the 4 valid events (no reprocessing)
+    assert p2.curated_log().count() == 4
+
+
+def test_streaming_running_totals_update_mode(spark, tmp_path):
+    """Project-1 running aggregation (pdf p.4-6): per-department totals
+    over floored salaries, golden-totals-style."""
+    src = tmp_path / "sal"
+    src.mkdir()
+    from decimal import Decimal
+
+    d = dt.date(2015, 1, 1)
+    rows = [
+        ("ECC", "d1", "t", d, Decimal("100.75")),
+        ("CIT", "d1", "t", d, Decimal("200.25")),
+        ("ECC", "d2", "t", d, Decimal("49.50")),
+    ]
+    spark.createDataFrame(rows, EMPLOYEE_SALARIES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q = streaming_running_totals(
+        spark,
+        str(src),
+        EMPLOYEE_SALARIES_SCHEMA,
+        str(tmp_path / "cp"),
+        query_name="rt_test",
+    )
+    q.awaitTermination()
+    got = {
+        r.department: r.total_salary
+        for r in spark.sql("SELECT * FROM rt_test").collect()
+    }
+    assert got == {"ECC": 149, "CIT": 200}  # floor(100.75)+floor(49.50), floor(200.25)
+
+
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = golden_rows()
+    spark.createDataFrame(rows, EMP_CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q = streaming_windowed_counts(
+        spark,
+        str(src),
+        EMP_CDC_SCHEMA,
+        str(tmp_path / "cp2"),
+        window="1 hour",
+        query_name="wc_test",
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM wc_test").collect()
+    # all 7 events fall in the same hour window (12:00-13:00)
+    assert len(got) == 1 and got[0].n == 7
+
+
+def test_kafka_envelope_roundtrip(spark):
+    """encode -> decode over static frames (the Kafka-facing transform
+    layer; producer.py:62-71 / consumer.py:42-43)."""
+    df = spark.createDataFrame(golden_rows(), EMP_CDC_SCHEMA)
+    wire = kafka_io.encode_envelope(
+        df.withColumn("dob", F.col("dob").cast("string")).withColumn(
+            "last_updated_at", F.col("last_updated_at").cast("string")
+        ),
+        key_col="emp_id",
+    )
+    assert wire.columns == ["key", "value"]
+    # wire format stringifies dates/timestamps (producer.py:56,63)
+    from pyspark.sql import types as T
+
+    stringly = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType() if f.dataType.typeName() in ("date", "timestamp") else f.dataType,
+            )
+            for f in EMP_CDC_SCHEMA.fields
+        ]
+    )
+    decoded = kafka_io.decode_envelope(
+        wire.withColumn("value", F.col("value").cast("binary")),
+        value_schema=stringly,
+    ).select("key", "payload.*")
+    back = decoded.collect()
+    assert len(back) == len(golden_rows())
+    keys = {r.key for r in back}
+    assert keys == {str(r[0]) for r in golden_rows()}
+
+
+def test_decode_envelope_routes_corrupt_payloads_to_null(spark):
+    """Malformed JSON -> NULL payload (DLQ-routable), never a crash —
+    deliberate upgrade over consumer.py:95-102's silent swallow."""
+    from pyspark.sql import types as T
+
+    raw = spark.createDataFrame(
+        [("1", bytearray(b'{"emp_id": 1}')), ("2", bytearray(b"not json"))],
+        "key string, value binary",
+    )
+    schema = T.StructType([T.StructField("emp_id", T.LongType())])
+    out = kafka_io.decode_envelope(raw, schema)
+    got = {r.key: r.payload for r in out.collect()}
+    assert got["1"] is not None and got["1"].emp_id == 1
+    assert got["2"] is None

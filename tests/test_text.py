@@ -1,0 +1,65 @@
+"""Text-analysis semantics on hand-computable strings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.functions import token_count
+from cdc_kafka_project_spark.operators import text as tx
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "el gato y la casa es de la que"),  # spanish stopwords
+        (2, ""),
+        (3, "   "),
+        (4, "ABC def 123 x!y"),
+        (5, "no stopwords here xyzzy qwerty"),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {0: 6, 1: 9, 2: 0, 3: 0, 4: 4, 5: 5}
+
+
+def test_regex_token_count(spark, docs):
+    got = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", tx.regex_token_count("text").alias("n")).collect()
+    }
+    # "ABC def 123 x!y" -> ABC, def, 123, x, !, y = 6
+    assert got[4] == 6
+    assert got[2] == 0
+
+
+def test_text_stats_values(docs):
+    stats = {r.doc_id: r for r in tx.text_stats(docs).collect()}
+    s0 = stats[0]
+    assert s0.n_chars == len("the cat sat on the mat")
+    assert s0.n_tokens == 6
+    assert s0.n_alpha_chars == 17
+    assert s0.avg_token_len == pytest.approx(17 / 6)
+    assert stats[2].n_tokens == 0 and stats[2].avg_token_len is None
+    assert stats[3].avg_token_len is None
+
+
+def test_language_id(docs):
+    got = {r.doc_id: r.pred_lang for r in tx.language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und" and got[3] == "und"
+    assert got[5] == "und"  # no lexicon hits at all
+
+
+def test_fingerprint_trims_and_discriminates(spark):
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "  same text  "), (2, "other")], DOC_SCHEMA
+    )
+    fp = {r.doc_id: (r.fp64, r.fp_md5) for r in tx.fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
