@@ -148,27 +148,51 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<int>) MinHash signatures over word shingles.
 
-    Per shingle: h = xxhash64 mod p, then num_perm affine permutations;
-    per doc: column-wise min. The aggregation is num_perm independent
-    min()s — map-side combinable, one shuffle on doc_id.
+    **Zero-shuffle.** A MinHash signature is a per-document value, so it
+    never needed the explode + groupBy(doc_id) round trip: distinct
+    shingles, their base hashes, and each permutation's min are all
+    array expressions evaluated row-local inside codegen —
+    ``array_min(transform(hashes, h -> (h*a + b) mod p))`` per
+    permutation. The corpus is touched exactly once, map-only; the only
+    shuffle in the whole LSH pipeline is the band equi-join that needs
+    to move data anyway. Same math as the exploded formulation
+    (xxhash64 mod p, affine permutations, column-wise min) — identical
+    signatures, one less full-corpus exchange.
+
+    Docs with fewer than ``n`` words have no shingle set and are
+    dropped (filter, not shuffle).
     """
+    from cdc_kafka_project_spark.functions import spread
+
     coeffs = _perm_coeffs(num_perm)
-    sh = word_shingles(df, text_col, n)
-    hp = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
-    sig = sh.select(
-        "doc_id",
-        *[
-            F.pmod(hp * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
-            .cast("int")
-            .alias(f"__h{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
+    refs = ", ".join(f"__ws[i + {k}]" for k in range(n))
+    words = df.select("doc_id", tokens(text_col).alias("__ws")).filter(
+        F.size("__ws") >= n
     )
-    mins = sig.groupBy("doc_id").agg(
-        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_perm)]
+    words = spread(words)
+    shingles = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size(__ws) - {n}), i -> concat_ws(' ', {refs}))"
+        )
     )
-    return mins.select(
-        "doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig")
+    hashes = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+    )
+    def _perm_min(a: int, b: int) -> Column:
+        # factory so each lambda closes over its own coefficients
+        # (PySpark counts default params as lambda arguments)
+        return F.array_min(
+            F.transform(
+                F.col("__hs"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P)).cast(
+                    "int"
+                ),
+            )
+        )
+
+    sig = F.array(*[_perm_min(a, b) for (a, b) in coeffs])
+    return words.select("doc_id", hashes.alias("__hs")).select(
+        "doc_id", sig.alias("sig")
     )
 
 

@@ -64,39 +64,45 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax over per-language stopword hits.
 
-    Explode tokens once, join a broadcast lexicon (a few dozen rows),
-    count hits per (doc, lang), argmax with a deterministic tie-break
-    (hit count desc, lang asc), default 'und' when nothing matched.
-    Scales as one explode + broadcast join + two light aggregations.
+    **Zero-shuffle.** The lexicon is a compile-time constant (a few
+    dozen words), so per-language hit counts are per-row array
+    expressions — ``size(filter(tokens, t -> array_contains(...)))`` —
+    and the argmax with deterministic tie-break (hits desc, lang asc)
+    is an ``array_max`` over (hits, rank) structs. One codegen'd
+    projection over the scan; nothing moves between executors. The
+    earlier design (explode + broadcast-join + window) shuffled the
+    whole exploded token relation twice for the same answer — at 100 TB
+    that's the difference between a map-only pass and two full-corpus
+    exchanges.
+
+    Duplicate tokens count per occurrence (same as the exploded-join
+    formulation). Docs with zero lexicon hits -> 'und'.
     """
-    spark = df.sparkSession
-    lex = spark.createDataFrame(
-        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
-        "cand_lang string, word string",
-    )
-    from cdc_kafka_project_spark.functions import spread
+    langs = sorted(STOPWORDS)  # tie-break order: lang ascending
+    n = len(langs)
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    def _hits(lang: str) -> Column:
+        # factory so the lambda closes over this language's word array
+        # (PySpark counts default params as lambda arguments)
+        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
 
-    tok = (
-        spread(df.select("doc_id", F.col(text_col)))
-        .select("doc_id", F.explode(tokens(text_col)).alias("word"))
-        .withColumn("word", F.lower("word"))
-    )
-    hits = (
-        tok.join(F.broadcast(lex), "word")
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("hits").desc(), F.col("cand_lang").asc()
-    )
-    ranked = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return df.select("doc_id").join(
-        ranked.select("doc_id", F.col("cand_lang").alias("pred_lang")),
-        "doc_id",
-        "left",
-    ).fillna({"pred_lang": "und"})
+    scored = []
+    for i, lang in enumerate(langs):
+        # rank encodes "earlier alphabetically wins ties" under max():
+        # lang index i -> rank n-i, so the max struct prefers high hits,
+        # then the alphabetically-first language.
+        scored.append(
+            F.struct(_hits(lang).alias("hits"), F.lit(n - i).alias("rk"))
+        )
+    best = F.array_max(F.array(*scored))
+    pred = F.when(
+        best["hits"] > 0,
+        F.element_at(
+            F.array(*[F.lit(lang) for lang in langs]), F.lit(n + 1) - best["rk"]
+        ),
+    ).otherwise(F.lit("und"))
+    return df.select("doc_id", pred.alias("pred_lang"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

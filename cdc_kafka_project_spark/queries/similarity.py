@@ -8,9 +8,10 @@ plus recall tests in tests/test_similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import cosine_sim
 from cdc_kafka_project_spark.operators import similarity as sim
 from cdc_kafka_project_spark.registry import query
 
@@ -78,5 +79,45 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_near_dup")  # rows-only: seeded-hyperplane LSH is engine-side
 def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.95) via LSH-bucketed
-    self-join + exact verify."""
+    self-join + exact verify.
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.51 at sf0.01), so an empty result here is CORRECT; the operator's
+    recall on corpora that do contain near-dups is pinned by
+    tests/test_similarity.py, and the exact-threshold twin below is
+    oracle-checked on thresholds this data does exercise."""
     return sim.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.95)
+
+
+@query(
+    "similarity_pairs_above",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(unnest(a.embedding) AS DOUBLE) AS x,
+               CAST(unnest(b.embedding) AS DOUBLE) AS y
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT vec_a, vec_b, SUM(x * y) AS dp,
+               SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+        FROM pairs GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(dp / (na * nb), 4) AS cos_sim
+    FROM dots WHERE ROUND(dp / (na * nb), 4) >= 0.45
+    """,
+)
+def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine above a threshold the synthetic data does
+    exercise (0.45) — the verify-tier ground truth for the LSH pruned
+    path (same role jaccard_pairs plays for MinHash). Quadratic by
+    construction: at scale run it only on LSH candidate pairs."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine_sim(F.col("ea"), F.col("eb")), 4)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )

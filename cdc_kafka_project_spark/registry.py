@@ -53,6 +53,7 @@ def load_all() -> None:
         text_analysis,
         dedup,
         similarity,
+        multimodal,
     )
 
 
