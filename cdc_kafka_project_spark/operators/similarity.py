@@ -1,8 +1,10 @@
 """Similarity search over embedding columns (north-star extension).
 
-Embeddings are plain ``array<float>`` columns; all vector math uses
-JVM-side higher-order functions in float64 (functions.dot/cosine_sim) —
-no UDF, no Python in the scan.
+Embeddings are plain ``array<float>`` columns. Scoring uses the
+Arrow-vectorized ``functions.cosine_pd`` (bit-identical float64 to the
+JVM higher-order fold, ~1000x faster on wide candidate sets — HOF
+lambdas evaluate interpreted, ~5 ms/row at dim 64); bucket/assignment
+expressions that run once per row stay JVM-side where cheap.
 
 Two tiers:
 
@@ -23,7 +25,18 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
-from cdc_kafka_project_spark.functions import cosine_sim, l2_norm, to_double_array
+from cdc_kafka_project_spark.functions import (
+    cosine_pd,
+    l2_norm,
+    spread,
+    to_double_array,
+)
+
+
+def _qcol(query_vec: list[float]):
+    """The query vector as a literal array column (broadcast with the
+    plan; replicated per Arrow batch, O(dim) each)."""
+    return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
 def query_vector(embeddings: DataFrame, vec_id: int) -> list[float]:
@@ -47,15 +60,15 @@ def brute_force_topk(
     """Exact cosine top-k against a literal query vector.
 
     The query vector is a literal array (broadcast with the plan); the
-    scan computes one fused expression per row and TakeOrderedAndProject
-    keeps k rows per partition — no shuffle of the corpus.
+    scan scores each partition's rows in one Arrow batch and
+    TakeOrderedAndProject keeps k rows per partition — no shuffle of
+    the corpus.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = cosine_sim(F.col("embedding"), q)
+    cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
         cos = F.round(cos, round_to)
     return (
-        embeddings.select("vec_id", cos.alias("cos_sim"))
+        spread(embeddings).select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
@@ -72,15 +85,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_expr(col, planes: list[list[float]]):
-    """Sign-pattern bucket id (0..2^n_planes-1) for an embedding column."""
-    from cdc_kafka_project_spark.functions import dot
+    """Sign-pattern bucket id (0..2^n_planes-1) for an embedding column.
 
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot(to_double_array(col), pl) > 0).cast("long")
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return bucket
+    Arrow-vectorized: one batched matmul against the (n_planes x dim)
+    hyperplane matrix per partition — the per-plane interpreted-HOF dot
+    products this replaces cost ~n_planes * ms per row.
+    """
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)  # n_planes x dim
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def bucket(e):  # pd.Series[np.ndarray] -> pd.Series[int64]
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(e.to_numpy()).astype(np.float64)
+        return pd.Series(((X @ P.T) > 0) @ weights)
+
+    return bucket(col)
 
 
 def lsh_ann_topk(
@@ -107,16 +132,146 @@ def lsh_ann_topk(
     probe = [qbits] + (
         [qbits ^ (1 << i) for i in range(n_planes)] if probe_hamming >= 1 else []
     )
-    bucketed = embeddings.withColumn(
+    bucketed = spread(embeddings).withColumn(
         "__bucket", lsh_bucket_expr(F.col("embedding"), planes)
     )
     cand = bucketed.filter(F.col("__bucket").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = cosine_sim(F.col("embedding"), q)
+    cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
         cos = F.round(cos, round_to)
     return (
         cand.select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + inverted-list probing
+# ---------------------------------------------------------------------------
+
+
+def _assign_expr(col, centroids: list[list[float]]):
+    """argmin centroid id per row — Arrow-vectorized nearest-centroid.
+
+    One batched distance computation per partition via the expanded
+    form ||x||^2 - 2 x.C^T + ||c||^2 (small temporaries, BLAS matmul);
+    ties break to the lowest cid (argmin returns the first minimum).
+    The centroid matrix rides in the UDF closure — it is the model,
+    k x dim doubles, not data.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # k x dim
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(e):  # pd.Series[np.ndarray] -> pd.Series[int32]
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(e.to_numpy()).astype(np.float64)
+        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign(col)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    max_train: int | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd's iterations on DataFrames.
+
+    Init = the first k vectors by vec_id (deterministic, seedless).
+    Each iteration: one map-only assignment pass + one shuffle of
+    (cid, pos) partial sums — the classic scalable k-means layout.
+    Centroids (k x dim doubles) live on the driver between iterations:
+    they are the *model*, not the data.
+
+    ``max_train`` bounds the training set with a deterministic
+    vec_id-hash sample (standard IVF practice — the coarse quantizer
+    trains on a sample; only the *assignment* pass sees the corpus).
+    """
+    if max_train is not None:
+        n = embeddings.count()
+        if n > max_train:
+            m = max(2, n // max_train)
+            embeddings = embeddings.filter(
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0
+            )
+    dim = len(embeddings.select("embedding").head()[0])
+    cents = [
+        list(r[0])
+        for r in embeddings.orderBy("vec_id").select("embedding").head(k)
+    ]
+    # Repeated assignment passes over the same training rows deserve a
+    # cached, well-spread input (a single parquet file reads as one
+    # partition locally).
+    embeddings = spread(embeddings.select("vec_id", "embedding")).cache()
+    for _ in range(iters):
+        assigned = embeddings.select(
+            _assign_expr(F.col("embedding"), cents).alias("cid"),
+            F.posexplode(to_double_array(F.col("embedding"))).alias("pos", "x"),
+        )
+        rows = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in rows:
+            acc.setdefault(r.cid, [0.0] * dim)[r.pos] = r.s
+            cnt[r.cid] = r.n
+        cents = [
+            [v / cnt[i] for v in acc[i]] if i in acc else cents[i]
+            for i in range(k)
+        ]
+    return cents
+
+
+def ivf_index(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cid): the inverted-file assignment. At scale
+    this is written partitioned/bucketed by cid so a probe reads only
+    its lists' files (partition pruning)."""
+    return spread(embeddings).withColumn(
+        "cid", _assign_expr(F.col("embedding"), centroids)
+    )
+
+
+def ivf_ann_topk(
+    index: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF search: rank centroids by distance to the query (driver-side,
+    k tiny), scan only the ``nprobe`` nearest inverted lists, exact
+    cosine + top-k over the candidates.
+
+    The list filter is a plain predicate on cid — with a
+    cid-partitioned index that is partition pruning, i.e. the scan cost
+    is |probed lists|, independent of corpus size.
+    """
+    by_dist = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (a - b) * (a - b) for a, b in zip(query_vec, centroids[i])
+        ),
+    )
+    probe = by_dist[:nprobe]
+    cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        index.filter(F.col("cid").isin(probe))
+        .select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
@@ -157,7 +312,7 @@ def cosine_near_dup_pairs(
         (F.col("a.__bucket") == F.col("b.__bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    cos = cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+    cos = cosine_pd(F.col("a.embedding"), F.col("b.embedding"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     return (

@@ -105,6 +105,45 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", pred.alias("pred_lang"))
 
 
+#: Rolling-hash parameters (shared with the DuckDB oracle: plain
+#: polynomial hash, all intermediates < 2^62 so int64 math is exact).
+ROLL_B = 257
+ROLL_P = (1 << 31) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling hash over char k-grams).
+
+    Standard winnowing (Schleimer et al., SIGMOD '03 — public
+    algorithm): polynomial rolling hash of every k-char gram, then the
+    minimum hash of each w-gram window, deduplicated. Robust to
+    insertions/reordering at copy-detection granularity, unlike the
+    whole-document md5/xxhash fingerprints above.
+
+    **Zero-shuffle**: grams, hashes, window minima and dedup are all
+    higher-order array expressions per row; the output explode is
+    map-side. Each (doc_id, fp) row is a candidate-index entry — the
+    natural join key for copy detection at scale.
+    """
+    n = F.length(F.col(text_col))
+    gram = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 0)), "
+        f"i -> aggregate(sequence(0, {k} - 1), 0L, "
+        f"(acc, j) -> pmod(acc * {ROLL_B} + ascii(substring({text_col}, i + j, 1)), "
+        f"{ROLL_P})))"
+    )
+    grams = df.filter(n >= k).select("doc_id", gram.alias("__g"))
+    winnowed = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(__g) - {w} + 1, 1)), "
+            f"i -> array_min(slice(__g, i, {w})))"
+        )
+    )
+    return grams.select("doc_id", F.explode(winnowed).alias("fp"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint (xxhash64 of the normalized text).
 

@@ -1,0 +1,627 @@
+"""Extended relational surface: TPC-H-shaped subquery/join/agg patterns.
+
+The reference delegates everything relational to Postgres (SURVEY.md §2,
+§4) — a user switching engines expects the full ANSI surface, so this
+module covers the shapes the core module (relational.py) doesn't:
+correlated EXISTS, scalar subqueries, min-per-group joins, HAVING,
+disjunctive join predicates, CUBE, INTERSECT, exact percentiles,
+string/date/JSON scalar packs, and a broadcast range join.
+
+Every query follows the parity rules in registry.py (exact decimal
+sums, aliased columns, dates not raw timestamps). Scale notes sit on
+each query: which side broadcasts, where the one shuffle is, what AQE
+does at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import davg, dsum
+from cdc_kafka_project_spark.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(25,6)")
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-only shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single global aggregate.
+
+    Both predicates push to the parquet scan (row-group min/max prune);
+    the agg is map-side partial + a 1-row final — scan-bound at any SF.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@query(
+    "percentile_prices",
+    oracle="""
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(median(o_totalprice), 4) AS med
+    FROM orders
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation, matches quantile_cont).
+
+    Exact percentile sorts within groups — fine for a global scalar; at
+    100 TB the streaming-friendly twin is approx_percentile (KLL-style
+    sketch, constant memory, mergeable) which has no exact oracle and is
+    pinned in tests instead.
+    """
+    od = _t(spark, sf_dir, "orders")
+    return od.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping sets in one pass (Expand + single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes (EXISTS / scalar / min-per-group / HAVING)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi term.
+
+    Planned as a left-semi hash join on the equi key with the range
+    term as the join residual — one shuffle, no decorrelation gymnastics.
+    """
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hit = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q17_small_qty_avg",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem, (SELECT l_partkey AS agg_pk,
+                           0.2 * AVG(l_quantity) AS small_qty
+                    FROM lineitem GROUP BY l_partkey) pq
+    WHERE l_partkey = agg_pk AND l_quantity < small_qty
+    """,
+)
+def q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-key average)
+    decorrelated into an aggregate + self-join.
+
+    The per-part agg output is |parts| rows — orders of magnitude
+    smaller than lineitem — so it re-joins cheaply on the already
+    shuffled key; AQE picks broadcast when it fits.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("small_qty")
+    )
+    return (
+        li.join(
+            per_part,
+            (li.l_partkey == per_part.agg_pk)
+            & (li.l_quantity < per_part.small_qty),
+        )
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(l_quantity) > 250)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered IN subquery -> semi join -> agg.
+
+    The HAVING agg reuses lineitem's orderkey shuffle; the surviving key
+    set is small, so the semi join broadcasts under AQE.
+    """
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        od.join(big.withColumnRenamed("l_orderkey", "bk"),
+                od.o_orderkey == F.col("bk"), "left_semi")
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q2_min_price_per_type",
+    oracle="""
+    SELECT p.p_type, p.p_partkey, p.p_retailprice
+    FROM part p JOIN (SELECT p_type, MIN(p_retailprice) AS mn
+                      FROM part GROUP BY p_type) m
+    ON p.p_type = m.p_type AND p.p_retailprice = m.mn
+    """,
+)
+def q2_min_price_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-per-group subquery joined back (all rows
+    achieving their group's minimum — ties included, unlike row_number).
+
+    The group-min side is |types| rows -> broadcast; part scans once.
+    """
+    pt = _t(spark, sf_dir, "part")
+    mins = pt.groupBy(F.col("p_type").alias("mt")).agg(
+        F.min("p_retailprice").alias("mn")
+    )
+    return (
+        pt.join(
+            F.broadcast(mins),
+            (pt.p_type == F.col("mt")) & (pt.p_retailprice == F.col("mn")),
+        )
+        .select("p_type", "p_partkey", "p_retailprice")
+    )
+
+
+@query(
+    "q15_top_suppliers",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+               AS total_rev
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS suppkey, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM rev WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar MAX subquery over a derived aggregate.
+
+    The equality compare happens on the exact DECIMAL revenue (not
+    double), so ties and the max are engine-independent. The 1-row max
+    broadcasts via cross join; the agg is computed once and reused
+    (Spark dedups the shared subplan under AQE reuse).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_dec"
+        )
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.rev_dec == F.col("mx"))
+        .select("suppkey", F.col("rev_dec").cast("double").alias("total_rev"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
+                                   AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery threshold + anti join
+    (rich customers who never placed a 350k+ order).
+
+    The threshold is one row (exact decimal mean -> double, same bits on
+    both engines) cross-joined broadcast; the NOT EXISTS is a left-anti
+    hash join on the customer key.
+    """
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    thr = cu.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("thr")
+    )
+    return (
+        cu.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join shapes (CASE agg, conditional share, disjunctive, variety, range)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_priority_case_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-conditional counts in one agg pass."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01 00:00:00"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                   ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                  AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share over a dim join.
+
+    part is the dimension -> broadcast, so lineitem never shuffles; the
+    ratio is exact-decimal-summed on both branches before the divide.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(25,6)")
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: filtered dim join + grouped COUNT(DISTINCT).
+
+    (lineitem stands in for partsupp — the reference data has no
+    partsupp table.) Distinct agg = two-phase partial dedup then count;
+    the filtered part side broadcasts.
+    """
+    pt = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_pred",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides.
+
+    Catalyst extracts the common single-side conjuncts (brand/size on
+    part, quantity range on lineitem) and pushes them below the join as
+    a disjunctive prefilter; the full predicate stays as the residual.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders
+    JOIN (VALUES ('p00_100k', 0.0, 100000.0),
+                 ('p100_250k', 100000.0, 250000.0),
+                 ('p250_400k', 250000.0, 400000.0),
+                 ('p400k_up', 400000.0, 1e18)) AS b(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows matched to interval buckets by a
+    pure inequality predicate — no equi key.
+
+    The band table is tiny and broadcast, so this plans as
+    BroadcastNestedLoopJoin: each fact partition scans k intervals —
+    O(rows * k) map-side work, zero shuffle, the only scalable shape
+    for a non-equi join. (If bands were numerous, the scale path is
+    binning: compute the bucket id with width_bucket-style arithmetic
+    and equi-join on it.)
+    """
+    od = _t(spark, sf_dir, "orders")
+    bands = od.sparkSession.createDataFrame(
+        [
+            ("p00_100k", 0.0, 100000.0),
+            ("p100_250k", 100000.0, 250000.0),
+            ("p250_400k", 250000.0, 400000.0),
+            ("p400k_up", 400000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        od.join(
+            F.broadcast(bands),
+            (od.o_totalprice >= bands.lo) & (od.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set op + scalar expression packs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_intersect_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def set_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): rich customers who did place a 450k+ order."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    a = cu.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = od.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_uc,
+           concat(c_mktsegment, ':', c_name) AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           CAST(length(c_name) AS INT) AS name_len,
+           CAST(c_name LIKE '%1%' AS BOOLEAN) AS has_one,
+           replace(c_mktsegment, 'ING', '') AS seg_short
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar pack: upper/concat/lpad/regexp_extract/length/LIKE/
+    replace — all codegen'd JVM expressions, no UDFs (SURVEY §2 #12)."""
+    cu = _t(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias(
+            "tagged"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.replace(F.col("c_mktsegment"), F.lit("ING"), F.lit("")).alias(
+            "seg_short"
+        ),
+    )
+
+
+@query(
+    "date_exprs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)
+               AS days_since_95,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    """,
+)
+def date_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar pack: datediff, interval add, trunc, last_day,
+    ISO weekday, quarter (SURVEY §2 #13/#25 generalized)."""
+    od = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return od.select(
+        "o_orderkey",
+        d.alias("odate"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias(
+            "days_since_95"
+        ),
+        F.date_add(d, 90).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).alias("dow_raw")  # Sun=1 .. Sat=7
+        .cast("int"),
+        F.quarter(d).cast("int").alias("qtr"),
+    ).withColumn(
+        # ISO weekday (Mon=1..Sun=7) from Spark's Sun=1..Sat=7
+        "iso_dow",
+        ((F.col("dow_raw") + 5) % 7 + 1).cast("int"),
+    ).select(
+        "o_orderkey", "odate", "days_since_95", "due_date",
+        "month_start", "month_end", "iso_dow", "qtr",
+    )
+
+
+@query(
+    "event_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS prop_missing
+    FROM events
+    """,
+)
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON prop extraction (SURVEY §7.5): path access on
+    a string column; missing paths yield NULL, never errors."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.get_json_object("props", "$.missing").cast("int").alias(
+            "prop_missing"
+        ),
+    )

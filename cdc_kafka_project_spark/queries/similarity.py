@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
-from cdc_kafka_project_spark.functions import cosine_sim
+from cdc_kafka_project_spark.functions import cosine_pd, spread
 from cdc_kafka_project_spark.operators import similarity as sim
 from cdc_kafka_project_spark.registry import query
 
@@ -89,6 +89,19 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.95)
 
 
+@query("similarity_ann_ivf")  # rows-only: k-means model is engine-side
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer
+    (trained on the fly here; persisted in production), probe the 4
+    nearest of 16 inverted lists, exact cosine on candidates. Recall
+    vs brute force is pinned in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    qv = sim.query_vector(emb, QUERY_VEC_ID)
+    cents = sim.kmeans_centroids(emb, k=16, iters=2, max_train=512)
+    index = sim.ivf_index(emb, cents)
+    return sim.ivf_ann_topk(index, cents, qv, k=TOP_K, nprobe=4)
+
+
 @query(
     "similarity_pairs_above",
     oracle="""
@@ -113,10 +126,12 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (same role jaccard_pairs plays for MinHash). Quadratic by
     construction: at scale run it only on LSH candidate pairs."""
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    a = spread(
+        emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    )
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(cosine_sim(F.col("ea"), F.col("eb")), 4)
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine_pd(F.col("ea"), F.col("eb")), 4)
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)

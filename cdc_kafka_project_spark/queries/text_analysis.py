@@ -105,3 +105,29 @@ def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64 fingerprints — the 8-byte dedup key used at scale."""
     return text_ops.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp64")
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - {8} + 2),
+                   i -> list_reduce(
+                        list_transform(string_split(text, '')[i : i + {8} - 1],
+                                       x -> CAST(ord(x) AS BIGINT)),
+                        (a, b) -> (a * {text_ops.ROLL_B} + b) % {text_ops.ROLL_P}))
+                   AS grams
+        FROM documents WHERE length(text) >= {8}
+    )
+    SELECT DISTINCT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(grams) - {4} + 1, 1) + 1),
+               i -> list_min(grams[i : i + {4} - 1])))) AS fp
+    FROM g
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash k-grams, window minima) —
+    copy-detection-granularity fingerprints, zero-shuffle."""
+    return text_ops.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)

@@ -50,6 +50,7 @@ def load_all() -> None:
     from cdc_kafka_project_spark.queries import (  # noqa: F401
         cdc_surface,
         relational,
+        relational_ext,
         text_analysis,
         dedup,
         similarity,

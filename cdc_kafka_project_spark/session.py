@@ -75,6 +75,14 @@ def get_spark(
         # Cap task memory pages: tiny-partition stages dominate locally,
         # and page zeroing otherwise scales with heap size.
         .config("spark.buffer.pageSize", "4m")
+        # Shuffle/spill scratch on tmpfs: this host's root disk is a
+        # virtio device with multi-second write stalls that land on
+        # random map stages; shuffle files are ephemeral by definition.
+        # On a real cluster SPARK_LOCAL_DIRS (node-local SSDs) wins.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft-tmp"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,55 @@
+"""File sources: schema'd CSV and parquet readers.
+
+CSV is the reference's Project-1 ingest (`employees.csv`; header
+`Employee ID,First Name,Last Name,Date of Birth,City`, pdf p.3) —
+SURVEY.md §2 #22. Schema is mandatory: schema inference re-reads the
+data and guesses types per run, both unacceptable at 100 TB (and the
+reference's own schemas are declared DDL, never inferred).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    columns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Schema'd CSV scan (#22).
+
+    ``columns`` optionally renames source headers to engine column
+    names (the reference's `Employee ID` -> `emp_id` reshape done by
+    `Employee.from_line`, employee.py:4-13) — a metadata-only
+    projection, free under Catalyst.
+
+    PERMISSIVE mode nulls malformed fields instead of failing the scan;
+    pair with a validation split (operators/cdc.validate_split) to
+    route bad rows to a DLQ rather than dropping them silently (the
+    upgrade over consumer.py:95-102).
+    """
+    df = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .csv(path)
+    )
+    if columns:
+        df = df.withColumnsRenamed(columns)
+    return df
+
+
+def parquet_source(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Parquet scan; optional schema pins column types (projection and
+    predicate pushdown reach the footer either way)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

@@ -1,0 +1,120 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The built-in streaming ``groupBy().sum()`` already covers the
+reference's running totals (SURVEY §2 #26) — but a training-data
+pipeline needs operators whose state logic Spark has no built-in for
+(dedup-seen-sets, per-source quotas, cross-batch session carries).
+This module keeps one production-shaped example of the pattern:
+per-group running totals with explicitly managed state, the template a
+custom operator copies (state schema, timeout handling, update-mode
+emission).
+
+Arrow-batched: each group's micro-batch rows arrive as pandas frames;
+state round-trips through the state store between micro-batches and
+survives restarts via the checkpoint — the property the reference's
+in-memory ``last_processed_timestamp`` (producer.py:15) lacked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    import pandas as pd
+
+
+def running_totals_stateful(
+    grouped_stream: DataFrame,
+    group_col: str = "department",
+    amount_col: str = "salary",
+) -> DataFrame:
+    """Per-group running totals with explicit GroupState.
+
+    Semantics match the reference's per-message Postgres upsert
+    accumulation (pdf p.6): state is one long per group, incremented by
+    each micro-batch's floored-amount sum, emitted after every batch
+    (update-mode analog). Unlike the reference, redelivery within a
+    checkpointed stream cannot double-count: state transitions commit
+    atomically with source offsets.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        (total,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            vals = pdf[amount_col].dropna()
+            total += int(sum(int(math.floor(v)) for v in vals))
+        state.update((total,))
+        yield pd.DataFrame({group_col: [key[0]], "total_salary": [total]})
+
+    return grouped_stream.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{group_col} string, total_salary long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_totals(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    out_dir: str,
+    group_col: str = "department",
+    amount_col: str = "salary",
+) -> StreamingQuery:
+    """Bounded (availableNow) run of the stateful totals over a file
+    source; restartable — rerunning with the same checkpoint resumes
+    the state store and processes only new files.
+
+    Emissions append to ``out_dir`` stamped with the batch epoch (the
+    memory sink cannot recover from a checkpoint, so restartable runs
+    need a real sink); ``latest_totals`` reads the current value per
+    group."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("__epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = running_totals_stateful(stream, group_col, amount_col)
+    return (
+        out.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_totals(
+    spark: SparkSession, out_dir: str, group_col: str = "department"
+) -> DataFrame:
+    """Current running total per group: the newest emission wins
+    (update-mode log -> latest-state view, same pattern as the CDC
+    replica)."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(out_dir)
+    w = Window.partitionBy(group_col).orderBy(F.col("__epoch").desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(group_col, "total_salary")
+    )

@@ -103,3 +103,39 @@ def test_embedding_norms_unit_vectors(corpus):
     out = sim.embedding_norms(emb).collect()
     assert all(r.dim == DIM for r in out)
     assert all(abs(r.l2_norm - 1.0) < 1e-3 for r in out)
+
+def test_ivf_full_probe_equals_brute_force(corpus):
+    """nprobe = k_centroids scans every inverted list — recall 1.0 by
+    construction (partition of the corpus)."""
+    emb, q = corpus
+    cents = sim.kmeans_centroids(emb, k=8, iters=2)
+    index = sim.ivf_index(emb, cents)
+    truth = [r.vec_id for r in sim.brute_force_topk(emb, q, k=11).collect()]
+    full = [r.vec_id for r in sim.ivf_ann_topk(index, cents, q, k=11, nprobe=8).collect()]
+    assert full == truth
+
+
+def test_ivf_probed_recall_on_clustered_neighbors(corpus):
+    """The query's tight cluster lands in few lists: probing 2 of 8
+    must recover most of the true top-11."""
+    emb, q = corpus
+    cents = sim.kmeans_centroids(emb, k=8, iters=3)
+    index = sim.ivf_index(emb, cents)
+    truth = {r.vec_id for r in sim.brute_force_topk(emb, q, k=11).collect()}
+    ann = {r.vec_id for r in sim.ivf_ann_topk(index, cents, q, k=11, nprobe=2).collect()}
+    recall = len(truth & ann) / len(truth)
+    assert recall >= 0.6, f"recall {recall} too low"
+    # scores are exact cosines (candidate set is the only approximation)
+    brute = {r.vec_id: r.cos_sim for r in sim.brute_force_topk(emb, q, k=250).collect()}
+    for r in sim.ivf_ann_topk(index, cents, q, k=11, nprobe=2).collect():
+        assert r.cos_sim == pytest.approx(brute[r.vec_id], abs=1e-9)
+
+
+def test_ivf_index_partitions_corpus(corpus):
+    """Every vector lands in exactly one inverted list."""
+    emb, _ = corpus
+    cents = sim.kmeans_centroids(emb, k=8, iters=2)
+    index = sim.ivf_index(emb, cents)
+    assert index.count() == emb.count()
+    assert index.filter(F.col("cid").isNull()).count() == 0
+    assert index.select("cid").distinct().count() <= 8

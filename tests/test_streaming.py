@@ -177,3 +177,50 @@ def test_decode_envelope_routes_corrupt_payloads_to_null(spark):
     got = {r.key: r.payload for r in out.collect()}
     assert got["1"] is not None and got["1"].emp_id == 1
     assert got["2"] is None
+
+
+def test_stateful_running_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: state round-trips through the checkpoint
+    across two bounded runs — the durable upgrade over the reference's
+    in-memory watermark (producer.py:15)."""
+    import decimal
+
+    from cdc_kafka_project_spark.streaming.stateful import (
+        latest_totals,
+        run_stateful_totals,
+    )
+
+    src = tmp_path / "sal2"
+    src.mkdir()
+    d = dt.date(2015, 1, 1)
+    cp = str(tmp_path / "cp_state")
+    out = str(tmp_path / "totals_out")
+
+    first = [
+        ("ECC", "d1", "t", d, decimal.Decimal("100.75")),
+        ("CIT", "d1", "t", d, decimal.Decimal("200.25")),
+    ]
+    spark.createDataFrame(first, EMPLOYEE_SALARIES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_stateful_totals(
+        spark, str(src), EMPLOYEE_SALARIES_SCHEMA, cp, out
+    ).awaitTermination()
+    got1 = {r.department: r.total_salary for r in latest_totals(spark, out).collect()}
+    assert got1 == {"ECC": 100, "CIT": 200}
+
+    # second batch lands; a NEW bounded run must resume prior state
+    second = [
+        ("ECC", "d2", "t", d, decimal.Decimal("49.50")),
+        ("EMS", "d3", "t", d, decimal.Decimal("10.99")),
+    ]
+    spark.createDataFrame(second, EMPLOYEE_SALARIES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_stateful_totals(
+        spark, str(src), EMPLOYEE_SALARIES_SCHEMA, cp, out
+    ).awaitTermination()
+    got2 = {r.department: r.total_salary for r in latest_totals(spark, out).collect()}
+    # accumulated across runs: ECC = 100 + 49; CIT untouched in run 2
+    # but still current from run 1's emission
+    assert got2 == {"ECC": 149, "CIT": 200, "EMS": 10}
