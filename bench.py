@@ -32,6 +32,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_revenue_delta",
+    "q18_large_orders",
+    "range_join_price_bands",
     "window_topn_per_group",
     "sessionize",
     "tumbling_hourly_agg",
@@ -39,8 +42,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_stats",
     "lang_id",
+    "doc_quality_filter",
+    "doc_winnow_fingerprints",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "media_decode_features",
     "media_frame_sample",
 ]

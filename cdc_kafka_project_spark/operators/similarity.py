@@ -184,54 +184,41 @@ def kmeans_centroids(
     iters: int = 5,
     max_train: int | None = None,
 ) -> list[list[float]]:
-    """Deterministic Lloyd's iterations on DataFrames.
+    """Deterministic Lloyd's k-means on a bounded driver-side sample
+    (FAISS-style IVF training, public practice).
 
-    Init = the first k vectors by vec_id (deterministic, seedless).
-    Each iteration: one map-only assignment pass + one shuffle of
-    (cid, pos) partial sums — the classic scalable k-means layout.
-    Centroids (k x dim doubles) live on the driver between iterations:
-    they are the *model*, not the data.
+    The coarse quantizer is a k x dim *model*; it trains on
+    ``max_train`` rows picked by a deterministic vec_id-hash sample —
+    one filtered collect of O(max_train * dim) floats, then pure numpy
+    iterations on the driver. The corpus itself is only ever touched by
+    the distributed *assignment* pass (``ivf_index``). The previous
+    formulation ran every Lloyd's iteration as a Spark
+    assign+posexplode+shuffle job pipeline — correct, but ~10 cluster
+    jobs to fit a model that fits in L2 cache.
 
-    ``max_train`` bounds the training set with a deterministic
-    vec_id-hash sample (standard IVF practice — the coarse quantizer
-    trains on a sample; only the *assignment* pass sees the corpus).
+    Init = the first k sampled vectors by vec_id (seedless); empty
+    clusters keep their previous centroid.
     """
+    import numpy as np
+
+    df = embeddings.select("vec_id", "embedding")
     if max_train is not None:
-        n = embeddings.count()
+        n = df.count()
         if n > max_train:
             m = max(2, n // max_train)
-            embeddings = embeddings.filter(
-                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0
-            )
-    dim = len(embeddings.select("embedding").head()[0])
-    cents = [
-        list(r[0])
-        for r in embeddings.orderBy("vec_id").select("embedding").head(k)
-    ]
-    # Repeated assignment passes over the same training rows deserve a
-    # cached, well-spread input (a single parquet file reads as one
-    # partition locally).
-    embeddings = spread(embeddings.select("vec_id", "embedding")).cache()
+            df = df.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
+    rows = df.orderBy("vec_id").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    C = X[:k].copy()
+    x2 = (X * X).sum(axis=1)[:, None]
     for _ in range(iters):
-        assigned = embeddings.select(
-            _assign_expr(F.col("embedding"), cents).alias("cid"),
-            F.posexplode(to_double_array(F.col("embedding"))).alias("pos", "x"),
-        )
-        rows = (
-            assigned.groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        acc: dict[int, list[float]] = {}
-        cnt: dict[int, int] = {}
-        for r in rows:
-            acc.setdefault(r.cid, [0.0] * dim)[r.pos] = r.s
-            cnt[r.cid] = r.n
-        cents = [
-            [v / cnt[i] for v in acc[i]] if i in acc else cents[i]
-            for i in range(k)
-        ]
-    return cents
+        d = x2 - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        cid = d.argmin(axis=1)
+        for i in range(k):
+            members = X[cid == i]
+            if len(members):
+                C[i] = members.mean(axis=0)
+    return C.tolist()
 
 
 def ivf_index(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:

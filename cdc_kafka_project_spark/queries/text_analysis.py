@@ -131,3 +131,49 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling-hash k-grams, window minima) —
     copy-detection-granularity fingerprints, zero-shuffle."""
     return text_ops.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+_ALL_STOPS = sorted({w for ws in text_ops.STOPWORDS.values() for w in ws})
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _ALL_STOPS)
+
+
+@query(
+    "doc_quality_filter",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               length(text) - length(regexp_replace(text, '[^ ]', '', 'g'))
+                   AS nonspace,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(
+                        list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> lower(x)),
+                        x -> x IN ({_STOPS_SQL}))) END AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN n_tok < 5 THEN 'too_few_tokens'
+                 WHEN alpha / greatest(n_chars, 1) < 0.5 THEN 'low_alpha_ratio'
+                 WHEN nonspace / CAST(n_tok AS DOUBLE) > 15.0 THEN 'long_tokens'
+                 WHEN stop_hits / CAST(n_tok AS DOUBLE) < 0.02
+                     THEN 'low_stopword_ratio'
+            END) IS NULL AS keep,
+           CASE WHEN n_tok < 5 THEN 'too_few_tokens'
+                WHEN alpha / greatest(n_chars, 1) < 0.5 THEN 'low_alpha_ratio'
+                WHEN nonspace / CAST(n_tok AS DOUBLE) > 15.0 THEN 'long_tokens'
+                WHEN stop_hits / CAST(n_tok AS DOUBLE) < 0.02
+                    THEN 'low_stopword_ratio'
+           END AS reason,
+           ROUND(CASE WHEN n_tok > 0 THEN stop_hits / CAST(n_tok AS DOUBLE) END, 6)
+               AS stopword_ratio
+    FROM t
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate (C4/Gopher-style heuristics): keep/drop +
+    first failing rule per document — zero-shuffle corpus scan."""
+    return text_ops.quality_filter(_docs(spark, sf_dir))

@@ -1,0 +1,129 @@
+"""Physical-plan shape assertions for headline queries.
+
+These pin the scale properties SURVEY.md §4/§7 claims: dimension joins
+broadcast, filters reach the parquet scan, projections prune columns,
+shuffle counts stay bounded, and nothing plans a raw cartesian
+product. A regression here is a 100 TB incident caught at test time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_kafka_project_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_cartesian,
+    plan_summary,
+    pushed_filters,
+    scan_columns,
+)
+from cdc_kafka_project_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def _q(queries, spark, name):
+    return queries[name](spark, SF_DIR)
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, queries):
+    df = _q(queries, spark, "q1_pricing_summary")
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+    cols = scan_columns(df)[0]
+    # 7 referenced columns out of 11 — the scan must not read the rest
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    # single shuffle: partial agg -> exchange on group key -> final agg
+    assert count_exchanges(df) == 1
+
+
+def test_q3_dim_broadcast_one_shuffle(spark, queries):
+    df = _q(queries, spark, "q3_shipping_priority")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    # one shuffle for the groupBy; joins are broadcast at this SF
+    assert count_exchanges(df) <= 2, plan_summary(df)
+
+
+def test_q5_snowflake_all_dims_broadcast(spark, queries):
+    df = _q(queries, spark, "q5_region_revenue")
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 2, s
+    assert not s["cartesian"]
+
+
+def test_q14_part_broadcast_no_lineitem_shuffle(spark, queries):
+    df = _q(queries, spark, "q14_promo_share")
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 1, s
+    # single-row global agg: one exchange (partial -> single partition)
+    assert s["exchanges"] <= 1, s
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, queries):
+    df = _q(queries, spark, "range_join_price_bands")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_topk_plans_take_ordered_no_global_sort(spark, queries):
+    from cdc_kafka_project_spark.plans import simple_plan
+
+    df = _q(queries, spark, "topk_orders")
+    p = simple_plan(df)
+    assert "TakeOrderedAndProject" in p, p
+    # no range-partitioned exchange = no global sort of the table
+    assert "rangepartitioning" not in p, p
+
+
+def test_scalar_exprs_scan_prunes_to_referenced_columns(spark, queries):
+    df = _q(queries, spark, "scalar_exprs")
+    cols = scan_columns(df)[0]
+    assert set(cols) <= {
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        "o_orderpriority",
+    }, cols
+
+
+def test_cdc_replica_bounded_shuffles(spark, queries):
+    """Latest-state dedup needs exactly one shuffle on the key (the
+    window partition); apply/merge must not add more."""
+    df = _q(queries, spark, "cdc_replica")
+    assert count_exchanges(df) <= 2, plan_summary(df)
+    assert not has_cartesian(df)
+
+
+def test_semi_and_anti_joins_no_cartesian(spark, queries):
+    for name in ("semi_join_big_spenders", "anti_join_no_big_orders",
+                 "q4_priority_exists", "q22_idle_rich_customers"):
+        df = _q(queries, spark, name)
+        assert not has_cartesian(df), name
+
+
+def test_dedup_exact_single_shuffle(spark, queries):
+    df = _q(queries, spark, "dedup_exact_groups")
+    assert count_exchanges(df) <= 1, plan_summary(df)
+
+
+def test_lang_id_zero_shuffle(spark, queries):
+    """Language ID is a pure projection — any exchange is a regression
+    (the map-only property SURVEY §7.5 calls out)."""
+    df = _q(queries, spark, "lang_id")
+    assert count_exchanges(df) == 0, plan_summary(df)
+
+
+def test_winnow_fingerprints_no_key_shuffle(spark, queries):
+    """The only exchange allowed is spread()'s round-robin re-split of
+    an under-partitioned local file — never a keyed shuffle."""
+    from cdc_kafka_project_spark.plans import count_key_exchanges
+
+    df = _q(queries, spark, "doc_winnow_fingerprints")
+    assert count_key_exchanges(df) == 0, plan_summary(df)
