@@ -1,0 +1,152 @@
+"""Scale-pattern queries: the shapes that keep 100 TB jobs alive.
+
+Each query here demonstrates a named big-data pattern (skew salting,
+two-phase aggregation, explode fan-out control, exact moments via
+decimal sums, SQL entry point) while producing an oracle-checkable
+answer — the pattern is the point; the result proves it computes the
+same thing as the naive plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_kafka_project_spark.catalog import load_table, register_views
+from cdc_kafka_project_spark.functions import tokens
+from cdc_kafka_project_spark.registry import query
+
+N_SALT = 8
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "salted_event_type_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted aggregation: ``event_type`` has ~5 distinct values,
+    so a plain groupBy sends each key's entire mass to one reducer —
+    the classic hot-key stall. Salting splits every key into N_SALT
+    sub-keys (random-ish but deterministic spray via pmod(xxhash64)),
+    aggregates partials, then re-aggregates the N_SALT partials per
+    key — second shuffle moves only |keys| x N_SALT rows.
+
+    Decimal partials re-sum exactly, so the answer is bit-identical to
+    the unsalted plan (the oracle IS the unsalted plan).
+    """
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT))
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "token_frequency_top100",
+    oracle=r"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+          FROM documents WHERE trim(text) <> '')
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 100
+    """,
+)
+def token_frequency_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency (the canonical explode fan-out): tokenize
+    -> explode -> count -> top-k. Partial aggregation absorbs the
+    fan-out map-side (each partition pre-counts its own tokens), so the
+    shuffle carries |vocab| rows per partition, not |tokens|; the top-k
+    is a TakeOrderedAndProject, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
+            "word"
+        )
+    )
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(100)
+    )
+
+
+@query(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point
+    (``spark.sql`` over registered views — the engine's second API
+    surface; every DataFrame query here could be written this way)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "exact_moments",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           ROUND((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*))
+                 / (COUNT(*) - 1), 2) AS var_samp_exact
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent variance: built-in ``var_samp`` streams in
+    float64, so its last ulps depend on partition boundaries — fine for
+    statistics, fatal for a correctness gate. This computes the second
+    moment from exact decimal sums (sum, sum of squares), making the
+    variance a deterministic function of the data alone. Same single
+    shuffle as any grouped agg."""
+    od = _t(spark, sf_dir, "orders")
+    # (18,2): squares land at DECIMAL(37,4) — exact and inside both
+    # engines' 38-digit cap (a (25,6) square would overflow precision
+    # and each engine truncates differently)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(dec).cast("double")
+    s2 = F.sum(dec * dec).cast("double")
+    return od.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 2).alias("var_samp_exact"),
+    )

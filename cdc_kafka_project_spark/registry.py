@@ -51,6 +51,7 @@ def load_all() -> None:
         cdc_surface,
         relational,
         relational_ext,
+        scale_patterns,
         text_analysis,
         dedup,
         similarity,
