@@ -334,3 +334,56 @@ def simhash_hamming_pairs(
     return pairs.select(
         "doc_a", "doc_b", dist.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_distance)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate clustering: connected components over a near-dup pair
+    graph by iterative min-label propagation (the standard large-graph
+    formulation — each round every node adopts the smallest label among
+    itself and its neighbors; converges in O(graph diameter) rounds).
+
+    Per round: one equi-join of the (bidirectional + self-loop) edge
+    list against current labels and a min-aggregate — both shuffle on
+    node id, so AQE coalesces and the iteration count, not data volume,
+    is the driver-side loop's only job. ``localCheckpoint`` truncates
+    lineage each round (an iterating plan otherwise grows without
+    bound). Early-exits when a round changes nothing.
+
+    Returns (doc_id, component) where component = min doc_id reachable.
+    Dedup policy downstream: keep doc_id == component.
+    """
+    a = F.col(a_col)
+    b = F.col(b_col)
+    fwd = pairs.select(a.alias("src"), b.alias("dst"))
+    rev = pairs.select(b.alias("src"), a.alias("dst"))
+    nodes = fwd.select("src").union(rev.select("src")).distinct()
+    self_loops = nodes.select("src", F.col("src").alias("dst"))
+    edges = fwd.union(rev).union(self_loops).localCheckpoint(eager=True)
+
+    labels = nodes.select("src", F.col("src").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iters):
+        new_labels = (
+            edges.join(labels, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "src")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("component")
+    )

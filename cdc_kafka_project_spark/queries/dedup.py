@@ -99,3 +99,58 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 8) via 4x16-bit band join."""
     fps = dd.simhash(_docs(spark, sf_dir))
     return dd.simhash_hamming_pairs(fps, max_distance=8, bands=4)
+
+
+#: word-3-gram Jaccard pair SQL (threshold 0.2) reused as the edge set
+#: for the components oracle — identical to dedup_ngram_jaccard's.
+_PAIRS_SQL = r"""
+    words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+                   JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+    )
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    bi AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s FROM bi),
+    reach(src, dst) AS (
+        SELECT s, s FROM nodes
+        UNION
+        SELECT r.src, b.d FROM reach r JOIN bi b ON b.s = r.dst
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components (iterative min-label
+    propagation) over the exact-Jaccard near-dup graph. The oracle is
+    a recursive CTE computing min-reachable-id — the engine's iterative
+    DataFrame loop must land on the identical fixpoint."""
+    prs = dd.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return dd.connected_components(prs.select("doc_a", "doc_b"))

@@ -625,3 +625,64 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prop_missing"
         ),
     )
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type
+    FROM (SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per key WITHOUT a window sort: aggregate
+    ``max(struct(ts, event_id, ...))`` — struct ordering gives the
+    max_by semantics with a deterministic tiebreak, in one partial-agg
+    shuffle (each map task keeps one struct per key). On skewed keys
+    this beats row_number's full per-partition sort; the oracle is the
+    window formulation to prove equivalence."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.max(F.struct("ts", "event_id", "event_type")).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_type"),
+        )
+    )
+
+
+@query(
+    "conditional_aggs",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_errors,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+                AS BOOLEAN) AS has_purchase,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation pack: count_if, existence flag,
+    conditional exact-decimal sum — one pass, no joins."""
+    ev = _t(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    is_buy = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count_if(is_err).alias("n_errors"),
+        F.max(is_buy).alias("has_purchase"),
+        F.sum(F.when(is_buy, F.col("value").cast("decimal(25,6)")))
+        .cast("double")
+        .alias("purchase_value"),
+    )

@@ -150,3 +150,46 @@ def exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.alias("s1"),
         F.round((s2 - s1 * s1 / n) / (n - 1), 2).alias("var_samp_exact"),
     )
+
+
+@query(
+    "group_minmax_norm",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CASE WHEN mx > mn THEN (c_acctbal - mn) / (mx - mn) END AS acctbal_norm
+    FROM (SELECT c_custkey, c_mktsegment, c_acctbal,
+                 MIN(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mn,
+                 MAX(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mx
+          FROM customer)
+    """,
+)
+def group_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pattern (``applyInPandas``): per-segment min-max
+    normalization, each group processed as one Arrow-batched pandas
+    frame. Min/max are order-independent and the normalization is a
+    single IEEE subtract/divide, so parity with the window-function
+    oracle is exact — the demo stays hash-checkable.
+
+    When to reach for this shape: per-group logic that built-ins can't
+    express (model scoring, per-group fitting). For THIS computation
+    the window formulation is strictly better (no Python) — the oracle
+    is that formulation; docstring is the warning label.
+    """
+    import pandas as pd
+
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mn, mx = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["acctbal_norm"] = (
+            (pdf["c_acctbal"] - mn) / (mx - mn) if mx > mn else None
+        )
+        return out
+
+    return cu.groupBy("c_mktsegment").applyInPandas(
+        norm, "c_custkey long, c_mktsegment string, acctbal_norm double"
+    )

@@ -110,3 +110,19 @@ def test_simhash_near_dup_within_hamming(docs):
     }
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 16
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3 collapses to component 1; island pair 10-11 to 10;
+    bidirectional edges and self-loops must not distort labels."""
+    from cdc_kafka_project_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
