@@ -156,3 +156,37 @@ def merge_upsert(
     changed_keys = changes.select(*key_cols).distinct()
     untouched = replica.join(F.broadcast(changed_keys), list(key_cols), "left_anti")
     return untouched.unionByName(new_state.select(*replica.columns))
+
+
+def compact_log(
+    changelog: DataFrame,
+    key_cols: Sequence[str] = ("emp_id",),
+    order_cols: Sequence[str] = ("last_updated_at", "seq"),
+    action_col: str = "action",
+    delete_action: str = DELETE,
+    retain_deletes: bool = True,
+) -> DataFrame:
+    """Change-log compaction: the periodic maintenance job that keeps
+    the append-only curated log from growing without bound.
+
+    Rewrites the log to one row per key — the latest change — which is
+    sufficient for every downstream read (``apply_changes`` over a
+    compacted log yields the identical replica, the invariant the test
+    pins). Kafka calls this a compacted topic; Delta/Iceberg call it
+    rewrite/expire — same contract, pure DataFrame here.
+
+    ``retain_deletes=True`` keeps delete tombstones so a re-compaction
+    or late consumer still sees the removal; a second pass with
+    ``False`` drops tombstones once every consumer has passed them
+    (Kafka's delete.retention.ms analog).
+
+    Cost: exactly the one keyed shuffle of ``latest_per_key``; output
+    size is |live keys|, so each periodic run gets cheaper than the
+    last for update-heavy logs.
+    """
+    latest = latest_per_key(
+        normalize_actions(changelog, action_col), key_cols, order_cols
+    )
+    if retain_deletes:
+        return latest
+    return latest.filter(F.col(action_col) != F.lit(delete_action))

@@ -118,3 +118,21 @@ def test_merge_upsert_equals_full_recompute(spark, changelog):
 def test_incremental_scan_watermark_exclusive(spark, changelog):
     out = cdc.incremental_scan(changelog, "2024-01-01 12:00:05")
     assert {r.seq for r in out.collect()} == {6, 7}
+
+
+def test_compacted_log_yields_identical_replica(spark, changelog):
+    """apply_changes(compact_log(log)) == apply_changes(log) — the
+    compaction maintenance contract."""
+    from cdc_kafka_project_spark.operators.cdc import apply_changes, compact_log
+
+    full = apply_changes(changelog).orderBy("emp_id").collect()
+    compacted = compact_log(changelog)
+    # one row per key survives compaction
+    assert compacted.groupBy("emp_id").count().filter("count > 1").count() == 0
+    got = apply_changes(compacted).orderBy("emp_id").collect()
+    assert got == full
+    # tombstone-dropping pass removes deleted keys from the log itself
+    no_tombstones = compact_log(changelog, retain_deletes=False)
+    assert (
+        no_tombstones.filter(F.lower("action") == "delete").count() == 0
+    )
