@@ -53,3 +53,26 @@ def parquet_source(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def jsonl_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Schema'd JSON-lines scan — the file form of the reference's Kafka
+    message payloads (producer.py:62-65 writes exactly this shape, one
+    JSON object per line/message).
+
+    Schema mandatory for the same reason as CSV; PERMISSIVE mode plus
+    ``columnNameOfCorruptRecord`` gives malformed lines a non-null
+    ``_corrupt_record`` to route to a DLQ — never a silent drop
+    (consumer.py:95-102's anti-pattern).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -98,3 +98,25 @@ def test_project1_plan_pushes_filters_to_csv_scan(spark, tmp_path):
     df = csv_source(spark, _write_csv(tmp_path), CSV_SCHEMA)
     plan = project1.salary_etl(df)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "In(department" in plan
+
+
+def test_jsonl_source_reads_and_routes_corrupt_lines(spark, tmp_path):
+    """Well-formed lines parse to typed columns; a malformed line lands
+    in _corrupt_record instead of killing the scan or vanishing."""
+    from cdc_kafka_project_spark.sources.files import jsonl_source
+
+    p = tmp_path / "msgs.jsonl"
+    p.write_text(
+        '{"emp_id": 1, "emp_FN": "Alice", "salary": 5000}\n'
+        '{"emp_id": 2, "emp_FN": "Bob", "salary": 6000}\n'
+        "{not json at all\n"
+    )
+    schema = (
+        "emp_id long, emp_FN string, salary long, _corrupt_record string"
+    )
+    df = jsonl_source(spark, str(p), schema)
+    rows = df.collect()
+    good = {r.emp_id: r.emp_FN for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {1: "Alice", 2: "Bob"}
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
