@@ -264,6 +264,75 @@ def ivf_ann_topk(
     )
 
 
+def all_pairs_cosine_above(
+    embeddings: DataFrame,
+    threshold: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (vec_a < vec_b) — the
+    broadcast-block formulation.
+
+    The corpus rides to every partition once (driver collect + UDF
+    closure here; at sizes beyond a broadcast, the same kernel runs per
+    block-pair join). Each Arrow batch computes its rows' similarities
+    against the whole corpus as 'dim' outer-product accumulation steps
+    — vectorized over the (batch x corpus) plane but accumulating in
+    ascending-dimension order, i.e. bit-identical to the sequential
+    fold (functions.cosine_pd / the oracle's unnest-SUM). The naive
+    pair-join formulation materializes |pairs| two-vector rows through
+    Arrow (~2 GB at 2k vectors); this ships each vector once.
+
+    The UDF pre-filters with a conservative margin below the rounded
+    threshold; the authoritative F.round + filter happens JVM-side so
+    rounding semantics stay identical to every other query.
+    """
+    import numpy as np
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    C = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    dim = C.shape[1]
+    # corpus-side norms: same per-dimension fold order as l2_norm
+    cn = np.zeros(len(C))
+    for j in range(dim):
+        cn = cn + C[:, j] * C[:, j]
+    cn = np.sqrt(cn)
+    pre = threshold - 10.0 ** (-round_to)  # margin > any rounding shift
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xi = pdf["vec_id"].to_numpy()
+            acc = np.zeros((len(X), len(C)))
+            xn = np.zeros(len(X))
+            for j in range(dim):
+                acc = acc + X[:, j : j + 1] * C[None, :, j]
+                xn = xn + X[:, j] * X[:, j]
+            cos = acc / (np.sqrt(xn)[:, None] * cn[None, :])
+            a, b = np.nonzero((cos >= pre) & (xi[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": xi[a],
+                    "vec_b": ids[b],
+                    "raw_cos": cos[a, b],
+                }
+            )
+
+    out = spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+        fn, "vec_a long, vec_b long, raw_cos double"
+    )
+    return (
+        out.select(
+            "vec_a", "vec_b", F.round(F.col("raw_cos"), round_to).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_norms(embeddings: DataFrame, round_to: int = 4) -> DataFrame:
     """Per-vector L2 norm + dimensionality (sanity/quality scan)."""
     arr = to_double_array(F.col("embedding"))

@@ -480,8 +480,11 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     binning: compute the bucket id with width_bucket-style arithmetic
     and equi-join on it.)
     """
-    od = _t(spark, sf_dir, "orders")
-    bands = od.sparkSession.createDataFrame(
+    # project to the single joined/aggregated column BEFORE the nested
+    # loop: BNLJ copies its input rows once per probed interval, so row
+    # width multiplies directly into join cost
+    od = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(
         [
             ("p00_100k", 0.0, 100000.0),
             ("p100_250k", 100000.0, 250000.0),

@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
-from cdc_kafka_project_spark.functions import cosine_pd, spread
 from cdc_kafka_project_spark.operators import similarity as sim
 from cdc_kafka_project_spark.registry import query
 
@@ -125,14 +124,4 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercise (0.45) — the verify-tier ground truth for the LSH pruned
     path (same role jaccard_pairs plays for MinHash). Quadratic by
     construction: at scale run it only on LSH candidate pairs."""
-    emb = _emb(spark, sf_dir)
-    a = spread(
-        emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    )
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(cosine_pd(F.col("ea"), F.col("eb")), 4)
-    return (
-        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.45)
-    )
+    return sim.all_pairs_cosine_above(_emb(spark, sf_dir), threshold=0.45)
