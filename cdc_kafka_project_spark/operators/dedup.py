@@ -178,21 +178,34 @@ def minhash_signatures(
     hashes = F.transform(
         shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
     )
-    def _perm_min(a: int, b: int) -> Column:
-        # factory so each lambda closes over its own coefficients
-        # (PySpark counts default params as lambda arguments)
-        return F.array_min(
-            F.transform(
-                F.col("__hs"),
-                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P)).cast(
-                    "int"
-                ),
-            )
-        )
 
-    sig = F.array(*[_perm_min(a, b) for (a, b) in coeffs])
+    import numpy as np
+
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    # The num_perm affine mins are Arrow-vectorized: one
+    # (|shingles| x num_perm) int64 pass per document. All values stay
+    # < 2^62 (h, a, b < 2^31), so numpy int64 math is exact and equal
+    # to the JVM expression it replaces — which evaluated num_perm
+    # interpreted transforms per row (~64M interpreted lambda calls
+    # over the sf0.1 corpus). Shingle base hashes stay JVM-side:
+    # xxhash64 is Spark's.
+    @F.pandas_udf("array<int>")
+    def sig_pd(hs):  # pd.Series[np.ndarray[int64]] -> pd.Series[list[int]]
+        import pandas as pd
+
+        out = []
+        for h in hs:
+            hh = np.asarray(h, dtype=np.int64)
+            s = ((hh[:, None] * A[None, :] + B[None, :]) % MERSENNE_P).min(
+                axis=0
+            )
+            out.append(s.astype(np.int32))
+        return pd.Series(out)
+
     return words.select("doc_id", hashes.alias("__hs")).select(
-        "doc_id", sig.alias("sig")
+        "doc_id", sig_pd(F.col("__hs")).alias("sig")
     )
 
 
