@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis): core operators vs pure-Python
+reference implementations on randomized inputs.
+
+The DuckDB oracle pins behavior on the fixed synthetic tables; these
+pin the *algebra* — last-writer-wins, incremental==recompute, winnowing,
+components — on adversarial shapes the tables never produce (ties,
+empty groups, singleton keys, disconnected graphs). Example counts are
+small (Spark round-trip per example) but each example is a full
+end-to-end check against an independent implementation.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cdc_kafka_project_spark.operators import cdc
+from cdc_kafka_project_spark.operators.dedup import connected_components
+from cdc_kafka_project_spark.operators.text import (
+    ROLL_B,
+    ROLL_P,
+    winnow_fingerprints,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts, seq, value): seq is the log-position tiebreaker
+change_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(0, 3),
+        st.integers(0, 1000),
+        st.integers(-100, 100),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+
+def _latest_ref(rows):
+    best = {}
+    for k, ts, seq, v in rows:
+        if k not in best or (ts, seq) > (best[k][1], best[k][2]):
+            best[k] = (k, ts, seq, v)
+    return sorted(best.values())
+
+
+@given(rows=change_rows)
+@settings(**SETTINGS)
+def test_latest_per_key_matches_reference(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ts int, seq int, v int")
+    got = sorted(
+        tuple(r) for r in cdc.latest_per_key(df, ["k"], ["ts", "seq"]).collect()
+    )
+    assert got == _latest_ref(rows)
+
+
+@given(rows=change_rows, split=st.integers(0, 3))
+@settings(**SETTINGS)
+def test_merge_upsert_equals_full_recompute(spark, rows, split):
+    """apply(old) merged with new == apply(full log), for every split
+    point — the MERGE maintenance invariant (SURVEY §2 #16-#18)."""
+    rows = [(k, ts, seq, "update" if v >= 0 else "delete") for k, ts, seq, v in rows]
+    schema = "k int, ts int, seq int, action string"
+    full = spark.createDataFrame(rows, schema)
+    old = spark.createDataFrame(
+        [r for r in rows if r[1] <= split], schema
+    )
+    new_rows = [r for r in rows if r[1] > split]
+    want = sorted(
+        tuple(r)
+        for r in cdc.apply_changes(
+            full, ["k"], ["ts", "seq"], "action", "delete"
+        ).collect()
+    )
+    if not new_rows:
+        got_df = cdc.apply_changes(old, ["k"], ["ts", "seq"], "action", "delete")
+    else:
+        new = spark.createDataFrame(new_rows, schema)
+        base = cdc.apply_changes(old, ["k"], ["ts", "seq"], "action", "delete")
+        got_df = cdc.merge_upsert(base, new, ["k"], ["ts", "seq"], "action")
+        got_df = got_df.filter("lower(action) != 'delete'")
+    assert sorted(tuple(r) for r in got_df.collect()) == want
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[int]:
+    n = len(text) - k + 1
+    if n < 1:
+        return set()
+    hs = []
+    for i in range(n):
+        acc = 0
+        for ch in text[i : i + k]:
+            acc = (acc * ROLL_B + ord(ch)) % ROLL_P
+        hs.append(acc)
+    if n <= w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(n - w + 1)}
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=1000),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_winnow_fingerprints_match_reference(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(df, k=8, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    want = {
+        i: _winnow_ref(t, 8, 4) for i, t in rows if len(t) >= 8
+    }
+    want = {i: s for i, s in want.items() if s}
+    assert got == want
+
+
+def _components_ref(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component for r in connected_components(df).collect()}
+    assert got == _components_ref(pairs)
