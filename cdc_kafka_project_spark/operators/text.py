@@ -227,3 +227,31 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", F.xxhash64(c).alias("fp64"), F.md5(c).alias("fp_md5")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test) by key hash.
+
+    Each key lands in exactly one split, decided by
+    xxhash64(salt, key) mod total_weight — stable across runs, machines
+    and partitionings (no RNG, no sampleBy seed drift), and any later
+    re-run assigns new data without moving old data between splits: the
+    property a training pipeline needs so examples never leak from
+    train to test between snapshots. Adds a ``split`` column.
+    """
+    total = sum(weights.values())
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key_col)), F.lit(total))
+    edges: list[tuple[str, int]] = []
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        edges.append((name, acc))
+    expr = F.lit(edges[-1][0])
+    for name, hi in reversed(edges[:-1]):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -177,3 +177,60 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality gate (C4/Gopher-style heuristics): keep/drop +
     first failing rule per document — zero-shuffle corpus scan."""
     return text_ops.quality_filter(_docs(spark, sf_dir))
+
+
+@query(
+    "source_quota_sample",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (source balancing): cap each source's
+    contribution at N documents, deterministically (lowest doc_ids
+    win). One shuffle on source; rank, don't sort globally."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+           substring(text, (i - 1) * 200 + 1, 200) AS chunk
+    FROM documents,
+         unnest(generate_series(1, CAST(ceil(length(text) / 200.0) AS BIGINT)))
+             AS t(i)
+    WHERE length(text) > 0
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document chunking (context-window packing prep):
+    each doc explodes into ceil(len/200) substring chunks — a pure
+    per-row sequence + map-side posexplode, zero shuffles. Token-aware
+    chunking swaps the substring for a token-boundary scan; the plan
+    shape is identical."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(200.0)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.substring(F.col("text"), (F.col("i") - 1) * 200 + 1, 200).alias(
+            "chunk"
+        ),
+    )

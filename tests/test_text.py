@@ -63,3 +63,28 @@ def test_fingerprint_trims_and_discriminates(spark):
     fp = {r.doc_id: (r.fp64, r.fp_md5) for r in tx.fingerprint(df).collect()}
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_hash_split_deterministic_disjoint_total(spark):
+    """Every key lands in exactly one split; assignment is identical
+    across runs and independent of partitioning; ratios are roughly as
+    requested."""
+    from cdc_kafka_project_spark.operators.text import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 8, "val": 1, "test": 1}
+    a = hash_split(df, "doc_id", w)
+    b = hash_split(df.repartition(7), "doc_id", w)
+    ga = {r.doc_id: r.split for r in a.collect()}
+    gb = {r.doc_id: r.split for r in b.collect()}
+    assert ga == gb                      # partitioning-independent
+    assert set(ga.values()) == {"train", "val", "test"}
+    counts = {s: list(ga.values()).count(s) for s in w}
+    assert counts["train"] > 1400        # ~1600 expected
+    assert 100 < counts["val"] < 300     # ~200 expected
+    # stability under growth: adding rows never moves old keys
+    bigger = hash_split(
+        spark.range(0, 3000).withColumnRenamed("id", "doc_id"), "doc_id", w
+    )
+    gc = {r.doc_id: r.split for r in bigger.collect()}
+    assert all(gc[k] == v for k, v in ga.items())
