@@ -1,13 +1,16 @@
 """Text analysis for training-data pipelines (north-star extension).
 
-Everything is built-in column expressions (JVM-side, codegen'd): a
-100 TB corpus scan must not cross into Python per row. The operators:
+Scalar scoring stays in built-in column expressions (JVM-side,
+codegen'd); the one per-character algorithm (winnowing) runs as an
+Arrow-vectorized mapInPandas with exact-int64 parity — a 100 TB corpus
+scan never crosses into Python row-at-a-time. The operators:
 
 * tokenization + token counting (whitespace and regex/BPE-ish)
-* quality scoring (length / punctuation / stopword ratios)
+* quality scoring + keep/drop gate (length / alpha / stopword ratios)
 * language ID (stopword-hit heuristic over a broadcast lexicon)
-* document fingerprinting (xxhash64 content hash; rolling-hash
-  shingles live in operators/dedup.py)
+* document fingerprinting (xxhash64 content hash; winnowing
+  rolling-hash fingerprints; MinHash shingles live in operators/dedup.py)
+* deterministic train/val/test hash split
 """
 
 from __future__ import annotations
