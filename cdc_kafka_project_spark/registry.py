@@ -59,11 +59,86 @@ def load_all() -> None:
     )
 
 
+# Driver-gate ordering. The per-round correctness gate checks queries in
+# dict order and covers a bounded prefix (round 1 stopped at 50), so the
+# registry orders the checked dict explicitly rather than relying on
+# module import order:
+#   1. the north-star LLM-pipeline tier (text/dedup/similarity/media) —
+#      zero driver-verified rows in round 1;
+#   2. CDC/relational queries the round-1 gate never reached;
+#   3. the CDC core + flagship relational queries (green in round 1);
+#   4. everything else in registration order.
+# Every name stays present regardless — this is a permutation, not a
+# filter; names not listed here sort after the listed ones.
+_GATE_PRIORITY: list[str] = [
+    # -- tier 1: north-star (text, dedup, similarity, multimodal) --
+    "text_stats",
+    "token_count_regex",
+    "lang_id",
+    "doc_fingerprint_md5",
+    "doc_fingerprint_xx",
+    "doc_winnow_fingerprints",
+    "doc_quality_filter",
+    "source_quota_sample",
+    "doc_chunks",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "similarity_topk",
+    "embedding_norms",
+    "similarity_ann_lsh",
+    "similarity_near_dup",
+    "similarity_ann_ivf",
+    "similarity_pairs_above",
+    "media_catalog",
+    "media_decode_features",
+    "media_resize",
+    "media_frame_sample",
+    "media_audio_features",
+    # -- tier 2: not reached by the round-1 gate --
+    "q13_customer_distribution",
+    "q10_returned_revenue",
+    "q7_nation_volume",
+    "q21_waiting_suppliers",
+    "salted_event_type_totals",
+    "token_frequency_top100",
+    "grouping_sets_sql",
+    "exact_moments",
+    "group_minmax_norm",
+    # -- tier 3: round-1-green core, re-checked as slots allow --
+    "cdc_incremental_scan",
+    "cdc_latest_state",
+    "cdc_replica",
+    "cdc_validate_valid",
+    "cdc_validate_dlq",
+    "cdc_json_decode",
+    "cdc_json_encode",
+    "cdc_merge_upsert",
+    "cdc_running_totals",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "topk_orders",
+    "asof_last_purchase",
+]
+
+
+def _gate_order(names: list[str]) -> list[str]:
+    rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
+    listed = [n for n in _GATE_PRIORITY if n in set(names)]
+    rest = [n for n in names if n not in rank]
+    return listed + rest
+
+
 def all_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _gate_order(list(QUERIES))}
 
 
 def all_oracles() -> dict[str, str]:
     load_all()
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _gate_order(list(ORACLES))}
