@@ -178,35 +178,51 @@ def _assign_expr(col, centroids: list[list[float]]):
     return assign(col)
 
 
+def training_sample(
+    embeddings: DataFrame, max_train: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic hash-sample of at most ~``max_train`` rows (in
+    expectation; exact when the corpus is already small enough). The
+    collect that follows this filter is bounded no matter the corpus
+    size — the guard that makes model training safe at 100 TB.
+    """
+    if max_train <= 0:
+        raise ValueError(f"max_train must be positive, got {max_train}")
+    n = embeddings.count()
+    if n <= max_train:
+        return embeddings
+    m = max(2, n // max_train)
+    return embeddings.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
     iters: int = 5,
-    max_train: int | None = None,
+    max_train: int = 100_000,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means on a bounded driver-side sample
     (FAISS-style IVF training, public practice).
 
-    The coarse quantizer is a k x dim *model*; it trains on
-    ``max_train`` rows picked by a deterministic vec_id-hash sample —
-    one filtered collect of O(max_train * dim) floats, then pure numpy
-    iterations on the driver. The corpus itself is only ever touched by
-    the distributed *assignment* pass (``ivf_index``). The previous
-    formulation ran every Lloyd's iteration as a Spark
-    assign+posexplode+shuffle job pipeline — correct, but ~10 cluster
-    jobs to fit a model that fits in L2 cache.
+    The coarse quantizer is a k x dim *model*; it trains on at most
+    ~``max_train`` rows picked by a deterministic vec_id-hash sample
+    (``training_sample``) — one filtered collect of
+    O(max_train * dim) floats, then pure numpy iterations on the
+    driver. ``max_train`` is always bounded (default 100k ≈ 50 MB at
+    dim 64): no code path collects an unbounded corpus. The corpus
+    itself is only ever touched by the distributed *assignment* pass
+    (``ivf_index``). The previous formulation ran every Lloyd's
+    iteration as a Spark assign+posexplode+shuffle job pipeline —
+    correct, but ~10 cluster jobs to fit a model that fits in L2 cache.
 
     Init = the first k sampled vectors by vec_id (seedless); empty
     clusters keep their previous centroid.
     """
     import numpy as np
 
-    df = embeddings.select("vec_id", "embedding")
-    if max_train is not None:
-        n = df.count()
-        if n > max_train:
-            m = max(2, n // max_train)
-            df = df.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
+    df = training_sample(embeddings.select("vec_id", "embedding"), max_train)
     rows = df.orderBy("vec_id").collect()
     X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
     C = X[:k].copy()
@@ -264,67 +280,263 @@ def ivf_ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Materialized, partition-pruned ANN indexes
+# ---------------------------------------------------------------------------
+#
+# The query-time formulations above (lsh_ann_topk / ivf_ann_topk over an
+# in-plan assignment) recompute bucket ids over the full corpus per
+# query — a filter after a 100% scan. The production path materializes
+# the index ONCE, written ``partitionBy`` the bucket/list id, so a probe
+# is *partition pruning*: the scan plans only the matching directories
+# and its cost is |probed lists|, independent of corpus size. The model
+# (hyperplanes / centroids) persists next to the data as JSON — a few
+# KB; on a real cluster this lands on the same shared store (S3/HDFS).
+
+
+def _model_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_ann_model.json")
+
+
+def _write_model(path: str, model: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(_model_path(path), "w") as f:
+        json.dump(model, f)
+
+
+def read_model(path: str) -> dict:
+    import json
+
+    with open(_model_path(path)) as f:
+        return json.load(f)
+
+
+def index_exists(path: str) -> bool:
+    import os
+
+    return os.path.exists(_model_path(path)) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    )
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Materialize the hyperplane-LSH index: one corpus pass assigns
+    sign-pattern buckets, written parquet ``partitionBy("__bucket")``
+    (≤ 2^n_planes directories). Map-only + one partitioned write; the
+    hyperplane model rides alongside as JSON."""
+    dim = int(embeddings.select(F.size("embedding")).head()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    (
+        spread(embeddings)
+        .withColumn("__bucket", lsh_bucket_expr(F.col("embedding"), planes))
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    _write_model(path, {"kind": "lsh", "n_planes": n_planes, "planes": planes})
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    probe_hamming: int = 1,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """ANN top-k against a materialized LSH index. The bucket predicate
+    is on the *partition column*, so Catalyst prunes to the probed
+    directories before any I/O — the plan's scan carries
+    ``PartitionFilters: [__bucket IN (...)]`` and reads nothing else
+    (pinned by tests/test_plans.py)."""
+    model = read_model(path)
+    planes = model["planes"]
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qbits |= 1 << i
+    probe = [qbits] + (
+        [qbits ^ (1 << i) for i in range(len(planes))]
+        if probe_hamming >= 1
+        else []
+    )
+    cand = spark.read.parquet(path).filter(F.col("__bucket").isin(probe))
+    cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        cand.select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    k_centroids: int = 16,
+    iters: int = 5,
+    max_train: int = 100_000,
+) -> None:
+    """Materialize the IVF index: train the coarse quantizer on a
+    bounded sample (``kmeans_centroids``), assign every vector to its
+    inverted list, write parquet ``partitionBy("cid")`` with the
+    centroid model alongside."""
+    centroids = kmeans_centroids(
+        embeddings, k=k_centroids, iters=iters, max_train=max_train
+    )
+    (
+        ivf_index(embeddings, centroids)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    _write_model(path, {"kind": "ivf", "centroids": centroids})
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF search against a materialized index: rank the (tiny) centroid
+    model driver-side, then scan only the ``nprobe`` nearest lists via
+    partition pruning on ``cid``."""
+    centroids = read_model(path)["centroids"]
+    by_dist = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (a - b) * (a - b) for a, b in zip(query_vec, centroids[i])
+        ),
+    )
+    probe = by_dist[:nprobe]
+    cand = spark.read.parquet(path).filter(F.col("cid").isin(probe))
+    cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        cand.select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def all_pairs_cosine_above(
     embeddings: DataFrame,
     threshold: float,
     round_to: int = 4,
+    block_rows: int = 1024,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (vec_a < vec_b) — the
-    broadcast-block formulation.
+    block-pair join formulation. Fully distributed: nothing but the
+    block count ever reaches the driver.
 
-    The corpus rides to every partition once (driver collect + UDF
-    closure here; at sizes beyond a broadcast, the same kernel runs per
-    block-pair join). Each Arrow batch computes its rows' similarities
-    against the whole corpus as 'dim' outer-product accumulation steps
-    — vectorized over the (batch x corpus) plane but accumulating in
+    Each vector hashes into one of B blocks; blocks pack into one row
+    apiece (ids + embeddings arrays) via collect_list. The left side
+    explodes block id L into target ids L..B-1, so the block-pair
+    enumeration (L <= R, upper triangle) is a plain **equi-join** on
+    the target id — shuffle-partitionable, no broadcast, no cartesian,
+    no driver materialization. One Arrow kernel per joined row scores
+    |L| x |R| pairs as 'dim' outer-product accumulation steps —
+    vectorized over the pair plane but accumulating in
     ascending-dimension order, i.e. bit-identical to the sequential
-    fold (functions.cosine_pd / the oracle's unnest-SUM). The naive
-    pair-join formulation materializes |pairs| two-vector rows through
-    Arrow (~2 GB at 2k vectors); this ships each vector once.
+    fold (functions.cosine_pd / the oracle's unnest-SUM). Same-block
+    rows mask to the strict upper triangle; cross-block rows emit every
+    pair once as (min_id, max_id).
 
-    The UDF pre-filters with a conservative margin below the rounded
+    O(n^2) total work is inherent to the exact verify tier — at scale
+    this runs on LSH candidate blocks, not the raw corpus — but memory
+    is bounded per task: two ~``block_rows`` x dim panels plus one
+    |L| x |R| float64 score tile (~8 MB at the 1024 default).
+
+    The kernel pre-filters with a conservative margin below the rounded
     threshold; the authoritative F.round + filter happens JVM-side so
     rounding semantics stay identical to every other query.
     """
-    import numpy as np
-
-    rows = embeddings.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    C = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    dim = C.shape[1]
-    # corpus-side norms: same per-dimension fold order as l2_norm
-    cn = np.zeros(len(C))
-    for j in range(dim):
-        cn = cn + C[:, j] * C[:, j]
-    cn = np.sqrt(cn)
+    if n_blocks is None:
+        n = embeddings.count()  # O(1) result; parquet metadata count
+        n_blocks = max(1, -(-n // block_rows))
+    B = n_blocks
     pre = threshold - 10.0 ** (-round_to)  # margin > any rounding shift
 
+    packed = (
+        spread(embeddings.select("vec_id", "embedding"))
+        .withColumn("__blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
+        .groupBy("__blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("embs"),
+        )
+    )
+    left = packed.select(
+        F.col("__blk").alias("lblk"),
+        F.col("ids").alias("lids"),
+        F.col("embs").alias("lembs"),
+        F.explode(
+            F.sequence(F.col("__blk"), F.lit(B - 1))
+        ).alias("__rblk"),
+    )
+    right = packed.select(
+        F.col("__blk").alias("__rblk"),
+        F.col("ids").alias("rids"),
+        F.col("embs").alias("rembs"),
+    )
+    joined = left.join(right, "__rblk")
+
     def fn(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            xi = pdf["vec_id"].to_numpy()
-            acc = np.zeros((len(X), len(C)))
-            xn = np.zeros(len(X))
-            for j in range(dim):
-                acc = acc + X[:, j : j + 1] * C[None, :, j]
-                xn = xn + X[:, j] * X[:, j]
-            cos = acc / (np.sqrt(xn)[:, None] * cn[None, :])
-            a, b = np.nonzero((cos >= pre) & (xi[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": xi[a],
-                    "vec_b": ids[b],
-                    "raw_cos": cos[a, b],
-                }
-            )
+            for _, row in pdf.iterrows():
+                il = np.asarray(row["lids"], dtype=np.int64)
+                ir = np.asarray(row["rids"], dtype=np.int64)
+                if not len(il) or not len(ir):
+                    continue
+                X = np.stack([np.asarray(e) for e in row["lembs"]]).astype(
+                    np.float64
+                )
+                Y = np.stack([np.asarray(e) for e in row["rembs"]]).astype(
+                    np.float64
+                )
+                dim = X.shape[1]
+                acc = np.zeros((len(X), len(Y)))
+                xn = np.zeros(len(X))
+                yn = np.zeros(len(Y))
+                # ascending-dimension fold: parity with cosine_pd
+                for j in range(dim):
+                    acc = acc + X[:, j : j + 1] * Y[None, :, j]
+                    xn = xn + X[:, j] * X[:, j]
+                    yn = yn + Y[:, j] * Y[:, j]
+                cos = acc / (np.sqrt(xn)[:, None] * np.sqrt(yn)[None, :])
+                mask = cos >= pre
+                if row["lblk"] == row["__rblk"]:
+                    mask &= il[:, None] < ir[None, :]
+                a, b = np.nonzero(mask)
+                ia, ib = il[a], ir[b]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                        "raw_cos": cos[a, b],
+                    }
+                )
 
-    out = spread(embeddings.select("vec_id", "embedding")).mapInPandas(
-        fn, "vec_a long, vec_b long, raw_cos double"
-    )
+    out = joined.mapInPandas(fn, "vec_a long, vec_b long, raw_cos double")
     return (
         out.select(
             "vec_a", "vec_b", F.round(F.col("raw_cos"), round_to).alias("cos_sim")
@@ -343,39 +555,91 @@ def embedding_norms(embeddings: DataFrame, round_to: int = 4) -> DataFrame:
     )
 
 
+def band_bucket_expr(
+    col, planes: list[list[float]], bands: int, planes_per_band: int
+):
+    """Per-band sign-pattern buckets for an embedding column, as one
+    ``array<long>`` of length ``bands``. One batched matmul against the
+    full (bands * planes_per_band) x dim plane matrix per Arrow batch,
+    then the sign bits fold into per-band integers."""
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)  # (bands*r) x dim
+    r = planes_per_band
+    weights = (1 << np.arange(r)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(e):  # pd.Series[np.ndarray] -> pd.Series[list[int64]]
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(e.to_numpy()).astype(np.float64)
+        bits = (X @ P.T) > 0  # n x (bands*r)
+        per_band = bits.reshape(len(X), bands, r) @ weights  # n x bands
+        return pd.Series(list(per_band.astype(np.int64)))
+
+    return buckets(col)
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 16,
+    planes_per_band: int = 16,
+    seed: int = 42,
     round_to: int | None = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+    """Embedding-cosine near-duplicate pairs via OR-amplified multi-band
+    hyperplane LSH — the embedding-space twin of MinHash-LSH banding
+    (``dedup.minhash_lsh_candidates``).
 
-    Same-bucket pairs only (near-identical vectors land together with
-    high probability), then exact cosine verification — the
-    embedding-space twin of MinHash-LSH + Jaccard-verify.
+    Each vector gets ``bands`` independent ``planes_per_band``-bit
+    sign-pattern buckets; a pair becomes a candidate iff it collides in
+    *any* band (equi-join on (band_id, bucket)), then exact cosine
+    verifies. Collision probability per band is p^r with
+    p = 1 - theta/pi, so with the 16x16 default a true near-dup at
+    cos 0.95 is caught with prob ~0.96 while a random orthogonal pair
+    survives a band with prob 2^-16 — the intra-bucket join stays
+    near-linear at any corpus size, where a single wide-bucket table
+    (the old 8-plane/256-bucket shape) went quadratic per bucket.
+
+    The band table carries only (vec_id, band_id, bucket) — 24 bytes a
+    row — through the self-join; embeddings rejoin the (tiny) verified
+    candidate list by key afterwards, so document vectors are never
+    duplicated ``bands`` times through a shuffle.
     """
     dim = int(embeddings.select(F.size("embedding")).head()[0])
-    planes = _hyperplanes(dim, n_planes)
-    bucketed = embeddings.select(
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    emb = spread(embeddings.select("vec_id", "embedding"))
+    banded = emb.select(
         "vec_id",
-        "embedding",
-        lsh_bucket_expr(F.col("embedding"), planes).alias("__bucket"),
+        F.posexplode(
+            band_bucket_expr(
+                F.col("embedding"), planes, bands, planes_per_band
+            )
+        ).alias("band_id", "bucket"),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.__bucket") == F.col("b.__bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    cos = cosine_pd(F.col("a.embedding"), F.col("b.embedding"))
-    if round_to is not None:
-        cos = F.round(cos, round_to)
-    return (
-        pairs.select(
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+    cos = cosine_pd(F.col("emb_a"), F.col("emb_b"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return pairs.select(
+        "vec_a", "vec_b", cos.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)

@@ -17,6 +17,7 @@ from cdc_kafka_project_spark.plans.inspect import (
     has_broadcast_join,
     has_cartesian,
     has_sort_merge_join,
+    partition_filters,
     plan_summary,
     pushed_filters,
     scan_columns,
@@ -31,6 +32,7 @@ __all__ = [
     "has_broadcast_join",
     "has_cartesian",
     "has_sort_merge_join",
+    "partition_filters",
     "plan_summary",
     "pushed_filters",
     "scan_columns",

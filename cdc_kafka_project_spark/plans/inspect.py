@@ -81,6 +81,19 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across the plan's file scans —
+    predicates resolved against directory names before any I/O is
+    planned. Non-empty means the scan is partition-pruned."""
+    p = simple_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", p):
+        body = m.group(1).strip()
+        if body:
+            out.append(body)
+    return out
+
+
 def scan_columns(df: DataFrame) -> list[list[str]]:
     """Per-scan ReadSchema column lists — what each parquet scan will
     actually read off disk (column-pruning evidence)."""

@@ -8,6 +8,8 @@ plus recall tests in tests/test_similarity.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
@@ -20,6 +22,16 @@ TOP_K = 20
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
+
+
+def _index_dir(sf_dir: str, name: str) -> str:
+    """Per-scale-factor location for materialized ANN indexes. Local
+    scratch here; on a cluster this is a shared-store prefix."""
+    base = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR", "/root/repo/spark-warehouse/indexes"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(base, tag, name)
 
 
 @query(
@@ -68,11 +80,17 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ann_lsh")  # rows-only: seeded-hyperplane LSH is engine-side
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via 8-plane LSH with 1-bit multi-probe —
-    scans ~3.5% of the corpus; recall measured in tests."""
+    """Approximate top-k against the *materialized* 8-plane LSH index
+    (built once per sf_dir, parquet partitioned by bucket): the probe
+    reads only the ~3.5% of partitions within 1 bit of the query's
+    bucket — partition pruning, pinned by tests/test_plans.py. Recall
+    vs brute force measured in tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     qv = sim.query_vector(emb, QUERY_VEC_ID)
-    return sim.lsh_ann_topk(emb, qv, k=TOP_K, n_planes=8, probe_hamming=1)
+    path = _index_dir(sf_dir, "lsh_p8")
+    if not sim.index_exists(path):
+        sim.build_lsh_index(emb, path, n_planes=8)
+    return sim.probe_lsh_index(spark, path, qv, k=TOP_K, probe_hamming=1)
 
 
 @query("similarity_near_dup")  # rows-only: seeded-hyperplane LSH is engine-side
@@ -90,15 +108,17 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ann_ivf")  # rows-only: k-means model is engine-side
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: deterministic k-means coarse quantizer
-    (trained on the fly here; persisted in production), probe the 4
-    nearest of 16 inverted lists, exact cosine on candidates. Recall
-    vs brute force is pinned in tests/test_similarity.py."""
+    """IVF approximate top-k against the *materialized* index:
+    deterministic k-means coarse quantizer trained once on a bounded
+    sample, inverted lists written parquet partitioned by cid, probe =
+    partition-pruned scan of the 4 nearest of 16 lists + exact cosine.
+    Recall vs brute force is pinned in tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     qv = sim.query_vector(emb, QUERY_VEC_ID)
-    cents = sim.kmeans_centroids(emb, k=16, iters=2, max_train=512)
-    index = sim.ivf_index(emb, cents)
-    return sim.ivf_ann_topk(index, cents, qv, k=TOP_K, nprobe=4)
+    path = _index_dir(sf_dir, "ivf_k16")
+    if not sim.index_exists(path):
+        sim.build_ivf_index(emb, path, k_centroids=16, iters=2, max_train=512)
+    return sim.probe_ivf_index(spark, path, qv, k=TOP_K, nprobe=4)
 
 
 @query(

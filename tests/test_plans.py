@@ -12,6 +12,7 @@ import pytest
 
 from cdc_kafka_project_spark.plans import (
     count_exchanges,
+    count_scans,
     has_broadcast_join,
     has_cartesian,
     plan_summary,
@@ -118,6 +119,35 @@ def test_lang_id_zero_shuffle(spark, queries):
     (the map-only property SURVEY §7.5 calls out)."""
     df = _q(queries, spark, "lang_id")
     assert count_exchanges(df) == 0, plan_summary(df)
+
+
+def test_ann_probes_are_partition_pruned(spark, queries):
+    """The materialized ANN indexes must be probed via partition
+    pruning: the scan's PartitionFilters carries the bucket/cid
+    predicate, so only the probed directories are planned — probe cost
+    is |probed lists|, independent of corpus size."""
+    from cdc_kafka_project_spark.plans import partition_filters
+
+    for name, col in (("similarity_ann_lsh", "__bucket"),
+                      ("similarity_ann_ivf", "cid")):
+        df = _q(queries, spark, name)
+        pf = " ".join(partition_filters(df))
+        assert col in pf, f"{name}: probe not partition-pruned: {pf!r}"
+
+
+def test_all_pairs_cosine_distributed_no_driver_collect(spark, queries):
+    """The exact all-pairs verify tier must stream the corpus through a
+    block-pair equi-join: both sides of the join scan parquet (the
+    corpus is not captured in a UDF closure), the block-pair
+    enumeration is an equi-join (no cartesian, no broadcast nested
+    loop), and the only exchanges are the block groupBy + join."""
+    from cdc_kafka_project_spark.plans import simple_plan
+
+    df = _q(queries, spark, "similarity_pairs_above")
+    assert count_scans(df) == 2, plan_summary(df)
+    p = simple_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
 
 
 def test_winnow_fingerprints_no_key_shuffle(spark, queries):

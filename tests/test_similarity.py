@@ -98,6 +98,29 @@ def test_cosine_near_dup_finds_exact_duplicate_pair(corpus):
     assert pairs[(300, 301)] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_cosine_near_dup_recall_vs_exact_all_pairs(corpus):
+    """OR-amplified banding (16 bands x 16 planes) vs the exact verify
+    tier at a threshold the corpus exercises: the query's perturbed
+    cluster yields dozens of true pairs above 0.95; the banded
+    candidate join must recover nearly all of them, and everything it
+    returns must be a true pair (exact-cosine verified)."""
+    emb, _ = corpus
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in sim.all_pairs_cosine_above(
+            emb, threshold=0.95, block_rows=64
+        ).collect()
+    }
+    assert len(truth) >= 10  # the corpus really exercises the threshold
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert got <= truth  # verify step: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall} too low for 16x16 banding"
+
+
 def test_embedding_norms_unit_vectors(corpus):
     emb, _ = corpus
     out = sim.embedding_norms(emb).collect()
@@ -129,6 +152,58 @@ def test_ivf_probed_recall_on_clustered_neighbors(corpus):
     brute = {r.vec_id: r.cos_sim for r in sim.brute_force_topk(emb, q, k=250).collect()}
     for r in sim.ivf_ann_topk(index, cents, q, k=11, nprobe=2).collect():
         assert r.cos_sim == pytest.approx(brute[r.vec_id], abs=1e-9)
+
+
+def test_lsh_index_probe_matches_query_time_formulation(corpus, tmp_path):
+    """The materialized LSH index must return exactly what the
+    query-time formulation returns (same planes seed, same probing) —
+    materialization changes the plan, never the answer."""
+    emb, q = corpus
+    path = str(tmp_path / "lsh")
+    sim.build_lsh_index(emb, path, n_planes=8)
+    assert sim.index_exists(path)
+    spark = emb.sparkSession
+    got = sim.probe_lsh_index(spark, path, q, k=11, probe_hamming=1).collect()
+    want = sim.lsh_ann_topk(emb, q, k=11, n_planes=8, probe_hamming=1).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]
+
+
+def test_ivf_index_probe_recall(corpus, tmp_path):
+    """Materialized IVF probe: recall vs brute force on the clustered
+    corpus, scores exact, model persisted/reloaded."""
+    emb, q = corpus
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, k_centroids=8, iters=3, max_train=1000)
+    assert sim.index_exists(path)
+    assert sim.read_model(path)["kind"] == "ivf"
+    spark = emb.sparkSession
+    truth = {r.vec_id for r in sim.brute_force_topk(emb, q, k=11).collect()}
+    ann = {
+        r.vec_id
+        for r in sim.probe_ivf_index(spark, path, q, k=11, nprobe=2).collect()
+    }
+    recall = len(truth & ann) / len(truth)
+    assert recall >= 0.6, f"recall {recall} too low"
+
+
+def test_training_sample_bounds_collect(corpus, spark):
+    """No k-means code path may collect an unbounded corpus: the
+    training sample caps rows near max_train regardless of input size,
+    passes small corpora through untouched, and rejects nonsense."""
+    emb, _ = corpus
+    n = emb.count()
+    small = sim.training_sample(emb, max_train=50).count()
+    # hash-sample keeps ~1/m of rows (m = n // max_train >= 2)
+    assert small < n
+    assert small <= 3 * 50  # loose: Bernoulli tail, deterministic seed
+    assert sim.training_sample(emb, max_train=10 * n).count() == n
+    with pytest.raises(ValueError):
+        sim.training_sample(emb, max_train=0)
+    # kmeans trained on the bounded default still returns k centroids
+    cents = sim.kmeans_centroids(emb, k=4, iters=1)
+    assert len(cents) == 4 and len(cents[0]) == DIM
 
 
 def test_ivf_index_partitions_corpus(corpus):
