@@ -49,8 +49,18 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep one representative (min doc_id) per exact text."""
-    w = Window.partitionBy(F.xxhash64(F.trim(F.col(text_col)))).orderBy("doc_id")
+    """Keep one representative (min doc_id) per exact text.
+
+    The window partitions on the full trimmed text: Spark's exchange
+    hashes the value internally for routing but groups rows by the
+    *value*, so two distinct texts can never merge (a window keyed on
+    xxhash64(text) would silently drop a document per 64-bit collision
+    — see text.fingerprint's birthday-bound note). The shuffle moves
+    document bodies, which is what "exact" costs; the hash-grouped
+    variant (exact_dedup_groups, 128-bit md5) is the cheap
+    candidate-pruning tier.
+    """
+    w = Window.partitionBy(F.trim(F.col(text_col))).orderBy("doc_id")
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -222,8 +232,12 @@ def minhash_lsh_candidates(
     num_perm = bands * rows
     # The self-join below references the signature pipeline twice;
     # signatures are tiny (num_perm ints per doc) relative to the corpus
-    # that produced them, so persist rather than recompute both sides.
-    signatures = signatures.cache()
+    # that produced them, so materialize once rather than recompute both
+    # sides. localCheckpoint (not cache): blocks are released by the
+    # ContextCleaner when the plan is garbage-collected, so repeated
+    # invocations (bench runs every query twice) don't accumulate
+    # executor storage the way CacheManager entries do.
+    signatures = signatures.localCheckpoint(eager=True)
     banded = signatures.select(
         "doc_id",
         "sig",
@@ -313,7 +327,10 @@ def simhash_hamming_pairs(
     (band, chunk), verify exact Hamming distance with bit_count."""
     width = 64 // bands
     mask = (1 << width) - 1
-    fingerprints = fingerprints.cache()  # referenced twice by the self-join
+    # Referenced twice by the self-join; localCheckpoint materializes
+    # once and is ContextCleaner-freed on GC (a .cache() here leaked
+    # storage across repeated invocations).
+    fingerprints = fingerprints.localCheckpoint(eager=True)
     banded = fingerprints.select(
         "doc_id",
         "simhash",
@@ -381,6 +398,7 @@ def connected_components(
     labels = nodes.select("src", F.col("src").alias("label")).localCheckpoint(
         eager=True
     )
+    converged = False
     for _ in range(max_iters):
         new_labels = (
             edges.join(labels, "src")
@@ -396,7 +414,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A silent exit here returns WRONG clusters (graph diameter >
+        # max_iters). Near-dup graphs are short-diameter in practice;
+        # a legitimate long chain needs a bigger budget (or a
+        # pointer-doubling variant), so fail loudly instead of handing
+        # back partial labels.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters (graph diameter exceeds the iteration budget)"
+        )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("component")
     )

@@ -222,9 +222,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint (xxhash64 of the normalized text).
 
     Exact-dup detection at 100 TB groups on this 8-byte hash instead of
-    shuffling full document bodies; collision probability at 10^12 docs
-    is ~1e-5 (birthday bound), acceptable for dedup candidate pruning —
-    the exact path confirms with a full-text equality check.
+    shuffling full document bodies. The 64-bit space is NOT
+    collision-free at that scale — birthday bound gives ~n^2/2^65 ≈
+    2.7e4 expected colliding pairs at 10^12 docs — so this is candidate
+    pruning only: any keep/drop decision must confirm on the full text
+    (dedup.exact_dedup partitions its window by the trimmed text
+    itself, not this hash).
     """
     c = F.trim(F.col(text_col))
     return df.select(

@@ -20,6 +20,8 @@ JDBC URL unchanged).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -62,6 +64,17 @@ def incremental_subquery(
     projection (#2) + watermark predicate (#3) evaluated in the source
     database, mirroring producer.py:30-35 minus the ORDER BY."""
     cols = ", ".join(columns) if columns else "*"
+    # The watermark is interpolated into SQL shipped to the source
+    # database. It is engine state (a timestamp/sequence high-water
+    # mark), but it *originates from data*, so treat it as hostile:
+    # reject anything beyond timestamp/number/ISO-date characters
+    # rather than trusting quoting. (Spark's JDBC dbtable option offers
+    # no bind parameters; validation is the defense.)
+    if not re.fullmatch(r"[0-9A-Za-z_\-:. +]*", watermark_value):
+        raise ValueError(
+            f"watermark value contains characters outside the "
+            f"timestamp/number alphabet: {watermark_value!r}"
+        )
     return (
         f"(SELECT {cols} FROM {table} "
         f"WHERE {watermark_col} > '{watermark_value}') AS __incr"

@@ -126,3 +126,35 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_on_iteration_budget(spark):
+    """A chain longer than max_iters cannot converge — the operator
+    must fail loudly rather than return partial (wrong) clusters."""
+    import pytest
+
+    from cdc_kafka_project_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(chain, max_iters=20).collect()
+    }
+    assert set(got.values()) == {30}
+
+
+def test_exact_dedup_survives_hash_collisions(spark):
+    """exact_dedup groups on the full text value, not a 64-bit hash:
+    distinct texts must never merge, identical texts always do."""
+    from cdc_kafka_project_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha "), (3, "beta"), (4, " alpha")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # trims agree on 'alpha'; 'beta' distinct

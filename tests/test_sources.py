@@ -91,6 +91,17 @@ def test_jdbc_incremental_subquery_pushdown_shape():
     )
 
 
+def test_jdbc_incremental_subquery_rejects_hostile_watermark():
+    """The watermark originates from data — anything outside the
+    timestamp/number alphabet (quotes above all) must be rejected, not
+    interpolated into SQL shipped to the source database."""
+    import pytest
+
+    for bad in ("2000-01-01' OR '1'='1", "x'; DROP TABLE emp_cdc; --", 'a"b'):
+        with pytest.raises(ValueError):
+            incremental_subquery("emp_cdc", "last_updated_at", bad)
+
+
 def test_project1_plan_pushes_filters_to_csv_scan(spark, tmp_path):
     """The IN-list and year filters must reach the FileScan (Catalyst
     pushdown) — at 100 TB the difference between scanning 3
