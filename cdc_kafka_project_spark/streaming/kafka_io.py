@@ -31,10 +31,18 @@ def decode_envelope(raw: DataFrame, value_schema: StructType) -> DataFrame:
     unparseable input, indistinguishable from valid JSON with absent
     keys — so corruption is detected via columnNameOfCorruptRecord and
     folded into payload nullability here, keeping the caller contract
-    a single null check."""
+    a single null check.
+
+    ``raw_value`` (the original payload string, for DLQ re-publish —
+    consumer.py:50-58 forwards the *original* bytes) and source
+    metadata columns (partition, offset), when present on the raw
+    frame, pass through — offset is the per-key tiebreaker the apply
+    step uses for equal timestamps (the reference breaks ties by log
+    position; SURVEY §7 risk a)."""
     corrupt = StructType(
         value_schema.fields + [StructField("_corrupt", StringType())]
     )
+    meta = [c for c in ("partition", "offset") if c in raw.columns]
     parsed = raw.select(
         F.col("key").cast("string").alias("key"),
         F.from_json(
@@ -42,12 +50,14 @@ def decode_envelope(raw: DataFrame, value_schema: StructType) -> DataFrame:
             corrupt,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("__p"),
+        F.col("value").cast("string").alias("raw_value"),
+        *meta,
     )
     payload = F.when(
         F.col("__p").isNotNull() & F.col("__p._corrupt").isNull(),
         F.struct(*[F.col(f"__p.{f.name}").alias(f.name) for f in value_schema.fields]),
     ).alias("payload")
-    return parsed.select("key", payload)
+    return parsed.select("key", payload, "raw_value", *meta)
 
 
 def encode_envelope(df: DataFrame, key_col: str) -> DataFrame:
@@ -66,13 +76,21 @@ def read_cdc_stream(
     value_schema: StructType,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
+    transport=None,
 ):
     """Streaming Kafka source -> decoded envelope.
 
     maxOffsetsPerTrigger bounds micro-batches (the reference's
     max_messages, consumer.py:21); offsets checkpoint replaces its
     auto-commit (at-least-once + idempotent apply => effective
-    exactly-once)."""
+    exactly-once).
+
+    ``transport``: an ``embedded_kafka.EmbeddedLog`` substitutes for a
+    broker (this environment ships neither broker nor kafka jar) — the
+    raw record frame comes from the file-backed topic instead, and the
+    envelope decode path is byte-for-byte the same."""
+    if transport is not None:
+        return decode_envelope(transport.raw_stream(spark, topic), value_schema)
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -90,9 +108,33 @@ def write_keyed_stream(
     topic: str,
     key_col: str,
     checkpoint_dir: str,
+    transport=None,
+    order_col: str | None = None,
 ):
     """Keyed Kafka sink (producer.py:67-71): key routes the partition,
-    giving per-key ordering; acks=all durability is the sink default."""
+    giving per-key ordering; acks=all durability is the sink default.
+
+    Returns a DataStreamWriter — the caller picks the trigger and
+    starts it. With ``transport`` (an ``embedded_kafka.EmbeddedLog``)
+    each micro-batch appends through the keyed publish path instead of
+    a broker; the envelope encode is identical. ``order_col`` (transport
+    path only) fixes intra-partition send order — the reference
+    producer's ORDER BY last_updated_at (producer.py:34); a real
+    broker gets this from single-producer send order."""
+    if transport is not None:
+        encoded = encode_envelope(df, key_col)
+        if order_col is not None:
+            encoded = df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.to_json(F.struct(*df.columns)).alias("value"),
+                F.col(order_col).alias("__order"),
+            )
+        return transport.write_stream(
+            encoded,
+            topic,
+            checkpoint_dir,
+            order_col="__order" if order_col is not None else None,
+        )
     return (
         encode_envelope(df, key_col)
         .writeStream.format("kafka")
