@@ -86,17 +86,56 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    _record_history(record)
+    print(json.dumps(record))
+
+
+HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_HISTORY.jsonl")
+
+
+def _record_history(record: dict) -> None:
+    """Append this run to BENCH_HISTORY.jsonl and print a per-query
+    regression diff vs the previous run at the same sf (stderr, so the
+    stdout contract stays one JSON line)."""
+    prev = None
+    if os.path.exists(HISTORY):
+        with open(HISTORY) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("sf") == record["sf"]:
+                    prev = e
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps({"ts": time.time(), **record}) + "\n")
+    if prev is None:
+        return
+    rows = []
+    for name, cur in record["queries"].items():
+        old = prev["queries"].get(name)
+        if old is None:
+            rows.append((name, None, cur, "new"))
+        else:
+            delta = (cur - old) / old if old else 0.0
+            flag = "REGRESSED" if delta > 0.25 and cur - old > 0.2 else ""
+            rows.append((name, old, cur, flag))
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+        f"# bench diff vs previous sf={record['sf']} run "
+        f"(total {prev['value']}s -> {record['value']}s)",
+        file=sys.stderr,
     )
+    for name, old, cur, flag in rows:
+        old_s = f"{old:.3f}" if old is not None else "  -  "
+        print(f"#   {name:32s} {old_s} -> {cur:.3f}  {flag}", file=sys.stderr)
 
 
 if __name__ == "__main__":

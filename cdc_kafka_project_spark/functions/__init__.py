@@ -137,7 +137,7 @@ def token_count(col: Column | str) -> Column:
 
 def spread(df, *cols):
     """Repartition up to the session's default parallelism when the
-    input has fewer partitions.
+    input scan would produce fewer splits.
 
     Two jobs in one exchange: (a) a single parquet file reads as one
     partition locally, which would serialize every downstream explode/
@@ -146,9 +146,34 @@ def spread(df, *cols):
     times downstream (array indexing in transform lambdas) are computed
     once instead of being re-inlined per access by codegen. At cluster
     scale inputs arrive pre-split, so this is a no-op there.
+
+    The split estimate comes from the scan's file list + sizes against
+    spark.sql.files.maxPartitionBytes — pure metadata. (The previous
+    ``df.rdd.getNumPartitions()`` forced a plan conversion per call, in
+    front of every text/dedup query.) Non-file inputs (in-memory test
+    frames, streams) pass through untouched.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    import math
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
         return df
+    if not files:
+        return df
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_bytes = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    splits = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        try:
+            size = os.path.getsize(path)
+            splits += max(1, math.ceil(size / max_bytes))
+        except OSError:
+            splits += 1  # remote/unstat-able file: count it once
+        if splits >= target:
+            return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

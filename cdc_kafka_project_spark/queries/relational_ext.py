@@ -895,3 +895,188 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                         THEN CAST(volume AS DECIMAL(25,6)) ELSE 0 END)
+                AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    order volume per year. Seven-table snowflake — every dimension
+    (part, customer, both nation copies, region, supplier) broadcasts;
+    lineitem<->orders is the only big join, and the conditional-sum /
+    sum ratio runs on exact decimal sums so the double division is
+    deterministic on both engines."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = na.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(re), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+            F.lit(0).cast("decimal(25,6)")
+        )).cast("double").alias("__num"),
+        F.sum(vol).cast("double").alias("__den"),
+    )
+    return agg.select(
+        "o_year", (F.col("__num") / F.col("__den")).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                AS DOUBLE) AS profit
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey,
+    LATERAL (SELECT n_name AS nation,
+                    CAST(year(o_orderdate) AS INT) AS o_year) t
+    WHERE p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year revenue on a part-name
+    pattern. (The testdata schema has no partsupp/ps_supplycost, so
+    profit reduces to discounted revenue — the join/agg shape is
+    Q9's.) part filters by LIKE before broadcasting; nation/supplier
+    broadcast; the orderkey join is the one shuffle."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "profit"
+        )
+    )
+
+
+@query(
+    "q11_part_value_share",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                AS DOUBLE) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                AS DOUBLE) >
+      (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(25,6))) AS DOUBLE) * 0.0006
+       FROM lineitem)
+    """,
+)
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the
+    global total (scalar-subquery HAVING). (No partsupp table in the
+    testdata; lineitem value concentration carries the shape.) The
+    1-row global total broadcasts into the HAVING filter — two scans
+    of lineitem, both aggregating map-side; AQE replans the tiny
+    cross join to broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    value = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(value.alias("value"))
+    total = li.agg((value * F.lit(0.0006)).alias("__threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "q20_volume_suppliers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1996
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 300
+    )
+    """,
+)
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers above a shipped-quantity threshold on
+    a filtered part set (IN-subquery over a grouped HAVING). The inner
+    aggregate is lineitem x broadcast(filtered part) -> suppkey
+    groupBy; the outer IN becomes a left-semi join that broadcasts the
+    (tiny) qualifying-supplier list."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    qualifying = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        su.join(
+            F.broadcast(qualifying),
+            su.s_suppkey == qualifying.l_suppkey,
+            "left_semi",
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )

@@ -104,6 +104,10 @@ _GATE_PRIORITY: list[str] = [
     "q10_returned_revenue",
     "q7_nation_volume",
     "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_part_value_share",
+    "q20_volume_suppliers",
     "salted_event_type_totals",
     "token_frequency_top100",
     "grouping_sets_sql",
