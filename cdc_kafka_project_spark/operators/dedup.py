@@ -366,6 +366,32 @@ def simhash_hamming_pairs(
     ).filter(F.col("hamming") <= max_distance)
 
 
+def near_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The end-to-end near-dedup *policy*: which documents survive.
+
+    Composes the tiers: near-dup pairs (any candidate generator —
+    exact Jaccard, MinHash-LSH + verify, SimHash, embedding LSH) ->
+    connected components -> keep the component representative
+    (min doc_id) plus every document that never appeared in a pair.
+
+    Cost on top of the pair graph: the component iteration (pair-graph
+    sized, tiny vs corpus) + one broadcast anti-join of the drop list
+    against the corpus — the corpus itself is scanned once, never
+    shuffled. Returns ``df`` filtered, schema unchanged.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    drop = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -130,6 +130,37 @@ _PAIRS_SQL = r"""
 
 
 @query(
+    "dedup_near_keep",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    bi AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s FROM bi),
+    reach(src, dst) AS (
+        SELECT s, s FROM nodes
+        UNION
+        SELECT r.src, b.d FROM reach r JOIN bi b ON b.s = r.dst
+    ),
+    comp AS (SELECT src, MIN(dst) AS component FROM reach GROUP BY src)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT src FROM comp WHERE src <> component)
+    """,
+)
+def dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup policy end to end: exact-Jaccard pair graph
+    -> connected components -> surviving doc ids (component
+    representative + never-paired docs). The oracle recomputes the
+    same fixpoint with a recursive CTE and set-subtracts."""
+    docs = _docs(spark, sf_dir)
+    prs = dd.jaccard_pairs(docs, n=3, threshold=0.2)
+    return dd.near_dedup_keep(docs, prs.select("doc_a", "doc_b")).select(
+        "doc_id"
+    )
+
+
+@query(
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_SQL},

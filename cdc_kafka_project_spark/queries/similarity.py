@@ -122,6 +122,37 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   u -> abs(CAST(u AS DOUBLE)))) / 127.0 AS scale,
+               list_transform(embedding, u ->
+                   CAST(greatest(-127.0, least(127.0,
+                        floor(CAST(u AS DOUBLE) /
+                              (list_max(list_transform(embedding,
+                                   v -> abs(CAST(v AS DOUBLE)))) / 127.0)
+                              + 0.5))) AS BIGINT)) AS codes
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 8) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_min(codes) AS code_min,
+           list_max(codes) AS code_max,
+           CAST(len(list_filter(codes, c -> c <> 0)) AS BIGINT) AS n_nonzero
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = absmax/127,
+    floor(x/scale + 0.5) codes) summarized to scalars — the compressed
+    storage layout for a 100 TB ANN index, zero-shuffle."""
+    return sim.quantize_int8_stats(_emb(spark, sf_dir))
+
+
+@query(
     "similarity_pairs_above",
     oracle="""
     WITH pairs AS (

@@ -88,6 +88,8 @@ _GATE_PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_components",
+    "dedup_near_keep",
+    "embedding_quantize_int8",
     "similarity_topk",
     "embedding_norms",
     "similarity_ann_lsh",

