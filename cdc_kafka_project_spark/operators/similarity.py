@@ -339,6 +339,12 @@ def build_lsh_index(
     (
         spread(embeddings)
         .withColumn("__bucket", lsh_bucket_expr(F.col("embedding"), planes))
+        # cluster rows by bucket before the partitioned write: without
+        # this every write task emits a file into every bucket dir
+        # (tasks x buckets tiny files); with it each bucket is one
+        # contiguous file — the open-cost a probe pays is |buckets
+        # probed|, not |buckets x build tasks|
+        .repartition(F.col("__bucket"))
         .write.mode("overwrite")
         .partitionBy("__bucket")
         .parquet(path)
@@ -397,6 +403,7 @@ def build_ivf_index(
     )
     (
         ivf_index(embeddings, centroids)
+        .repartition(F.col("cid"))  # one file per list, not per task
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(path)

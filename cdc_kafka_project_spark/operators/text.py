@@ -261,3 +261,74 @@ def hash_split(
     for name, hi in reversed(edges[:-1]):
         expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget
+    packs (the training-batch construction step — concatenating short
+    documents up to the context length so no batch slot is wasted).
+
+    Packing is inherently sequential, so it runs *per partition*
+    (first-fit over docs in ascending ``id_col`` order inside an Arrow
+    batch): pack ids embed the partition id, so packs never span
+    partitions and the pass stays map-only — the layout a 100 TB run
+    needs (any global packing would serialize the corpus). Docs larger
+    than the budget get a pack of their own (chunk upstream with
+    doc_chunks to avoid that). Fill efficiency is measured in tests,
+    not guaranteed: first-fit over id order trades a few percent of
+    fill for determinism and zero shuffle.
+
+    Output: one row per doc — (id_col, n_tokens, pack_id, pack_seq)
+    where pack_seq is the doc's position inside its pack.
+    """
+    from cdc_kafka_project_spark.functions import spread, token_count
+
+    src = spread(
+        df.select(id_col, token_count(text_col).alias("n_tokens"))
+    )
+
+    min_room = max(1, budget // 64)
+
+    def fn(it):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # open packs: list of [remaining_budget, pack_local_id, next_seq].
+        # Packs whose remaining budget drops below min_room close (are
+        # dropped from the open list), so the first-fit scan stays O(1)
+        # amortized instead of O(total packs) on long partitions.
+        packs: list[list[int]] = []
+        out_rows = []
+        next_pack = 0
+        for pdf in it:
+            pdf = pdf.sort_values(id_col)
+            for did, ntok in zip(pdf[id_col], pdf["n_tokens"]):
+                ntok = int(ntok)
+                slot = None
+                for p in packs:
+                    if p[0] >= ntok:
+                        slot = p
+                        break
+                if slot is None:
+                    slot = [budget, next_pack, 0]
+                    packs.append(slot)
+                    next_pack += 1
+                out_rows.append(
+                    (int(did), ntok, (pid << 32) | slot[1], slot[2])
+                )
+                slot[0] -= ntok
+                slot[2] += 1
+                packs = [p for p in packs if p[0] >= min_room]
+        yield pd.DataFrame(
+            out_rows, columns=[id_col, "n_tokens", "pack_id", "pack_seq"]
+        )
+
+    return src.mapInPandas(
+        fn, f"{id_col} long, n_tokens long, pack_id long, pack_seq long"
+    )

@@ -193,3 +193,42 @@ def group_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.groupBy("c_mktsegment").applyInPandas(
         norm, "c_custkey long, c_mktsegment string, acctbal_norm double"
     )
+
+
+@query("sketch_distinct_users")  # rows-only: HLL sketch is engine-seeded
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type next to the exact
+    count — the sketch an interactive layer serves at 100 TB (one pass,
+    fixed memory per group, mergeable across partitions) where exact
+    distinct needs a full shuffle of the key space. Relative-error
+    bound vs exact is pinned in tests/test_text.py (rsd=0.01 -> ~3%
+    worst-case over these cardinalities)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query("sketch_percentiles")  # rows-only: approx summaries are engine-impl
+def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK-summary sketch) p50/p95/p99 of order
+    totals next to the exact percentiles — mergeable one-pass quantiles
+    vs the exact sort-based path (percentile_prices is the oracle-
+    checked exact twin). Accuracy pinned in tests."""
+    od = _t(spark, sf_dir, "orders")
+    return od.agg(
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("approx_p"),
+        F.expr(
+            "percentile(o_totalprice, array(0.5, 0.95, 0.99))"
+        ).alias("exact_p"),
+    ).select(
+        F.round(F.col("approx_p")[0], 2).alias("approx_p50"),
+        F.round(F.col("approx_p")[1], 2).alias("approx_p95"),
+        F.round(F.col("approx_p")[2], 2).alias("approx_p99"),
+        F.round(F.col("exact_p")[0], 2).alias("exact_p50"),
+        F.round(F.col("exact_p")[1], 2).alias("exact_p95"),
+        F.round(F.col("exact_p")[2], 2).alias("exact_p99"),
+    )

@@ -234,3 +234,13 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk"
         ),
     )
+
+
+@query("doc_pack_assignments")  # rows-only: pack ids are partition-relative
+def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (training-batch
+    construction): every document assigned to a pack of <= 2048
+    tokens, map-only per partition. One row per doc — the rows-only
+    check pins total coverage; fill/overflow invariants are pinned in
+    tests/test_text.py."""
+    return text_ops.pack_sequences(_docs(spark, sf_dir), budget=2048)

@@ -81,6 +81,7 @@ _GATE_PRIORITY: list[str] = [
     "doc_quality_filter",
     "source_quota_sample",
     "doc_chunks",
+    "doc_pack_assignments",
     "dedup_exact_groups",
     "dedup_exact_keep",
     "dedup_ngram_jaccard",
@@ -115,6 +116,8 @@ _GATE_PRIORITY: list[str] = [
     "grouping_sets_sql",
     "exact_moments",
     "group_minmax_norm",
+    "sketch_distinct_users",
+    "sketch_percentiles",
     # -- tier 3: round-1-green core, re-checked as slots allow --
     "cdc_incremental_scan",
     "cdc_latest_state",

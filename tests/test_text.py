@@ -7,6 +7,7 @@ from cdc_kafka_project_spark.functions import token_count
 from cdc_kafka_project_spark.operators import text as tx
 
 DOC_SCHEMA = "doc_id long, text string"
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture()
@@ -88,3 +89,59 @@ def test_hash_split_deterministic_disjoint_total(spark):
     )
     gc = {r.doc_id: r.split for r in bigger.collect()}
     assert all(gc[k] == v for k, v in ga.items())
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc packed exactly once; no pack exceeds the budget unless
+    it holds a single oversized doc; pack_seq is dense per pack."""
+    from cdc_kafka_project_spark.operators.text import pack_sequences
+
+    rows = [(i, "tok " * (i * 7 % 90 + 1)) for i in range(1, 101)]
+    rows.append((999, "big " * 500))  # oversized vs budget below
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=128).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r[0] for r in rows)
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pack in by_pack.values():
+        total = sum(r.n_tokens for r in pack)
+        if total > 128:
+            assert len(pack) == 1  # only an oversized doc may overflow
+        assert sorted(r.pack_seq for r in pack) == list(range(len(pack)))
+    # packing actually packs: far fewer packs than docs
+    assert len(by_pack) < len(rows) / 2
+
+
+def test_pack_sequences_fill_efficiency(spark):
+    """First-fit over uniform smallish docs should fill packs well:
+    mean fill of multi-doc packs >= 70% of budget."""
+    from cdc_kafka_project_spark.operators.text import pack_sequences
+
+    rows = [(i, "t " * ((i * 13) % 40 + 10)) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(2)
+    out = pack_sequences(df, budget=256).collect()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, 0)
+        by_pack[r.pack_id] += r.n_tokens
+    fills = sorted(by_pack.values())
+    # drop the tail pack per partition (legitimately underfull)
+    trimmed = fills[2:] if len(fills) > 4 else fills
+    assert sum(trimmed) / (len(trimmed) * 256) >= 0.7
+
+
+def test_sketch_accuracy_vs_exact(spark):
+    """HLL++ and GK-percentile sketches stay within documented error
+    of their exact twins on the sf0.001 tables."""
+    from cdc_kafka_project_spark.registry import all_queries
+
+    q = all_queries()
+    for r in q["sketch_distinct_users"](spark, SF).collect():
+        rel = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel <= 0.05, (r.event_type, rel)
+    row = q["sketch_percentiles"](spark, SF).collect()[0]
+    for p in ("p50", "p95", "p99"):
+        exact = getattr(row, f"exact_{p}")
+        approx = getattr(row, f"approx_{p}")
+        assert abs(approx - exact) / max(abs(exact), 1e-9) <= 0.05, (p, approx, exact)
