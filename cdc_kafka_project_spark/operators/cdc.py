@@ -134,6 +134,72 @@ def apply_changes(
     return latest.filter(F.col(action_col) != F.lit(delete_action))
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    action_col: str = "action",
+) -> DataFrame:
+    """Change capture without a trigger: diff two table snapshots into
+    insert/update/delete events (SURVEY §2 #21 brought in-engine).
+
+    The reference captures changes with a plpgsql AFTER-trigger
+    (project2_dag.py:45-72) — unavailable when the source is a plain
+    table/export. The engine-side equivalent is one full outer join on
+    the key: key only in ``new`` -> insert (NEW.* image), only in
+    ``old`` -> delete (OLD.* image, matching the trigger's delete row),
+    in both -> update (NEW.* image) iff any non-key column differs —
+    unchanged rows emit nothing, exactly the trigger's firing rule.
+
+    One co-partitioned shuffle on the key (both sides hash the same
+    key; pre-bucketed snapshots make it shuffle-free). Null-safe
+    equality (``eqNullSafe``) so NULL -> value and value -> NULL count
+    as changes.
+    """
+    keys = list(key_cols)
+    data_cols = [c for c in new.columns if c not in keys]
+    if [c for c in old.columns if c not in keys] != data_cols:
+        raise ValueError("old/new snapshots must share the same schema")
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in data_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    changed = None
+    for c in data_cols:
+        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else changed | ne
+    action = (
+        F.when(~in_old, F.lit(INSERT))
+        .when(~in_new, F.lit(DELETE))
+        .when(changed if changed is not None else F.lit(False), F.lit(UPDATE))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+        for k in keys
+    ]
+    # row image: NEW.* for insert/update, OLD.* for delete — the
+    # trigger's NEW/OLD choice (project2_dag.py:49-66)
+    out_data = [
+        F.when(in_new, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
+        for c in data_cols
+    ]
+    return (
+        j.select(*out_keys, *out_data, action.alias(action_col))
+        .filter(F.col(action_col).isNotNull())
+    )
+
+
 def merge_upsert(
     replica: DataFrame,
     changes: DataFrame,

@@ -265,3 +265,64 @@ def cdc_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+    ),
+    new_snap AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NOT NULL THEN n.c_name
+                ELSE o.c_name END AS c_name,
+           CASE WHEN n.c_custkey IS NOT NULL THEN n.c_acctbal
+                ELSE o.c_acctbal END AS c_acctbal,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN n.c_name IS DISTINCT FROM o.c_name
+                  OR n.c_acctbal IS DISTINCT FROM o.c_acctbal THEN 'update'
+           END AS action
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+    WHERE (CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN n.c_name IS DISTINCT FROM o.c_name
+                  OR n.c_acctbal IS DISTINCT FROM o.c_acctbal THEN 'update'
+           END) IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change capture without a trigger (op #21 in-engine): diff a
+    deterministic 'new' snapshot of customer (every 97th key deleted,
+    every 5th balance bumped, every 101st key re-inserted shifted)
+    against the original — one full outer join on the key emits
+    exactly the trigger's insert/update/delete events."""
+    from cdc_kafka_project_spark.operators.cdc import snapshot_diff
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = (
+        cu.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cu.filter(F.col("c_custkey") % 101 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    return snapshot_diff(cu, new, key_cols=["c_custkey"])

@@ -118,6 +118,7 @@ _GATE_PRIORITY: list[str] = [
     "group_minmax_norm",
     "sketch_distinct_users",
     "sketch_percentiles",
+    "cdc_snapshot_diff",
     # -- tier 3: round-1-green core, re-checked as slots allow --
     "cdc_incremental_scan",
     "cdc_latest_state",

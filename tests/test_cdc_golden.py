@@ -136,3 +136,30 @@ def test_compacted_log_yields_identical_replica(spark, changelog):
     assert (
         no_tombstones.filter(F.lower("action") == "delete").count() == 0
     )
+
+
+def test_snapshot_diff_emits_trigger_events(spark):
+    """Trigger-less change capture: insert/update/delete classified per
+    key, NULL<->value transitions count as changes, unchanged rows are
+    silent, delete carries the OLD row image."""
+    from cdc_kafka_project_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, val int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (4, "D", 40), (5, "e", 50)],
+        "id long, name string, val int",
+    )
+    got = {r.id: r for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert set(got) == {2, 3, 4, 5}  # 1 unchanged -> silent
+    assert got[2].action == "update" and got[2].val == 20  # NULL -> 20
+    assert got[3].action == "delete" and got[3].name == "c"  # OLD image
+    assert got[4].action == "update" and got[4].name == "D"
+    assert got[5].action == "insert" and got[5].val == 50
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        snapshot_diff(old, new.select("id", "val", "name"), ["id"])
