@@ -72,3 +72,37 @@ def test_bucketed_groupby_on_bucket_key_no_shuffle(spark, bucketed_tables):
         F.sum("l_quantity").alias("q")
     )
     assert count_key_exchanges(agg) == 0, simple_plan(agg)
+
+
+def test_bucketed_changelog_cdc_apply_no_shuffle(spark, tmp_path_factory):
+    """The CDC 100 TB endgame: a curated change-log written bucketed by
+    the key makes apply_changes (window latest-per-key) shuffle-free —
+    the scan's bucket layout satisfies the window's required hash
+    distribution, so replica maintenance costs a sorted scan, not a
+    full-corpus exchange."""
+    import datetime as dt
+
+    from cdc_kafka_project_spark.operators import cdc
+    from cdc_kafka_project_spark.schemas import EMP_CDC_SCHEMA
+    from tests.test_cdc_golden import golden_rows
+
+    base = tmp_path_factory.mktemp("bucketed_log")
+    log = spark.createDataFrame(golden_rows(), EMP_CDC_SCHEMA)
+    spark.sql("DROP TABLE IF EXISTS b_emp_cdc")
+    (
+        log.write.bucketBy(N_BUCKETS, "emp_id")
+        .sortBy("emp_id")
+        .option("path", str(base / "b_emp_cdc"))
+        .mode("overwrite")
+        .saveAsTable("b_emp_cdc")
+    )
+    try:
+        valid, _ = cdc.validate_split(
+            spark.table("b_emp_cdc"), cdc.employee_invalid_predicate()
+        )
+        replica = cdc.apply_changes(valid)
+        assert count_key_exchanges(replica) == 0, simple_plan(replica)
+        rows = replica.collect()
+        assert len(rows) == 1 and rows[0].emp_id == 2  # Emma survives
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_emp_cdc")
