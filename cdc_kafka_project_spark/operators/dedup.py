@@ -153,70 +153,84 @@ def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+#: Polynomial shingle-hash parameters (same family as text.winnowing's
+#: rolling hash: all intermediates < 2^62, int64-exact, reproducible on
+#: any engine — no Spark-specific hash in the signature math).
+SHINGLE_B = 1_000_003
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n: int = 3, num_perm: int = 64
 ) -> DataFrame:
     """(doc_id, sig array<int>) MinHash signatures over word shingles.
 
-    **Zero-shuffle.** A MinHash signature is a per-document value, so it
-    never needed the explode + groupBy(doc_id) round trip: distinct
-    shingles, their base hashes, and each permutation's min are all
-    array expressions evaluated row-local inside codegen —
-    ``array_min(transform(hashes, h -> (h*a + b) mod p))`` per
-    permutation. The corpus is touched exactly once, map-only; the only
-    shuffle in the whole LSH pipeline is the band equi-join that needs
-    to move data anyway. Same math as the exploded formulation
-    (xxhash64 mod p, affine permutations, column-wise min) — identical
-    signatures, one less full-corpus exchange.
+    **Zero-shuffle, one Arrow pass.** A MinHash signature is a
+    per-document value, so the whole computation — whitespace
+    tokenize, n-gram shingles, shingle hash, per-permutation min —
+    runs inside a single mapInPandas kernel: per document, token
+    hashes fold into shingle hashes with a polynomial combine
+    (``h = h*B + tok_hash mod p``, int64-exact, engine-independent —
+    the earlier formulation's JVM ``concat_ws``/``xxhash64`` transform
+    lambdas evaluated *interpreted*, re-walking every token array
+    several times per row), then the distinct shingles hit the
+    ``(|shingles| x num_perm)`` affine-min matmul. The corpus is
+    touched exactly once, map-only; the only shuffle in the whole LSH
+    pipeline is the band equi-join that needs to move data anyway.
 
     Docs with fewer than ``n`` words have no shingle set and are
-    dropped (filter, not shuffle).
+    dropped.
     """
     from cdc_kafka_project_spark.functions import spread
 
-    coeffs = _perm_coeffs(num_perm)
-    refs = ", ".join(f"__ws[i + {k}]" for k in range(n))
-    words = df.select("doc_id", tokens(text_col).alias("__ws")).filter(
-        F.size("__ws") >= n
-    )
-    words = spread(words)
-    shingles = F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, size(__ws) - {n}), i -> concat_ws(' ', {refs}))"
-        )
-    )
-    hashes = F.transform(
-        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
-    )
-
     import numpy as np
 
+    coeffs = _perm_coeffs(num_perm)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    # The num_perm affine mins are Arrow-vectorized: one
-    # (|shingles| x num_perm) int64 pass per document. All values stay
-    # < 2^62 (h, a, b < 2^31), so numpy int64 math is exact and equal
-    # to the JVM expression it replaces — which evaluated num_perm
-    # interpreted transforms per row (~64M interpreted lambda calls
-    # over the sf0.1 corpus). Shingle base hashes stay JVM-side:
-    # xxhash64 is Spark's.
-    @F.pandas_udf("array<int>")
-    def sig_pd(hs):  # pd.Series[np.ndarray[int64]] -> pd.Series[list[int]]
+    def fn(batches):
         import pandas as pd
 
-        out = []
-        for h in hs:
-            hh = np.asarray(h, dtype=np.int64)
-            s = ((hh[:, None] * A[None, :] + B[None, :]) % MERSENNE_P).min(
-                axis=0
-            )
-            out.append(s.astype(np.int32))
-        return pd.Series(out)
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                ws = text.strip().split() if text and text.strip() else []
+                if len(ws) < n:
+                    continue
+                # per-token polynomial hash (chars folded, mod p), then
+                # shingle hash = tokens folded with SHINGLE_B — two
+                # nested folds, everything < 2^62 so int64 is exact
+                th = np.fromiter(
+                    (
+                        _py_token_hash(w)
+                        for w in ws
+                    ),
+                    dtype=np.int64,
+                    count=len(ws),
+                )
+                npos = len(ws) - n + 1
+                sh = np.zeros(npos, dtype=np.int64)
+                for k in range(n):
+                    sh = (sh * SHINGLE_B + th[k : k + npos]) % MERSENNE_P
+                hh = np.unique(sh)
+                s = (
+                    (hh[:, None] * A[None, :] + B[None, :]) % MERSENNE_P
+                ).min(axis=0)
+                ids.append(int(did))
+                sigs.append(s.astype(np.int32))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return words.select("doc_id", hashes.alias("__hs")).select(
-        "doc_id", sig_pd(F.col("__hs")).alias("sig")
-    )
+    src = spread(df.select("doc_id", text_col))
+    return src.mapInPandas(fn, "doc_id long, sig array<int>")
+
+
+def _py_token_hash(w: str, b: int = 257, p: int = MERSENNE_P) -> int:
+    """Polynomial char hash (acc*b + ord(c) mod p) — matches the
+    winnowing rolling-hash family; pure-Python ints never overflow."""
+    acc = 0
+    for ch in w:
+        acc = (acc * b + ord(ch)) % p
+    return acc
 
 
 def minhash_lsh_candidates(
