@@ -340,3 +340,60 @@ def pack_sequences(
     return src.mapInPandas(
         fn, f"{id_col} long, n_tokens long, pack_id long, pack_seq long"
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count, type-token ratio, and the share of the most
+    frequent token. Highly repetitive machine text scores low TTR /
+    high top-share and gets gated before training.
+
+    One Arrow pass (token Counter per doc), map-only — the JVM array
+    formulation needs an O(tokens^2) interpreted filter per row to
+    find the top count. Empty docs emit n_tokens = 0 with NULL ratios.
+    """
+    from cdc_kafka_project_spark.functions import spread
+
+    def fn(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                ws = (
+                    text.strip().lower().split()
+                    if text and text.strip()
+                    else []
+                )
+                n = len(ws)
+                if n == 0:
+                    rows.append((int(did), 0, 0, None, None))
+                    continue
+                c = Counter(ws)
+                rows.append(
+                    (
+                        int(did),
+                        n,
+                        len(c),
+                        len(c) / n,
+                        max(c.values()) / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_tokens",
+                    "n_distinct_tokens",
+                    "type_token_ratio",
+                    "top_token_share",
+                ],
+            )
+
+    return spread(df.select("doc_id", text_col)).mapInPandas(
+        fn,
+        "doc_id long, n_tokens long, n_distinct_tokens long, "
+        "type_token_ratio double, top_token_share double",
+    )

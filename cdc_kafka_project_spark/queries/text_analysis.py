@@ -244,3 +244,37 @@ def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     check pins total coverage; fill/overflow invariants are pinned in
     tests/test_text.py."""
     return text_ops.pack_sequences(_docs(spark, sf_dir), budget=2048)
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, trim(lower(text)) AS t FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        FROM base WHERE t <> ''
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(MAX(c) AS BIGINT) AS top_cnt
+        FROM cnt GROUP BY 1
+    )
+    SELECT b.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+           a.n_distinct_tokens / CAST(a.n_tokens AS DOUBLE)
+               AS type_token_ratio,
+           a.top_cnt / CAST(a.n_tokens AS DOUBLE) AS top_token_share
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (type-token ratio, top-token share)
+    per document — one Arrow map pass; the oracle recomputes via
+    explode + group."""
+    return text_ops.repetition_stats(_docs(spark, sf_dir))

@@ -82,6 +82,7 @@ _GATE_PRIORITY: list[str] = [
     "source_quota_sample",
     "doc_chunks",
     "doc_pack_assignments",
+    "doc_repetition_stats",
     "dedup_exact_groups",
     "dedup_exact_keep",
     "dedup_ngram_jaccard",

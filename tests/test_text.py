@@ -145,3 +145,23 @@ def test_sketch_accuracy_vs_exact(spark):
         exact = getattr(row, f"exact_{p}")
         approx = getattr(row, f"approx_{p}")
         assert abs(approx - exact) / max(abs(exact), 1e-9) <= 0.05, (p, approx, exact)
+
+
+def test_repetition_stats(spark):
+    """TTR/top-share on hand-computable docs; empty docs yield zero
+    counts with NULL ratios."""
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # TTR 0.25, top share 1.0
+            (2, "one two three four"), # TTR 1.0, top share 0.25
+            (3, ""),
+            (4, "The the THE x"),      # case-folded: the x -> 2 distinct
+        ],
+        DOC_SCHEMA,
+    )
+    got = {r.doc_id: r for r in tx.repetition_stats(df).collect()}
+    assert got[1].n_tokens == 4 and got[1].n_distinct_tokens == 1
+    assert got[1].type_token_ratio == 0.25 and got[1].top_token_share == 1.0
+    assert got[2].type_token_ratio == 1.0 and got[2].top_token_share == 0.25
+    assert got[3].n_tokens == 0 and got[3].type_token_ratio is None
+    assert got[4].n_distinct_tokens == 2 and got[4].top_token_share == 0.75
