@@ -155,3 +155,41 @@ def test_connected_components_match_union_find(spark, pairs):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r.doc_id: r.component for r in connected_components(df).collect()}
     assert got == _components_ref(pairs)
+
+
+# -- snapshot_diff: replaying the diff reconstructs the new snapshot --------
+
+snapshot = st.dictionaries(
+    st.integers(0, 9),                      # key
+    st.tuples(st.integers(-5, 5),           # val (small range -> collisions)
+              st.one_of(st.none(), st.text("ab", max_size=2))),
+    max_size=10,
+)
+
+
+@given(old=snapshot, new=snapshot)
+@settings(**SETTINGS)
+def test_snapshot_diff_replay_reconstructs_new(spark, old, new):
+    """diff(old, new) replayed onto old == new, for any pair of
+    snapshots (incl. NULL values and empty sides) — the round-trip law
+    that makes trigger-less capture trustworthy."""
+    schema = "id long, val int, tag string"
+    old_df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in old.items()], schema
+    )
+    new_df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in new.items()], schema
+    )
+    diff = cdc.snapshot_diff(old_df, new_df, ["id"]).collect()
+    state = dict(old)
+    for r in diff:
+        if r.action == "delete":
+            state.pop(r.id, None)
+        else:
+            state[r.id] = (r.val, r.tag)
+    assert state == new
+    # and the diff is minimal: unchanged keys never appear
+    touched = {r.id for r in diff}
+    for k in set(old) & set(new):
+        if old[k] == new[k]:
+            assert k not in touched
