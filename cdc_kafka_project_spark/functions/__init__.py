@@ -135,6 +135,25 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+def _parse_byte_size(raw: str) -> int:
+    """Parse a Spark byte-size string ('128m', '1g', '64k', '134217728b',
+    bare digits) into bytes, matching JavaUtils.byteStringAsBytes. Falls
+    back to the 128 MiB default on anything unrecognizable."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", raw)
+    if not m:
+        return 134217728
+    mult = {
+        "": 1, "b": 1,
+        "k": 1 << 10, "kb": 1 << 10,
+        "m": 1 << 20, "mb": 1 << 20,
+        "g": 1 << 30, "gb": 1 << 30,
+        "t": 1 << 40, "tb": 1 << 40,
+    }.get(m.group(2).lower())
+    return int(m.group(1)) * mult if mult else 134217728
+
+
 def spread(df, *cols):
     """Repartition up to the session's default parallelism when the
     input scan would produce fewer splits.
@@ -165,7 +184,7 @@ def spread(df, *cols):
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
     raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    max_bytes = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    max_bytes = _parse_byte_size(str(raw))
     splits = 0
     for f in files:
         path = f.removeprefix("file:")

@@ -163,18 +163,23 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in data_cols],
+        F.lit(True).alias("__in_new"),
     )
+    # eqNullSafe so a NULL key component matches its NULL counterpart;
+    # presence comes from explicit markers, not key-null-ness, so rows
+    # with NULL keys are still classified correctly.
     cond = None
     for k in keys:
-        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
     changed = None
     for c in data_cols:
         ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

@@ -26,6 +26,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from cdc_kafka_project_spark.functions import tokens
+from cdc_kafka_project_spark.operators.text import py_tokens
 
 MERSENNE_P = (1 << 31) - 1
 
@@ -194,7 +195,7 @@ def minhash_signatures(
         for pdf in batches:
             ids, sigs = [], []
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
-                ws = text.strip().split() if text and text.strip() else []
+                ws = py_tokens(text)  # ASCII-\s+, == tokens()/oracle split
                 if len(ws) < n:
                     continue
                 # per-token polynomial hash (chars folded, mod p), then

@@ -191,7 +191,7 @@ def training_sample(
     n = embeddings.count()
     if n <= max_train:
         return embeddings
-    m = max(2, n // max_train)
+    m = max(2, -(-n // max_train))  # ceil: expected sample <= max_train
     return embeddings.filter(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
     )
@@ -316,12 +316,59 @@ def read_model(path: str) -> dict:
         return json.load(f)
 
 
-def index_exists(path: str) -> bool:
+def corpus_fingerprint(df: DataFrame, params: dict) -> str | None:
+    """Identity of (source files, build params) for index staleness
+    checks: sorted (path, size, mtime) of the scan's input files hashed
+    together with the build parameters — pure metadata, no data pass.
+    Returns None for non-file inputs (in-memory test frames), which
+    callers treat as "cannot validate → rebuild"."""
+    import hashlib
+    import json
     import os
 
-    return os.path.exists(_model_path(path)) and os.path.exists(
-        os.path.join(path, "_SUCCESS")
-    )
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    ent = []
+    for f in sorted(files):
+        p = f.removeprefix("file:")
+        try:
+            st = os.stat(p)
+            ent.append([f, st.st_size, int(st.st_mtime_ns)])
+        except OSError:
+            ent.append([f, -1, -1])
+    blob = json.dumps({"files": ent, "params": params}, sort_keys=True)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+_NO_FP = object()  # "don't validate" — distinct from fingerprint=None
+
+
+def index_exists(path: str, fingerprint=_NO_FP) -> bool:
+    """True iff a complete index lives at ``path`` AND (when a
+    fingerprint argument is supplied) it was built from the same source
+    files and parameters. A mismatched or ``None`` fingerprint (non-file
+    input, so identity can't be established) fails the check, so
+    regenerated data or changed params force a rebuild instead of
+    silently serving stale results."""
+    import os
+
+    if not (
+        os.path.exists(_model_path(path))
+        and os.path.exists(os.path.join(path, "_SUCCESS"))
+    ):
+        return False
+    if fingerprint is _NO_FP:
+        return True
+    if fingerprint is None:
+        return False
+    try:
+        return read_model(path).get("fingerprint") == fingerprint
+    except Exception:
+        return False
 
 
 def build_lsh_index(
@@ -334,6 +381,9 @@ def build_lsh_index(
     sign-pattern buckets, written parquet ``partitionBy("__bucket")``
     (≤ 2^n_planes directories). Map-only + one partitioned write; the
     hyperplane model rides alongside as JSON."""
+    fp = corpus_fingerprint(
+        embeddings, {"kind": "lsh", "n_planes": n_planes, "seed": seed}
+    )
     dim = int(embeddings.select(F.size("embedding")).head()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     (
@@ -349,7 +399,25 @@ def build_lsh_index(
         .partitionBy("__bucket")
         .parquet(path)
     )
-    _write_model(path, {"kind": "lsh", "n_planes": n_planes, "planes": planes})
+    _write_model(
+        path,
+        {"kind": "lsh", "n_planes": n_planes, "planes": planes,
+         "fingerprint": fp},
+    )
+
+
+def ensure_lsh_index(
+    embeddings: DataFrame, path: str, n_planes: int = 8, seed: int = 42
+) -> None:
+    """Build the LSH index iff absent OR stale (source files or params
+    changed since it was written) — the single check+build definition
+    the query layer uses. Single-writer per path is assumed (concurrent
+    builders would race the overwrite)."""
+    fp = corpus_fingerprint(
+        embeddings, {"kind": "lsh", "n_planes": n_planes, "seed": seed}
+    )
+    if not index_exists(path, fp):
+        build_lsh_index(embeddings, path, n_planes=n_planes, seed=seed)
 
 
 def probe_lsh_index(
@@ -398,6 +466,11 @@ def build_ivf_index(
     bounded sample (``kmeans_centroids``), assign every vector to its
     inverted list, write parquet ``partitionBy("cid")`` with the
     centroid model alongside."""
+    fp = corpus_fingerprint(
+        embeddings,
+        {"kind": "ivf", "k": k_centroids, "iters": iters,
+         "max_train": max_train},
+    )
     centroids = kmeans_centroids(
         embeddings, k=k_centroids, iters=iters, max_train=max_train
     )
@@ -408,7 +481,28 @@ def build_ivf_index(
         .partitionBy("cid")
         .parquet(path)
     )
-    _write_model(path, {"kind": "ivf", "centroids": centroids})
+    _write_model(path, {"kind": "ivf", "centroids": centroids,
+                        "fingerprint": fp})
+
+
+def ensure_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    k_centroids: int = 16,
+    iters: int = 5,
+    max_train: int = 100_000,
+) -> None:
+    """Build the IVF index iff absent or stale — see ensure_lsh_index."""
+    fp = corpus_fingerprint(
+        embeddings,
+        {"kind": "ivf", "k": k_centroids, "iters": iters,
+         "max_train": max_train},
+    )
+    if not index_exists(path, fp):
+        build_ivf_index(
+            embeddings, path, k_centroids=k_centroids, iters=iters,
+            max_train=max_train,
+        )
 
 
 def probe_ivf_index(

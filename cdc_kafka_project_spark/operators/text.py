@@ -15,9 +15,31 @@ scan never crosses into Python row-at-a-time. The operators:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from cdc_kafka_project_spark.functions import token_count, tokens
+
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Python twin of ``functions.tokens`` with identical semantics on
+    ANY input: trim ASCII spaces (= Spark/DuckDB ``trim``), then split
+    on ASCII ``\\s+`` (Java regex ``\\s`` is ASCII-only — plain
+    ``str.split()`` treats \\xa0/\\u2028 as separators and would
+    diverge). Edge empty fields are kept: Spark's ``split`` uses
+    limit=-1 and DuckDB's ``regexp_split_to_array`` agrees. Every
+    Python-side tokenizer (language ID, MinHash shingles, repetition
+    stats) must go through this so token counts agree with the JVM and
+    oracle tiers."""
+    if not text:
+        return []
+    t = text.strip(" ")
+    if not t:
+        return []
+    return _WS_ASCII.split(t)
 
 #: Tiny per-language function-word lexicons for the language-ID
 #: heuristic. Deliberately small + lowercase; real deployments swap in a
@@ -153,8 +175,8 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         for t in texts:
             counts = [0] * len(langs)
             if t:
-                # whitespace tokenization == functions.tokens (\s+ split)
-                for tok in t.lower().split():
+                # ASCII-\s+ tokenization, identical to functions.tokens
+                for tok in py_tokens(t.lower()):
                     for li in word2lang.get(tok, ()):
                         counts[li] += 1
             m = max(counts)
@@ -362,11 +384,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
-                ws = (
-                    text.strip().lower().split()
-                    if text and text.strip()
-                    else []
-                )
+                ws = py_tokens(text.lower()) if text else []
                 n = len(ws)
                 if n == 0:
                     rows.append((int(did), 0, 0, None, None))

@@ -88,8 +88,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qv = sim.query_vector(emb, QUERY_VEC_ID)
     path = _index_dir(sf_dir, "lsh_p8")
-    if not sim.index_exists(path):
-        sim.build_lsh_index(emb, path, n_planes=8)
+    # fingerprint-checked: regenerated source data forces a rebuild
+    sim.ensure_lsh_index(emb, path, n_planes=8)
     return sim.probe_lsh_index(spark, path, qv, k=TOP_K, probe_hamming=1)
 
 
@@ -116,8 +116,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qv = sim.query_vector(emb, QUERY_VEC_ID)
     path = _index_dir(sf_dir, "ivf_k16")
-    if not sim.index_exists(path):
-        sim.build_ivf_index(emb, path, k_centroids=16, iters=2, max_train=512)
+    # fingerprint-checked: regenerated source data forces a rebuild
+    sim.ensure_ivf_index(emb, path, k_centroids=16, iters=2, max_train=512)
     return sim.probe_ivf_index(spark, path, qv, k=TOP_K, nprobe=4)
 
 

@@ -243,6 +243,11 @@ class EmbeddedLog:
             .filter(F.col("offset") >= commit_expr)
             .orderBy("partition", "offset")
             .limit(max_messages)
+            # Pin the delivered set NOW: the poll window must not shift if a
+            # producer appends between poll and commit (commit() aggregates
+            # this same DataFrame — re-scanning the log would advance offsets
+            # past records the consumer never received).
+            .localCheckpoint(eager=True)
         )
         self._register(group, member)
         return batch

@@ -60,12 +60,16 @@ def decode_envelope(raw: DataFrame, value_schema: StructType) -> DataFrame:
     return parsed.select("key", payload, "raw_value", *meta)
 
 
-def encode_envelope(df: DataFrame, key_col: str) -> DataFrame:
+def encode_envelope(df: DataFrame, key_col: str, passthrough=()) -> DataFrame:
     """Typed columns -> Kafka record (producer.py:62-71): JSON value,
-    stringified primary key."""
+    stringified primary key. ``passthrough``: extra Columns carried
+    alongside the envelope (e.g. a transport ordering column) — this is
+    the single definition of the wire format; every write path must go
+    through it."""
     return df.select(
         F.col(key_col).cast("string").alias("key"),
         F.to_json(F.struct(*df.columns)).alias("value"),
+        *passthrough,
     )
 
 
@@ -122,13 +126,13 @@ def write_keyed_stream(
     producer's ORDER BY last_updated_at (producer.py:34); a real
     broker gets this from single-producer send order."""
     if transport is not None:
-        encoded = encode_envelope(df, key_col)
-        if order_col is not None:
-            encoded = df.select(
-                F.col(key_col).cast("string").alias("key"),
-                F.to_json(F.struct(*df.columns)).alias("value"),
-                F.col(order_col).alias("__order"),
-            )
+        encoded = encode_envelope(
+            df,
+            key_col,
+            passthrough=()
+            if order_col is None
+            else (F.col(order_col).alias("__order"),),
+        )
         return transport.write_stream(
             encoded,
             topic,

@@ -163,3 +163,28 @@ def test_snapshot_diff_emits_trigger_events(spark):
 
     with _pt.raises(ValueError):
         snapshot_diff(old, new.select("id", "val", "name"), ["id"])
+
+
+def test_snapshot_diff_null_keys(spark):
+    """NULL key components must behave like values, not vanish: a
+    NULL-key row present unchanged in both snapshots emits nothing; a
+    NULL-key row only in old emits a delete with the OLD image (the
+    old formulation joined with == and tested key-null-ness for
+    presence, so such rows surfaced as spurious inserts)."""
+    from cdc_kafka_project_spark.operators.cdc import snapshot_diff
+
+    schema = "k1 int, k2 int, val string"
+    old = spark.createDataFrame(
+        [(1, None, "same"), (2, None, "gone"), (3, 3, "x")], schema
+    )
+    new = spark.createDataFrame(
+        [(1, None, "same"), (3, 3, "x"), (None, 9, "born")], schema
+    )
+    got = {
+        (r.k1, r.k2): r for r in snapshot_diff(old, new, ["k1", "k2"]).collect()
+    }
+    assert set(got) == {(2, None), (None, 9)}
+    assert got[(2, None)].action == "delete"
+    assert got[(2, None)].val == "gone"  # OLD image on delete
+    assert got[(None, 9)].action == "insert"
+    assert got[(None, 9)].val == "born"

@@ -210,3 +210,31 @@ def test_full_pipeline_corrupt_payload_routes_to_dlq(spark, tmp_path, log):
     assert len(dlq) == 1
     assert bytes(dlq[0].key).decode() == "13"
     assert bytes(dlq[0].value).decode() == "{not json"  # original payload
+
+
+def test_commit_pinned_to_delivered_batch_despite_interleaved_publish(
+    spark, log
+):
+    """A publish between poll and commit must not shift the committed
+    window: commit advances only past records the consumer actually
+    received (the old lazy re-scan re-evaluated orderBy+limit over the
+    grown log and skipped undelivered records)."""
+    log.create_topic("t", num_partitions=1)
+    df = spark.createDataFrame(
+        [("k", f"v{i}") for i in range(4)], "key string, value string"
+    )
+    log.publish(df, "t", order_col="value")
+    batch = log.poll(spark, "t", "g", max_messages=4)
+    delivered = {bytes(r.value).decode() for r in batch.collect()}
+    assert delivered == {"v0", "v1", "v2", "v3"}
+    # producer appends AFTER the poll but BEFORE the commit
+    more = spark.createDataFrame(
+        [("k", f"v{i}") for i in range(4, 8)], "key string, value string"
+    )
+    log.publish(more, "t", order_col="value")
+    log.commit("g", "t", batch)
+    rest = {
+        bytes(r.value).decode()
+        for r in log.poll(spark, "t", "g", max_messages=100).collect()
+    }
+    assert rest == {"v4", "v5", "v6", "v7"}  # nothing lost, nothing re-read

@@ -236,3 +236,60 @@ def test_ivf_index_partitions_corpus(corpus):
     assert index.count() == emb.count()
     assert index.filter(F.col("cid").isNull()).count() == 0
     assert index.select("cid").distinct().count() <= 8
+
+
+def test_training_sample_expected_size_within_max_train(corpus, spark):
+    """m must be ceil(n / max_train): with n=213 and max_train=73
+    (ratio 2.92) the modulus is 3 (expected ~71 rows) — the old floor
+    gave 2 (expected ~106, a 45% overshoot of the documented bound)."""
+    emb, _ = corpus
+    n = emb.count()
+    assert n == 213
+    got = sim.training_sample(emb, max_train=73).count()
+    assert got <= 90, f"sample {got} exceeds ceil-bound expectation"
+
+
+def test_index_fingerprint_staleness_forces_rebuild(spark, tmp_path):
+    """ensure_lsh_index: rebuilds when the source parquet changes,
+    skips the rebuild when it hasn't (fingerprint = file identity +
+    params). Silently serving an index built from old data is the bug
+    this pins."""
+    import os
+    import time
+
+    src = str(tmp_path / "emb.parquet")
+    idx = str(tmp_path / "lsh")
+    rng = random.Random(3)
+    rows = [(i, _unit(rng)) for i in range(40)]
+    spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    emb = spark.read.parquet(src)
+    sim.ensure_lsh_index(emb, idx, n_planes=4)
+    model_file = os.path.join(idx, "_ann_model.json")
+    t0 = os.path.getmtime(model_file)
+
+    sim.ensure_lsh_index(spark.read.parquet(src), idx, n_planes=4)
+    assert os.path.getmtime(model_file) == t0  # unchanged source: no rebuild
+
+    time.sleep(0.05)  # ensure distinguishable mtime on rewrite
+    rows2 = [(i, _unit(rng)) for i in range(40)]
+    spark.createDataFrame(rows2, EMB_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    emb2 = spark.read.parquet(src)
+    sim.ensure_lsh_index(emb2, idx, n_planes=4)
+    assert os.path.getmtime(model_file) > t0  # changed source: rebuilt
+
+    # changed params also rebuild
+    t1 = os.path.getmtime(model_file)
+    time.sleep(0.05)
+    sim.ensure_lsh_index(emb2, idx, n_planes=5)
+    assert os.path.getmtime(model_file) > t1
+
+    # in-memory input can't be fingerprinted -> conservative rebuild
+    assert sim.corpus_fingerprint(
+        spark.createDataFrame(rows, EMB_SCHEMA), {"kind": "lsh"}
+    ) is None
+    assert sim.index_exists(idx, None) is False

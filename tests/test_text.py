@@ -165,3 +165,56 @@ def test_repetition_stats(spark):
     assert got[2].type_token_ratio == 1.0 and got[2].top_token_share == 0.25
     assert got[3].n_tokens == 0 and got[3].type_token_ratio is None
     assert got[4].n_distinct_tokens == 2 and got[4].top_token_share == 0.75
+
+
+def test_py_tokens_matches_jvm_tokens_on_unicode_whitespace(spark):
+    """py_tokens must agree with functions.tokens on inputs where
+    str.split() diverges: \xa0/  are Unicode whitespace to Python
+    but NOT to Java's ASCII \s, and Spark's split(limit=-1) keeps edge
+    empty fields. Every Python-side tokenizer routes through py_tokens, so
+    this parity is what keeps lang_id/minhash/repetition counts
+    consistent with the JVM and DuckDB tiers."""
+    from cdc_kafka_project_spark.functions import tokens
+    from cdc_kafka_project_spark.operators.text import py_tokens
+
+    cases = [
+        "plain ascii words",
+        "nbsp\xa0joined",            # NBSP is NOT a separator in \s
+        "line sep",             # U+2028 likewise
+        "tab\tand\nnewline",
+        "  leading spaces",
+        "trailing spaces   ",
+        "trailing tab\t",
+        "",
+        " ",
+        "\xa0",                      # lone NBSP: one 1-char token
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i int, t string")
+    jvm = {
+        r.i: list(r.toks)
+        for r in df.select("i", tokens("t").alias("toks")).collect()
+    }
+    for i, t in enumerate(cases):
+        assert py_tokens(t) == jvm[i], (
+            f"divergence on {t!r}: py={py_tokens(t)} jvm={jvm[i]}"
+        )
+    assert py_tokens(None) == []
+
+
+def test_parse_byte_size_suffixes():
+    """spread()'s maxPartitionBytes parse must honor size-unit
+    multipliers — '128m' is 128 MiB, not 128 bytes (which disabled
+    spread() entirely for sessions configured with suffixed values)."""
+    from cdc_kafka_project_spark.functions import _parse_byte_size
+
+    assert _parse_byte_size("134217728b") == 134217728
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("128MB") == 128 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("64k") == 64 << 10
+    assert _parse_byte_size("2t") == 2 << 40
+    # unrecognizable -> safe default, never a tiny denominator
+    assert _parse_byte_size("garbage") == 134217728
+    assert _parse_byte_size("12xyz") == 134217728
