@@ -261,3 +261,69 @@ def compact_log(
     if retain_deletes:
         return latest
     return latest.filter(F.col(action_col) != F.lit(delete_action))
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str = "last_updated_at",
+    valid_to_col: str = "valid_to_ts",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 view of a change log: every
+    change event opens a version row; the version closes when the next
+    event for the same key arrives (``valid_to_ts`` = that event's
+    time, NULL = still current).
+
+    The reference's apply path (consumer.py:80-88) overwrites rows in
+    place, destroying history; SCD2 is the auditable variant every
+    warehouse asks of a CDC engine. The event's own ``ts_col`` is the
+    version's valid-from; ``order_cols`` must end in a total per-key
+    tiebreaker (log position) exactly as ``latest_per_key`` requires.
+
+    Cost: one hash shuffle on the key + a per-key sorted window — the
+    same partitioning the apply step uses, so a pipeline computing both
+    shares a single exchange.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    nxt = F.lead(ts_col).over(w)
+    return df.withColumn(valid_to_col, nxt).withColumn(
+        current_col, nxt.isNull()
+    )
+
+
+def merge_agg_states(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental maintenance of a keyed aggregate: combine a
+    materialized aggregate state with the aggregate of a new change
+    batch, key-aligned, without re-aggregating history.
+
+    Both inputs carry the same schema (keys + partial-aggregate
+    columns, which must be associative: counts, DECIMAL sums, min/max).
+    Keys present in one side pass through; keys in both add their
+    partials (NULL-safe). This is Project 1's running total
+    (``ON CONFLICT DO UPDATE ... + salary``, pdf p.4-6) generalized to
+    any associative state — and the reason the engine never needs to
+    rescan 100 TB of history to refresh a dashboard: the join's base
+    side is |keys|, the delta side is |changed keys| (broadcast-small
+    in steady state; AQE picks the broadcast automatically).
+    """
+    keys = list(key_cols)
+    d = delta.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in sum_cols],
+    )
+    j = base.join(d, keys, "full_outer")
+    zero = F.lit(0)
+    out = [
+        (
+            F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"__d_{c}"), zero)
+        ).alias(c)
+        for c in sum_cols
+    ]
+    return j.select(*keys, *out)

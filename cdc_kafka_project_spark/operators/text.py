@@ -415,3 +415,68 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id long, n_tokens long, n_distinct_tokens long, "
         "type_token_ratio double, top_token_share double",
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per document by tf-idf.
+
+    idf uses the *rational* form (N+1)/(df+1) rather than its log:
+    ranking within a fixed tf is identical (log is monotone), and the
+    score stays inside IEEE +,*,/ arithmetic, which is bit-deterministic
+    across engines — ln() is the one op whose last ulp differs between
+    libms, and a 1-ulp flip at a rank boundary would make the answer
+    engine-dependent. Output score is that ratio rounded to 6 places.
+
+    Shape at scale: the explode fan-out is absorbed map-side by the
+    (doc, word) partial count; the df join shuffles |vocab| rows, not
+    |tokens|; N joins in as a broadcast single row; the final top-k is
+    a per-doc window over ≤|distinct words in doc| rows.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(tokens(text_col), lambda t: F.lower(t))
+        ).alias("word"),
+    )
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    score = (F.col("tf") * (F.col("__n") + F.lit(1.0))) / (
+        F.col("df") + F.lit(1.0)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), "word")
+    return (
+        tf.join(dfreq, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            id_col, "word", "tf", "df",
+            F.round("__score", 6).alias("score"),
+        )
+    )
+
+
+def word_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, bigram) pairs — adjacent lowercased token pairs, the
+    unit of n-gram LM statistics and of shingle-based copy detection.
+    Map-side only: tokenize, enumerate adjacent pairs inside the array
+    (no self-join), explode. Docs under 2 tokens emit nothing."""
+    lowered = F.transform(tokens(text_col), lambda t: F.lower(t))
+    d = df.select(F.col(id_col), lowered.alias("__ws")).filter(
+        F.size("__ws") >= 2
+    )
+    # sequence(1, n-1) is ascending only when n >= 2 — guaranteed by
+    # the filter above (Spark generates DESCENDING sequences otherwise)
+    pairs = F.expr(
+        "transform(sequence(1, size(__ws) - 1),"
+        " i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"
+    )
+    return d.select(F.col(id_col), F.explode(pairs).alias("bigram"))

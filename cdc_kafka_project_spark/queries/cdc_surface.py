@@ -326,3 +326,76 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(cu, new, key_cols=["c_custkey"])
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    SELECT user_id, event_id,
+           lower(event_type) AS action,
+           value,
+           strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER w, '{TS_FMT_DUCK}') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the change log: one version
+    row per change event with [valid_from, valid_to) intervals and an
+    is_current flag — the auditable alternative to the reference's
+    in-place UPDATE (consumer.py:80-88), which destroys history.
+    One keyed shuffle + per-key window (see operators.cdc.scd2_history).
+    """
+    ev = cdc.normalize_actions(_events(spark, sf_dir), "event_type")
+    hist = cdc.scd2_history(
+        ev, key_cols=["user_id"], order_cols=["ts", "event_id"], ts_col="ts"
+    )
+    return hist.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("action"),
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to_ts", TS_FMT_SPARK).alias("valid_to"),
+        "is_current",
+    )
+
+
+@query(
+    "cdc_incremental_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (Project 1's running total,
+    pdf p.4-6, generalized): the materialized per-user aggregate of
+    history (ts <= watermark) is REFRESHED by merging the aggregate of
+    only the new change batch (ts > watermark) — never by rescanning
+    history. The oracle is the full recompute; decimal partials make
+    merged-vs-recomputed bit-identical. At scale the delta side is
+    |changed keys| and broadcasts (operators.cdc.merge_agg_states)."""
+    ev = _events(spark, sf_dir)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("total_value"),
+        )
+
+    base = agg(ev.filter(F.col("ts") <= F.lit(WATERMARK)))
+    delta = agg(cdc.incremental_scan(ev, WATERMARK, ts_col="ts"))
+    merged = cdc.merge_agg_states(
+        base, delta, key_cols=["user_id"], sum_cols=["n_events", "total_value"]
+    )
+    return merged.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )

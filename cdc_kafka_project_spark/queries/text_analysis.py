@@ -278,3 +278,72 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document — one Arrow map pass; the oracle recomputes via
     explode + group."""
     return text_ops.repetition_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, word
+    ),
+    dfq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, word, tf, df, score FROM (
+        SELECT t.doc_id, t.word, t.tf, d.df,
+               ROUND(t.tf * (n.n_docs + 1.0) / (d.df + 1.0), 6) AS score,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * (n.n_docs + 1.0) / (d.df + 1.0) DESC,
+                            t.word
+               ) AS rn
+        FROM tf t JOIN dfq d USING (word) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (rational-idf
+    form — see operators.text.tfidf_top_terms for why the log is
+    omitted: IEEE-only arithmetic keeps the ranking bit-identical
+    across engines)."""
+    return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@query(
+    "word_bigrams_top100",
+    oracle=r"""
+    WITH words AS (
+        SELECT list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              w -> lower(w)) AS ws
+        FROM documents WHERE trim(text) <> ''
+    ),
+    bi AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM words WHERE len(ws) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 100
+    """,
+)
+def word_bigrams_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-100 — the n-gram LM statistic over
+    adjacent token pairs. Map-side pair enumeration inside the token
+    array (operators.text.word_bigrams: no self-join, no keyed
+    shuffle before the partial count); top-k is TakeOrderedAndProject."""
+    big = text_ops.word_bigrams(_docs(spark, sf_dir))
+    return (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(100)
+    )

@@ -120,6 +120,10 @@ _GATE_PRIORITY: list[str] = [
     "sketch_distinct_users",
     "sketch_percentiles",
     "cdc_snapshot_diff",
+    "cdc_scd2_history",
+    "cdc_incremental_agg",
+    "text_tfidf_top_terms",
+    "word_bigrams_top100",
     # -- tier 3: round-1-green core, re-checked as slots allow --
     "cdc_incremental_scan",
     "cdc_latest_state",

@@ -188,3 +188,59 @@ def test_snapshot_diff_null_keys(spark):
     assert got[(2, None)].val == "gone"  # OLD image on delete
     assert got[(None, 9)].action == "insert"
     assert got[(None, 9)].val == "born"
+
+
+def test_scd2_history_intervals_chain(spark):
+    """Versions chain: valid_to of version i equals valid_from of
+    version i+1, exactly one current version per key, count preserved."""
+    from cdc_kafka_project_spark.operators.cdc import scd2_history
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "insert", 10.0, 1),
+        (1, "2024-01-02 00:00:00", "update", 20.0, 2),
+        (1, "2024-01-03 00:00:00", "update", 30.0, 3),
+        (2, "2024-01-05 00:00:00", "insert", 5.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, action string, value double, seq int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(
+        df, key_cols=["user_id"], order_cols=["ts", "seq"], ts_col="ts"
+    ).collect()
+    assert len(hist) == 4
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.user_id, []).append(r)
+    v1 = sorted(by_key[1], key=lambda r: r.ts)
+    assert [r.is_current for r in v1] == [False, False, True]
+    assert v1[0].valid_to_ts == v1[1].ts and v1[1].valid_to_ts == v1[2].ts
+    assert v1[2].valid_to_ts is None
+    (v2,) = by_key[2]
+    assert v2.is_current and v2.valid_to_ts is None
+
+
+def test_merge_agg_states_equals_full_recompute(spark):
+    """Incremental refresh == full recompute, including keys that exist
+    only in the base, only in the delta, and in both."""
+    from cdc_kafka_project_spark.operators.cdc import merge_agg_states
+
+    full = spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7), (3, 1), (3, 2), (4, 9)],
+        "k int, v long",
+    )
+    old = full.filter(F.col("v") % 2 == 1)   # arbitrary split
+    new = full.filter(F.col("v") % 2 == 0)
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    merged = {
+        r.k: (r.n, r.s)
+        for r in merge_agg_states(
+            agg(old), agg(new), key_cols=["k"], sum_cols=["n", "s"]
+        ).collect()
+    }
+    want = {r.k: (r.n, r.s) for r in agg(full).collect()}
+    assert merged == want

