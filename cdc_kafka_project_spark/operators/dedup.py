@@ -470,3 +470,41 @@ def connected_components(
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("component")
     )
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination scan (the GPT-3/Llama-style n-gram
+    overlap check, public recipe): (doc_id, n_overlap) for every
+    training doc sharing at least one word ``n``-gram with the eval
+    corpus.
+
+    The eval side is the small one by construction (benchmarks are
+    KBs, the corpus is TBs): its distinct shingles broadcast, so the
+    100 TB side is ONE map pass — shingle, broadcast-hash-join, partial
+    count; no corpus shuffle. (At dedup.py's LSH tier the self-join
+    can't avoid shuffling signatures; here the asymmetry does better.)
+    """
+    t = word_shingles(train, text_col, n)
+    e = word_shingles(eval_df, text_col, n).select("shingle").distinct()
+    return (
+        t.join(F.broadcast(e), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Training corpus minus every doc flagged by ``contamination_hits``
+    — broadcast anti-join, same one-pass cost profile."""
+    hits = contamination_hits(train, eval_df, text_col, n).select("doc_id")
+    return train.join(F.broadcast(hits), "doc_id", "left_anti")

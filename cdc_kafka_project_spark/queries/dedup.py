@@ -185,3 +185,65 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame loop must land on the identical fixpoint."""
     prs = dd.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
     return dd.connected_components(prs.select("doc_a", "doc_b"))
+
+
+_DECON_N = 4  # shingle width: exercises real overlap on the synthetic corpus
+
+_DECON_SETUP = rf"""
+    train AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    ev AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    tsh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - {_DECON_N} + 2),
+                      i -> array_to_string(ws[i : i + {_DECON_N} - 1], ' ')))
+               AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM train WHERE trim(text) <> ''))),
+    esh AS (SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_transform(range(1, len(ws) - {_DECON_N} + 2),
+                      i -> array_to_string(ws[i : i + {_DECON_N} - 1], ' ')))
+               AS shingle
+        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM ev WHERE trim(text) <> ''))),
+    hits AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM tsh t WHERE t.shingle IN (SELECT shingle FROM esh)
+        GROUP BY t.doc_id)
+"""
+
+
+def _decon_split(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+
+
+@query(
+    "doc_contamination_hits",
+    oracle=f"WITH {_DECON_SETUP} SELECT doc_id, n_overlap FROM hits",
+)
+def doc_contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, flag tier: training docs sharing any
+    word 4-gram with the (tiny) eval split, with the distinct-shingle
+    overlap count. Eval shingles broadcast; the corpus side is one map
+    pass + partial count — no corpus shuffle (operators.dedup.
+    contamination_hits)."""
+    train, ev = _decon_split(spark, sf_dir)
+    return dd.contamination_hits(train, ev, n=_DECON_N)
+
+
+@query(
+    "doc_decontaminate",
+    oracle=f"""WITH {_DECON_SETUP}
+    SELECT doc_id, source FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, removal tier: the training corpus
+    with every contaminated doc anti-joined away (broadcast anti-join
+    on the flagged ids)."""
+    train, ev = _decon_split(spark, sf_dir)
+    return dd.decontaminate(train, ev, n=_DECON_N).select("doc_id", "source")

@@ -120,6 +120,8 @@ _GATE_PRIORITY: list[str] = [
     "sketch_distinct_users",
     "sketch_percentiles",
     "cdc_snapshot_diff",
+    "doc_contamination_hits",
+    "doc_decontaminate",
     "cdc_scd2_history",
     "cdc_incremental_agg",
     "text_tfidf_top_terms",

@@ -174,3 +174,28 @@ def test_exact_dedup_survives_hash_collisions(spark):
     )
     kept = sorted(r.doc_id for r in exact_dedup(df).collect())
     assert kept == [1, 3]  # trims agree on 'alpha'; 'beta' distinct
+
+
+def test_decontaminate_removes_exact_ngram_overlap(spark):
+    """A train doc sharing a 4-gram with the eval set is flagged with
+    the right overlap count and removed; disjoint docs survive."""
+    from cdc_kafka_project_spark.operators import dedup as dd
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares 2 4-grams
+            (2, "one two three four five six"),      # disjoint
+            (3, "tiny doc"),                         # < n tokens: never flagged
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_overlap for r in
+            dd.contamination_hits(train, ev, n=4).collect()}
+    # doc 1 windows: [alpha..delta], [beta..epsilon] — both in eval
+    assert hits == {1: 2}
+    clean = sorted(r.doc_id for r in dd.decontaminate(train, ev, n=4).collect())
+    assert clean == [2, 3]

@@ -157,3 +157,14 @@ def test_winnow_fingerprints_no_key_shuffle(spark, queries):
 
     df = _q(queries, spark, "doc_winnow_fingerprints")
     assert count_key_exchanges(df) == 0, plan_summary(df)
+
+
+def test_decontamination_broadcasts_eval_side(spark, queries):
+    """The eval corpus is the small side by construction: both the
+    flag join and the anti-join must broadcast it — a corpus-side
+    shuffle join here would be the 100 TB bottleneck."""
+    hits = _q(queries, spark, "doc_contamination_hits")
+    assert has_broadcast_join(hits)
+    clean = _q(queries, spark, "doc_decontaminate")
+    assert has_broadcast_join(clean)
+    assert not has_cartesian(hits) and not has_cartesian(clean)
