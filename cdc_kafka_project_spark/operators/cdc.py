@@ -309,9 +309,12 @@ def merge_agg_states(
     partials (NULL-safe). This is Project 1's running total
     (``ON CONFLICT DO UPDATE ... + salary``, pdf p.4-6) generalized to
     any associative state — and the reason the engine never needs to
-    rescan 100 TB of history to refresh a dashboard: the join's base
-    side is |keys|, the delta side is |changed keys| (broadcast-small
-    in steady state; AQE picks the broadcast automatically).
+    rescan 100 TB of history to refresh a dashboard: the merge touches
+    |keys| + |changed keys| rows, not |history|. The full-outer join
+    cannot broadcast (no Spark full-outer broadcast strategy); the
+    scale path is a co-partitioned merge — the base state is
+    materialized bucketed by key, so only the (tiny) delta shuffles
+    and the join itself is exchange-free on the base side.
     """
     keys = list(key_cols)
     d = delta.select(
