@@ -76,3 +76,40 @@ def jsonl_source(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def orc_source(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC scan — the second columnar format warehouses hand an engine.
+    Same contract as parquet_source: optional schema pin; predicate
+    pushdown and column pruning reach the stripe footers natively."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def avro_source(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Avro scan — the wire format most Kafka CDC deployments pair with
+    a schema registry. The Avro reader lives in the external
+    ``spark-avro`` module (not bundled with pip pyspark); this wrapper
+    raises a clear error when the jar is absent instead of Spark's
+    opaque ClassNotFound chain. Gate, not a stub: with
+    ``--packages org.apache.spark:spark-avro_2.13:<version>`` on a real
+    cluster the same call just works."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise NotImplementedError(
+                "spark-avro module not on the classpath (pip pyspark ships "
+                "without it); add org.apache.spark:spark-avro via "
+                "spark.jars.packages to enable avro_source"
+            ) from e
+        raise

@@ -12,6 +12,7 @@ end-to-end check against an independent implementation.
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from cdc_kafka_project_spark.operators import cdc
 from cdc_kafka_project_spark.operators.dedup import connected_components
@@ -193,3 +194,72 @@ def test_snapshot_diff_replay_reconstructs_new(spark, old, new):
     for k in set(old) & set(new):
         if old[k] == new[k]:
             assert k not in touched
+
+
+# -- scd2_history: versions partition the per-key timeline ------------------
+
+scd_events = st.lists(
+    st.tuples(st.integers(0, 3),            # key (few keys -> long chains)
+              st.integers(0, 50),           # ts (collisions exercised)
+              st.integers(-5, 5)),          # value
+    min_size=0,
+    max_size=14,
+)
+
+
+@given(rows=scd_events)
+@settings(**SETTINGS)
+def test_scd2_versions_chain_and_single_current(spark, rows):
+    """For any change log: per key, ordered versions chain exactly
+    (valid_to[i] == valid_from[i+1]), the last (and only the last)
+    version is current, and no event is lost or invented."""
+    events = [(k, t, v, i) for i, (k, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(events, "k long, t long, v long, seq long")
+    hist = cdc.scd2_history(
+        df, key_cols=["k"], order_cols=["t", "seq"], ts_col="t"
+    ).collect()
+    assert len(hist) == len(events)
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: (r.t, r.seq))
+        for a, b in zip(versions, versions[1:]):
+            assert not a.is_current
+            assert a.valid_to_ts == b.t
+        assert versions[-1].is_current and versions[-1].valid_to_ts is None
+
+
+# -- merge_agg_states: any base/delta split == full recompute ---------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-100, 100)),
+        max_size=20,
+    ),
+    pivot=st.integers(0, 20),
+)
+@settings(**SETTINGS)
+def test_merge_agg_states_split_invariant(spark, rows, pivot):
+    """Splitting a log at ANY point and merging the two aggregate
+    states reproduces the full recompute exactly — the associativity
+    contract incremental maintenance rests on."""
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, i long"
+    )
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    merged = cdc.merge_agg_states(
+        agg(df.filter(F.col("i") < pivot)),
+        agg(df.filter(F.col("i") >= pivot)),
+        key_cols=["k"],
+        sum_cols=["n", "s"],
+    )
+    got = {r.k: (r.n, r.s) for r in merged.collect()}
+    want = {r.k: (r.n, r.s) for r in agg(df).collect()}
+    assert got == want

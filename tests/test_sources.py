@@ -131,3 +131,30 @@ def test_jsonl_source_reads_and_routes_corrupt_lines(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert good == {1: "Alice", 2: "Bob"}
     assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+
+def test_orc_source_round_trip_with_pushdown(spark, tmp_path):
+    """ORC: schema'd scan round-trips and filters push to the scan."""
+    from cdc_kafka_project_spark.sources.files import orc_source
+
+    path = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(100)],
+        "id int, name string, v double",
+    ).write.orc(path)
+    df = orc_source(spark, path, "id int, name string, v double")
+    got = df.filter(F.col("id") >= 90).select("id").collect()
+    assert sorted(r.id for r in got) == list(range(90, 100))
+    plan = df.filter(F.col("id") >= 90)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,90)" in plan
+
+
+def test_avro_source_gated_with_clear_error(spark, tmp_path):
+    """Without the external spark-avro jar the wrapper must fail with
+    an actionable message, not a ClassNotFound chain."""
+    import pytest as _pytest
+
+    from cdc_kafka_project_spark.sources.files import avro_source
+
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        avro_source(spark, str(tmp_path / "nope"))
