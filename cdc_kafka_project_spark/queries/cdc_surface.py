@@ -399,3 +399,44 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+AS_OF = "2024-01-16 12:00:00"  # mid-history: the as-of state must differ
+                               # from the current replica or the query
+                               # proves nothing
+
+
+@query(
+    "cdc_time_travel",
+    oracle=f"""
+    SELECT user_id, last_action, last_value FROM (
+        SELECT user_id,
+               lower(event_type) AS last_action,
+               value AS last_value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{AS_OF}'
+    ) WHERE rn = 1 AND last_action <> 'error'
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time recovery: replica state AS OF a past timestamp,
+    reconstructed from the append-only change log (the time-travel
+    read Delta/Iceberg advertise, native here because the log IS the
+    table). Same one-shuffle apply as cdc_replica over the
+    time-bounded prefix; the ts predicate pushes to the scan, so old
+    snapshots get cheaper as the as-of point recedes (partition/row-
+    group pruning on ts at scale)."""
+    ev = _events(spark, sf_dir).filter(F.col("ts") <= F.lit(AS_OF))
+    replica = cdc.apply_changes(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        action_col="event_type",
+        delete_action="error",
+    )
+    return replica.select(
+        "user_id",
+        F.col("event_type").alias("last_action"),
+        F.col("value").alias("last_value"),
+    )

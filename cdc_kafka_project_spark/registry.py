@@ -103,7 +103,15 @@ _GATE_PRIORITY: list[str] = [
     "media_resize",
     "media_frame_sample",
     "media_audio_features",
-    # -- tier 2: not reached by the round-1 gate --
+    # -- tier 2: never driver-checked; newest first (round-2 additions
+    #    must land inside the gate's ~50-query window) --
+    "doc_contamination_hits",
+    "doc_decontaminate",
+    "cdc_scd2_history",
+    "cdc_incremental_agg",
+    "cdc_time_travel",
+    "text_tfidf_top_terms",
+    "word_bigrams_top100",
     "q13_customer_distribution",
     "q10_returned_revenue",
     "q7_nation_volume",
@@ -120,12 +128,6 @@ _GATE_PRIORITY: list[str] = [
     "sketch_distinct_users",
     "sketch_percentiles",
     "cdc_snapshot_diff",
-    "doc_contamination_hits",
-    "doc_decontaminate",
-    "cdc_scd2_history",
-    "cdc_incremental_agg",
-    "text_tfidf_top_terms",
-    "word_bigrams_top100",
     # -- tier 3: round-1-green core, re-checked as slots allow --
     "cdc_incremental_scan",
     "cdc_latest_state",
