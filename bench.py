@@ -49,6 +49,12 @@ HEADLINE = [
     "similarity_ann_ivf",
     "media_decode_features",
     "media_frame_sample",
+    # round-2 additions: SCD2 history, incremental agg maintenance,
+    # decontamination, tf-idf
+    "cdc_scd2_history",
+    "cdc_incremental_agg",
+    "doc_decontaminate",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -150,6 +150,7 @@ def _parse_byte_size(raw: str) -> int:
         "m": 1 << 20, "mb": 1 << 20,
         "g": 1 << 30, "gb": 1 << 30,
         "t": 1 << 40, "tb": 1 << 40,
+        "p": 1 << 50, "pb": 1 << 50,
     }.get(m.group(2).lower())
     return int(m.group(1)) * mult if mult else 134217728
 

@@ -303,10 +303,13 @@ def merge_agg_states(
     materialized aggregate state with the aggregate of a new change
     batch, key-aligned, without re-aggregating history.
 
-    Both inputs carry the same schema (keys + partial-aggregate
-    columns, which must be associative: counts, DECIMAL sums, min/max).
-    Keys present in one side pass through; keys in both add their
-    partials (NULL-safe). This is Project 1's running total
+    Both inputs carry the same schema: keys + *additive* partials
+    (counts, LONG/DECIMAL sums — anything where combine = ``+``; a
+    min/max state needs a different combine and is NOT accepted here).
+    Keys present in one side pass through unchanged — including a NULL
+    partial (SUM of all-NULL values), which stays NULL rather than
+    collapsing to 0; keys in both add their partials with NULLs
+    treated as additive identity. This is Project 1's running total
     (``ON CONFLICT DO UPDATE ... + salary``, pdf p.4-6) generalized to
     any associative state — and the reason the engine never needs to
     rescan 100 TB of history to refresh a dashboard: the merge touches
@@ -324,9 +327,14 @@ def merge_agg_states(
     j = base.join(d, keys, "full_outer")
     zero = F.lit(0)
     out = [
-        (
+        F.when(
+            F.col(c).isNull() & F.col(f"__d_{c}").isNull(),
+            F.lit(None),
+        )
+        .otherwise(
             F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"__d_{c}"), zero)
-        ).alias(c)
+        )
+        .alias(c)
         for c in sum_cols
     ]
     return j.select(*keys, *out)

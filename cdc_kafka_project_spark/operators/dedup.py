@@ -70,9 +70,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(
-    df: DataFrame, text_col: str = "text", n: int = 3
+    df: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    """Word n-gram shingles per doc: (doc_id, shingle), distinct by
+    default (``distinct=False`` keeps positional duplicates AND skips
+    the dedup shuffle — callers that filter the shingle stream before
+    aggregating, like contamination_hits, stay map-only that way).
 
     Built with sequence+transform (codegen'd) then one explode — no
     Python. Documents shorter than n words produce no shingles.
@@ -89,17 +92,15 @@ def word_shingles(
     )
     words = spread(words)
     refs = ", ".join(f"__ws[i + {k}]" for k in range(n))
-    return (
-        words.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(__ws) - {n}), i -> concat_ws(' ', {refs}))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    out = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__ws) - {n}), i -> concat_ws(' ', {refs}))"
+            )
+        ).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -484,17 +485,22 @@ def contamination_hits(
     corpus.
 
     The eval side is the small one by construction (benchmarks are
-    KBs, the corpus is TBs): its distinct shingles broadcast, so the
-    100 TB side is ONE map pass — shingle, broadcast-hash-join, partial
-    count; no corpus shuffle. (At dedup.py's LSH tier the self-join
-    can't avoid shuffling signatures; here the asymmetry does better.)
+    KBs, the corpus is TBs): its distinct shingles broadcast, and the
+    corpus side filters its RAW shingle stream through that broadcast
+    join BEFORE any aggregation — the train shingles are never
+    deduplicated corpus-wide (that distinct() would itself shuffle
+    |corpus shingles| rows). Only the surviving hit set — bounded by
+    |eval shingles| x |contaminated docs| — reaches the
+    per-(doc, shingle) dedup + count. One corpus map pass, tiny
+    shuffle. (At dedup.py's LSH tier the self-join can't avoid
+    shuffling signatures; here the asymmetry does better.)
     """
-    t = word_shingles(train, text_col, n)
+    t = word_shingles(train, text_col, n, distinct=False)
     e = word_shingles(eval_df, text_col, n).select("shingle").distinct()
     return (
         t.join(F.broadcast(e), "shingle")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.count_distinct(F.col("shingle")).alias("n_overlap"))
     )
 
 
@@ -504,7 +510,11 @@ def decontaminate(
     text_col: str = "text",
     n: int = 5,
 ) -> DataFrame:
-    """Training corpus minus every doc flagged by ``contamination_hits``
-    — broadcast anti-join, same one-pass cost profile."""
+    """Training corpus minus every doc flagged by ``contamination_hits``.
+
+    No forced broadcast on the flagged set: its size is data-dependent
+    (a heavily contaminated corpus can flag an unbounded number of
+    docs), so the join strategy is left to AQE — broadcast when the
+    runtime size is actually small, shuffle anti-join when it isn't."""
     hits = contamination_hits(train, eval_df, text_col, n).select("doc_id")
-    return train.join(F.broadcast(hits), "doc_id", "left_anti")
+    return train.join(hits, "doc_id", "left_anti")

@@ -376,12 +376,15 @@ def build_lsh_index(
     path: str,
     n_planes: int = 8,
     seed: int = 42,
+    fingerprint: str | None = None,
 ) -> None:
     """Materialize the hyperplane-LSH index: one corpus pass assigns
     sign-pattern buckets, written parquet ``partitionBy("__bucket")``
     (≤ 2^n_planes directories). Map-only + one partitioned write; the
     hyperplane model rides alongside as JSON."""
-    fp = corpus_fingerprint(
+    # ensure_lsh_index passes the fingerprint it already computed; a
+    # direct call computes it here (one metadata sweep either way)
+    fp = fingerprint if fingerprint is not None else corpus_fingerprint(
         embeddings, {"kind": "lsh", "n_planes": n_planes, "seed": seed}
     )
     dim = int(embeddings.select(F.size("embedding")).head()[0])
@@ -417,7 +420,9 @@ def ensure_lsh_index(
         embeddings, {"kind": "lsh", "n_planes": n_planes, "seed": seed}
     )
     if not index_exists(path, fp):
-        build_lsh_index(embeddings, path, n_planes=n_planes, seed=seed)
+        build_lsh_index(
+            embeddings, path, n_planes=n_planes, seed=seed, fingerprint=fp
+        )
 
 
 def probe_lsh_index(
@@ -461,12 +466,13 @@ def build_ivf_index(
     k_centroids: int = 16,
     iters: int = 5,
     max_train: int = 100_000,
+    fingerprint: str | None = None,
 ) -> None:
     """Materialize the IVF index: train the coarse quantizer on a
     bounded sample (``kmeans_centroids``), assign every vector to its
     inverted list, write parquet ``partitionBy("cid")`` with the
     centroid model alongside."""
-    fp = corpus_fingerprint(
+    fp = fingerprint if fingerprint is not None else corpus_fingerprint(
         embeddings,
         {"kind": "ivf", "k": k_centroids, "iters": iters,
          "max_train": max_train},
@@ -501,7 +507,7 @@ def ensure_ivf_index(
     if not index_exists(path, fp):
         build_ivf_index(
             embeddings, path, k_centroids=k_centroids, iters=iters,
-            max_train=max_train,
+            max_train=max_train, fingerprint=fp,
         )
 
 

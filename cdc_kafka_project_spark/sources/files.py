@@ -105,8 +105,11 @@ def avro_source(
         reader = reader.schema(schema)
     try:
         return reader.format("avro").load(path)
-    except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" in str(e).lower():
+    except Exception as e:
+        # Only the specific missing-data-source failure means "jar
+        # absent" — matching on just 'avro' would misdiagnose ordinary
+        # errors (e.g. a missing path that itself contains 'avro').
+        if "failed to find data source" in str(e).lower():
             raise NotImplementedError(
                 "spark-avro module not on the classpath (pip pyspark ships "
                 "without it); add org.apache.spark:spark-avro via "

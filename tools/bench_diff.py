@@ -79,8 +79,9 @@ def main() -> int:
             delta = "REMOVED"
             o_s, n_s = f"{o:.3f}", "—"
         else:
-            pct = (n - o) / o * 100 if o else 0.0
-            delta = f"{pct:+.0f}%"
+            # a 0.000 old value can't express a percentage — don't
+            # render a regression from it as "+0%"
+            delta = f"{(n - o) / o * 100:+.0f}%" if o else "n/a (old=0)"
             o_s, n_s = f"{o:.3f}", f"{n:.3f}"
         lines.append(f"| {name} | {o_s} | {n_s} | {delta} |")
     out = "\n".join(lines) + "\n"
