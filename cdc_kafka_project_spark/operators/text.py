@@ -480,3 +480,120 @@ def word_bigrams(
         " i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"
     )
     return d.select(F.col(id_col), F.explode(pairs).alias("bigram"))
+
+
+#: PII patterns kept to the regex subset Java (Spark) and RE2-ish
+#: (DuckDB) execute identically: no backrefs, no lookaround. These are
+#: deliberately conservative scrubbing patterns (C4-style preprocessing
+#: removes pages by blocklist; production pipelines scrub spans) — the
+#: plan shape (one codegen'd projection, zero shuffle) is the point.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    "phone": (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+}
+
+#: Scrub order matters: emails contain dot-separated digit runs that
+#: the phone pattern could otherwise bite into mid-address.
+PII_ORDER: tuple[str, ...] = ("email", "ipv4", "phone")
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers, keeping per-kind hit
+    counts: (doc_id, redacted, n_email, n_ipv4, n_phone, pii_total).
+
+    One projection over the scan — counts come from
+    ``regexp_extract_all`` on the ORIGINAL text (so overlapping
+    patterns count what they'd have matched pre-scrub), the scrubbed
+    text from chained ``regexp_replace`` in PII_ORDER. All codegen'd,
+    zero shuffle, 100 TB = one map pass.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    red = c
+    for name in PII_ORDER:
+        pat, token = PII_PATTERNS[name]
+        red = F.regexp_replace(red, pat, token)
+    out = df.select("doc_id", red.alias("redacted"), *counts)
+    total = sum(
+        (F.col(f"n_{n}") for n in list(PII_PATTERNS)[1:]),
+        F.col(f"n_{next(iter(PII_PATTERNS))}"),
+    )
+    return out.withColumn("pii_total", total)
+
+
+URL_RE = r"https?://[^ \t\n\r]+"
+#: Host part of a URL: scheme, then everything up to the first
+#: /, :, ?, or # (no userinfo handling — scrubbing-tier fidelity).
+URL_HOST_RE = r"https?://([^/:?# \t\n\r]+)"
+
+
+def url_hosts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode every URL in every document to its host:
+    (doc_id, host). Map-side extract+explode — the input to robots/
+    domain-quota policies. Documents without URLs emit nothing."""
+    c = F.col(text_col)
+    urls = F.regexp_extract_all(c, F.lit(URL_RE), F.lit(0))
+    return (
+        df.select("doc_id", F.explode(urls).alias("__url"))
+        .select(
+            "doc_id",
+            F.regexp_extract("__url", URL_HOST_RE, 1).alias("host"),
+        )
+        .filter(F.col("host") != "")
+    )
+
+
+def host_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-host corpus stats: docs containing the host, total URL
+    mentions — the table a crawl-quota / blocklist policy joins
+    against. One partial-agg shuffle on host (low cardinality vs
+    corpus size; map-side combine absorbs the explode fan-out)."""
+    return (
+        url_hosts(df, text_col)
+        .groupBy("host")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+
+
+def hash_split_portable(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """``hash_split`` twin whose assignment is reproducible OUTSIDE the
+    engine (md5 is standardized; xxhash64's seed/spec is Spark-side):
+    bucket = first 4 hex chars of md5(salt || key), compared against
+    cumulative-weight edges in the 16^4 hex space. Same guarantees —
+    one split per key, stable under growth, no RNG — plus any system
+    with an md5() can audit the assignment (DuckDB oracle does).
+
+    Adds a ``split`` column; key is cast to string before hashing, so
+    use a canonical key representation.
+    """
+    total = sum(weights.values())
+    hx = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    edges: list[tuple[str, str]] = []
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        edges.append((name, format((65536 * acc) // total, "04x")))
+    expr = F.lit(edges[-1][0])
+    for name, hi in reversed(edges[:-1]):
+        expr = F.when(hx < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -232,3 +232,40 @@ def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("exact_p")[1], 2).alias("exact_p95"),
         F.round(F.col("exact_p")[2], 2).alias("exact_p99"),
     )
+
+
+@query(
+    "histogram_prices",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 500) AS BIGINT) AS bucket,
+           CAST(floor(l_extendedprice / 500) * 500 AS DOUBLE) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (the profiling pass a
+    data-quality dashboard runs over every numeric column): bucket =
+    floor(x/width). One partial-agg shuffle keyed on the bucket —
+    cardinality is the bucket count, not the row count, so the shuffle
+    is O(buckets) and the 100 TB scan stays map-dominated. Exact
+    decimal totals keep the answer partition-count-invariant."""
+    from cdc_kafka_project_spark.functions import dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 500).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("total"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 500).cast("double").alias("lo"),
+            "n",
+            "total",
+        )
+    )

@@ -347,3 +347,83 @@ def word_bigrams_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(100)
     )
+
+
+@query(
+    "doc_pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           + CAST(len(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+           + CAST(len(regexp_extract_all(text,
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS pii_total
+    FROM documents
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails / IPv4 / phone): redacted text plus
+    per-kind hit counts, one codegen'd projection, zero shuffle. The
+    DuckDB oracle re-runs the identical regex chain, so the check pins
+    Java-regex/RE2 agreement on the pattern subset used."""
+    return text_ops.pii_redact(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_host_stats",
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS url
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               regexp_extract(url, 'https?://([^/:?# \t\n\r]+)', 1) AS host
+        FROM u
+    )
+    SELECT host,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_mentions
+    FROM h WHERE host <> '' GROUP BY host
+    """,
+)
+def doc_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL stats (crawl-quota / blocklist input): extract +
+    explode map-side, one partial-agg shuffle on the low-cardinality
+    host key. Synthetic docs carry no URLs, so the parity check is the
+    empty-result contract plus the pytest fixture with real URLs."""
+    return text_ops.host_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket
+    (hash_split_portable) — the auditable twin of the xxhash64 split:
+    the oracle recomputes every assignment independently, proving any
+    md5-capable system can verify no doc leaks between splits."""
+    docs = _docs(spark, sf_dir)
+    return text_ops.hash_split_portable(
+        docs, "doc_id", {"train": 8, "val": 1, "test": 1}
+    ).select("doc_id", "split")

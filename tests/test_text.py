@@ -255,3 +255,61 @@ def test_word_bigrams_adjacent_pairs_only(spark):
     )
     got = {(r.doc_id, r.bigram) for r in tx.word_bigrams(docs).collect()}
     assert got == {(1, "a b"), (1, "b c"), (4, "x y")}
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+        (1, "call 555-867-5309 twice: 555.867.5309"),
+        (2, "plain text, no pii at all"),
+        (3, "a@b.io mailed a@b.io from 192.168.1.255"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in tx.pii_redact(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    assert out[0].redacted == "contact <EMAIL> or <IP> now"
+    assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 1, 0)
+    assert out[1].redacted == "call <PHONE> twice: <PHONE>"
+    assert out[1].n_phone == 2
+    assert out[2].redacted == rows[2][1] and out[2].pii_total == 0
+    assert out[3].redacted == "<EMAIL> mailed <EMAIL> from <IP>"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].pii_total) == (2, 1, 3)
+
+
+def test_host_stats_groups_by_host(spark):
+    rows = [
+        (0, "see https://ex.com/a and https://ex.com/b?q=1"),
+        (1, "mirror at http://ex.com:8080/c plus https://other.org"),
+        (2, "no links here"),
+    ]
+    out = {
+        r.host: (r.n_docs, r.n_mentions)
+        for r in tx.host_stats(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    # ex.com appears in 2 docs, 3 mentions (port stripped from host);
+    # other.org in 1 doc
+    assert out == {"ex.com": (2, 3), "other.org": (1, 1)}
+
+
+def test_hash_split_portable_properties(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 8, "val": 1, "test": 1}
+    got = tx.hash_split_portable(df, "doc_id", w)
+    # exactly one split per key, all three present, ~80/10/10
+    counts = {r.split: r.n for r in got.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # stable under growth: the first 1000 keys keep their assignment
+    # when 1000 more arrive (no repartition-dependent state)
+    small = tx.hash_split_portable(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), "doc_id", w
+    )
+    a = dict(small.collect())
+    b = dict(got.filter(F.col("doc_id") < 1000).collect())
+    assert a == b
