@@ -55,6 +55,9 @@ HEADLINE = [
     "cdc_incremental_agg",
     "doc_decontaminate",
     "text_tfidf_top_terms",
+    # round-2 additions: PII scrub, compressed-domain ANN
+    "doc_pii_redact",
+    "similarity_ann_pq",
 ]
 
 

@@ -788,3 +788,207 @@ def cosine_near_dup_pairs(
     return pairs.select(
         "vec_a", "vec_b", cos.alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+    max_train: int = 100_000,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (FAISS-style, public practice): split the
+    dim-d space into ``m`` contiguous subspaces and run deterministic
+    Lloyd's k-means with ``k_codes`` centroids in each.
+
+    Same bounded-training contract as ``kmeans_centroids``: one
+    deterministic hash-sample collect of at most ~``max_train`` rows,
+    then pure numpy on the driver — the corpus is never collected.
+    Returns ``m`` codebooks, each ``k_codes x (dim // m)``. dim must be
+    divisible by m.
+    """
+    import numpy as np
+
+    df = training_sample(embeddings.select("vec_id", "embedding"), max_train)
+    rows = df.orderBy("vec_id").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[:k_codes].copy()
+        s2 = (S * S).sum(axis=1)[:, None]
+        for _ in range(iters):
+            d = s2 - 2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+            cid = d.argmin(axis=1)
+            for i in range(k_codes):
+                members = S[cid == i]
+                if len(members):
+                    C[i] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_code_expr(col, codebooks: list[list[list[float]]]):
+    """``array<int>`` of ``m`` code ids for an embedding column — one
+    Arrow-batched argmin per subspace against the (k x sub) codebook,
+    so encoding a 100 TB corpus is a single map pass (the codebook
+    closure is O(m*k*sub) floats, broadcast with the plan)."""
+    import numpy as np
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = B[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def enc(e):
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(e.to_numpy()).astype(np.float64)
+        codes = np.empty((X.shape[0], len(B)), dtype=np.int32)
+        for j, C in enumerate(B):
+            S = X[:, j * sub : (j + 1) * sub]
+            d = (
+                (S * S).sum(axis=1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return enc(col)
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 20,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approximate cosine from
+    two driver-built lookup tables — dot(q_j, c_{j,i}) and
+    ||c_{j,i}||^2 per (subspace j, code i) — so scoring a row is ``m``
+    table adds on its 4-byte codes, never touching float vectors. At
+    dim 64 / m 8 the scanned bytes drop ~8x vs the flat index (256 B
+    -> 32 B + id), which is the whole point: the 100 TB corpus scan
+    becomes a ~12 TB scan with no float math in the hot loop.
+
+    Output: (vec_id, adc_sim) — adc_sim ≈ cos(query, reconstruction).
+    """
+    import numpy as np
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = B[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum())) or 1.0
+    dot_lut = np.stack(
+        [C @ q[j * sub : (j + 1) * sub] for j, C in enumerate(B)]
+    )  # m x k
+    nrm_lut = np.stack([(C * C).sum(axis=1) for C in B])  # m x k
+
+    @F.pandas_udf("double")
+    def adc(codes):
+        import pandas as pd
+
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        M = np.stack(codes.to_numpy()).astype(np.int64)  # n x m
+        j = np.arange(M.shape[1])
+        dp = dot_lut[j, M].sum(axis=1)
+        rn = np.sqrt(nrm_lut[j, M].sum(axis=1))
+        rn[rn == 0.0] = 1.0
+        return pd.Series(dp / (qn * rn))
+
+    sim_col = adc(F.col("codes"))
+    if round_to is not None:
+        sim_col = F.round(sim_col, round_to)
+    return (
+        codes_df.select("vec_id", sim_col.alias("adc_sim"))
+        .orderBy(F.col("adc_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+    max_train: int = 100_000,
+    fingerprint: str | None = None,
+) -> None:
+    """Materialize the PQ index: train codebooks on a bounded sample,
+    encode the corpus in one map pass, write (vec_id, codes) parquet —
+    the compressed twin the ADC scan reads instead of the embeddings.
+    No partitioning: ADC scans all codes by design; the win is the 8x
+    smaller scan, and row-group pruning has nothing to key on."""
+    fp = fingerprint if fingerprint is not None else corpus_fingerprint(
+        embeddings,
+        {"kind": "pq", "m": m, "k": k_codes, "iters": iters,
+         "max_train": max_train},
+    )
+    books = pq_train(
+        embeddings, m=m, k_codes=k_codes, iters=iters, max_train=max_train
+    )
+    (
+        spread(embeddings)
+        .select(
+            "vec_id", pq_code_expr(F.col("embedding"), books).alias("codes")
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _write_model(
+        path,
+        {"kind": "pq", "m": m, "k": k_codes, "codebooks": books,
+         "fingerprint": fp},
+    )
+
+
+def ensure_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+    max_train: int = 100_000,
+) -> None:
+    """Build the PQ index iff absent or stale (same contract as
+    ensure_lsh_index/ensure_ivf_index)."""
+    fp = corpus_fingerprint(
+        embeddings,
+        {"kind": "pq", "m": m, "k": k_codes, "iters": iters,
+         "max_train": max_train},
+    )
+    if not index_exists(path, fp):
+        build_pq_index(
+            embeddings, path, m=m, k_codes=k_codes, iters=iters,
+            max_train=max_train, fingerprint=fp,
+        )
+
+
+def probe_pq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """ADC top-k against a materialized PQ index — reads only the
+    compressed codes table plus the JSON model."""
+    model = read_model(path)
+    return pq_adc_topk(
+        spark.read.parquet(path), model["codebooks"], query_vec,
+        k=k, round_to=round_to,
+    )

@@ -176,3 +176,19 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (same role jaccard_pairs plays for MinHash). Quadratic by
     construction: at scale run it only on LSH candidate pairs."""
     return sim.all_pairs_cosine_above(_emb(spark, sf_dir), threshold=0.45)
+
+
+@query("similarity_ann_pq")  # rows-only: PQ codebooks are engine-side
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: product-quantization codes (m=8 subspaces
+    x 32 centroids, trained once on a bounded sample) materialized as a
+    (vec_id, codes) table ~8x smaller than the embeddings; the probe is
+    an asymmetric-distance scan — m lookup-table adds per row, no float
+    vectors touched. Recall vs brute force pinned in
+    tests/test_similarity.py (modest on this near-orthogonal synthetic
+    corpus — PQ needs cluster structure; high on the clustered fixture)."""
+    emb = _emb(spark, sf_dir)
+    qv = sim.query_vector(emb, QUERY_VEC_ID)
+    path = _index_dir(sf_dir, "pq_m8k32")
+    sim.ensure_pq_index(emb, path, m=8, k_codes=32, iters=5, max_train=4096)
+    return sim.probe_pq_index(spark, path, qv, k=TOP_K)

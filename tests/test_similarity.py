@@ -293,3 +293,49 @@ def test_index_fingerprint_staleness_forces_rebuild(spark, tmp_path):
         spark.createDataFrame(rows, EMB_SCHEMA), {"kind": "lsh"}
     ) is None
     assert sim.index_exists(idx, None) is False
+
+
+def test_pq_codes_shape_and_range(corpus):
+    emb, _ = corpus
+    books = sim.pq_train(emb, m=4, k_codes=8, iters=3, max_train=512)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == DIM // 4 for b in books for c in b)
+    codes = emb.select(
+        "vec_id", sim.pq_code_expr(F.col("embedding"), books).alias("codes")
+    ).collect()
+    for r in codes:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+
+
+def test_pq_adc_recall_on_clustered_neighbors(corpus):
+    """The 10 perturbed copies of the query form a tight cluster — the
+    regime PQ is built for. ADC over 4x8 codebooks must keep most of
+    the true top-11 and rank the query's own (exactly reconstructible
+    neighborhood) cluster on top."""
+    emb, q = corpus
+    truth = {r.vec_id for r in sim.brute_force_topk(emb, q, k=11).collect()}
+    books = sim.pq_train(emb, m=4, k_codes=16, iters=5, max_train=512)
+    codes = emb.select(
+        "vec_id", sim.pq_code_expr(F.col("embedding"), books).alias("codes")
+    )
+    got = sim.pq_adc_topk(codes, books, q, k=11).collect()
+    ann = {r.vec_id for r in got}
+    recall = len(truth & ann) / len(truth)
+    assert recall >= 0.7, f"PQ recall {recall} too low for a tight cluster"
+    # ADC sims are cosines of reconstructions: bounded and high for
+    # the cluster it was trained on
+    assert all(-1.001 <= r.adc_sim <= 1.001 for r in got)
+    assert got[0].adc_sim > 0.8
+
+
+def test_pq_index_build_probe_and_staleness(corpus, tmp_path):
+    emb, q = corpus
+    path = str(tmp_path / "pq")
+    sim.ensure_pq_index(emb, path, m=4, k_codes=16, iters=3, max_train=512)
+    got = sim.probe_pq_index(emb.sparkSession, path, q, k=11)
+    assert got.count() == 11
+    # in-memory frames have no file identity -> fingerprint None ->
+    # ensure must rebuild rather than trust a possibly-stale index
+    assert sim.corpus_fingerprint(emb, {}) is None
+    assert not sim.index_exists(path, None)
