@@ -992,3 +992,35 @@ def probe_pq_index(
         spark.read.parquet(path), model["codebooks"], query_vec,
         k=k, round_to=round_to,
     )
+
+
+def label_centroids(
+    embeddings: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid, dim-major: (label, pos, avg_v) — one row per
+    (label, dimension) instead of one vector per label.
+
+    The scale pattern: posexplode turns the vector column into scalar
+    rows so the centroid is a plain two-key partial aggregation — the
+    map side pre-sums locally and the shuffle carries
+    O(labels x dim) partials, never vectors, and nothing ever
+    re-assembles a vector on the driver. Decimal-exact sums keep the
+    result partition-count-invariant. (Class centroids are the seed
+    step of clustering-based dedup and of nearest-class-mean
+    classification over training corpora.)
+    """
+    ex = spread(embeddings).select(
+        F.col(label_col).alias("label"),
+        F.posexplode(to_double_array("embedding")).alias("pos", "v"),
+    )
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(25,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -192,3 +192,23 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _index_dir(sf_dir, "pq_m8k32")
     sim.ensure_pq_index(emb, path, m=8, k_codes=32, iters=5, max_train=4096)
     return sim.probe_pq_index(spark, path, qv, k=TOP_K)
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, pos,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*), 6) AS avg_v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT label, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ) GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in dim-major form: posexplode -> two-key
+    partial agg; the shuffle carries O(labels x dim) decimal partials,
+    never vectors, and the answer is partition-count-invariant."""
+    return sim.label_centroids(_emb(spark, sf_dir))
