@@ -422,12 +422,13 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-``k`` most characteristic terms per document by tf-idf.
 
-    idf uses the *rational* form (N+1)/(df+1) rather than its log:
-    ranking within a fixed tf is identical (log is monotone), and the
-    score stays inside IEEE +,*,/ arithmetic, which is bit-deterministic
-    across engines — ln() is the one op whose last ulp differs between
-    libms, and a 1-ulp flip at a rank boundary would make the answer
-    engine-dependent. Output score is that ratio rounded to 6 places.
+    Standard smoothed formulation: score = tf * ln((N+1)/(df+1)).
+    Cross-engine determinism concern (ln()'s last ulp can differ
+    between libms) is handled by rounding the score to 6 places and
+    ranking on the ROUNDED value with the word as tiebreak — a 1-ulp
+    difference cannot flip a rank unless two scores collide at a
+    rounding boundary, in which case the lexicographic tiebreak decides
+    identically on both engines.
 
     Shape at scale: the explode fan-out is absorbed map-side by the
     (doc, word) partial count; the df join shuffles |vocab| rows, not
@@ -445,8 +446,10 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
-    score = (F.col("tf") * (F.col("__n") + F.lit(1.0))) / (
-        F.col("df") + F.lit(1.0)
+    score = F.round(
+        F.col("tf")
+        * F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), "word")
     return (
@@ -455,10 +458,7 @@ def tfidf_top_terms(
         .withColumn("__score", score)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select(
-            id_col, "word", "tf", "df",
-            F.round("__score", 6).alias("score"),
-        )
+        .select(id_col, "word", "tf", "df", F.col("__score").alias("score"))
     )
 
 

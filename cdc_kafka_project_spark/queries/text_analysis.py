@@ -298,10 +298,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT doc_id, word, tf, df, score FROM (
         SELECT t.doc_id, t.word, t.tf, d.df,
-               ROUND(t.tf * (n.n_docs + 1.0) / (d.df + 1.0), 6) AS score,
+               ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS score,
                row_number() OVER (
                    PARTITION BY t.doc_id
-                   ORDER BY t.tf * (n.n_docs + 1.0) / (d.df + 1.0) DESC,
+                   ORDER BY ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)),
+                                  6) DESC,
                             t.word
                ) AS rn
         FROM tf t JOIN dfq d USING (word) CROSS JOIN n
@@ -309,10 +310,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per document by tf-idf (rational-idf
-    form — see operators.text.tfidf_top_terms for why the log is
-    omitted: IEEE-only arithmetic keeps the ranking bit-identical
-    across engines)."""
+    """Top-3 characteristic terms per document by standard smoothed
+    tf-idf (tf * ln((N+1)/(df+1))); scores rounded to 6 places BEFORE
+    ranking so a last-ulp ln() difference between engines cannot flip
+    a rank (lexicographic word tiebreak decides boundary collisions
+    identically on both sides)."""
     return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
@@ -383,10 +385,24 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_host_stats",
     oracle=r"""
-    WITH u AS (
+    WITH t AS (
+        SELECT doc_id,
+               text
+               || ' https://site' || CAST(doc_id % 23 AS VARCHAR)
+               || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' http://cdn.example.net:8080/asset?id='
+                            || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' https://site' || CAST(doc_id % 23 AS VARCHAR)
+                            || '.example.org/alt#frag'
+                       ELSE '' END AS text
+        FROM documents
+    ), u AS (
         SELECT doc_id,
                unnest(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS url
-        FROM documents
+        FROM t
     ), h AS (
         SELECT doc_id,
                regexp_extract(url, 'https?://([^/:?# \t\n\r]+)', 1) AS host
@@ -401,9 +417,32 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host URL stats (crawl-quota / blocklist input): extract +
     explode map-side, one partial-agg shuffle on the low-cardinality
-    host key. Synthetic docs carry no URLs, so the parity check is the
-    empty-result contract plus the pytest fixture with real URLs."""
-    return text_ops.host_stats(_docs(spark, sf_dir))
+    host key. The synthetic corpus carries no URLs, so the query preps
+    a deterministic URL suffix from doc_id (same pattern as
+    media_from_documents): every doc gets a sharded-host page URL, every
+    5th adds a port-qualified CDN URL (exercising the `:` host
+    boundary), every 7th repeats its host (n_mentions > n_docs). The
+    oracle mirrors the prep, so the extract→explode→group path is
+    checked on >0 rows."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    shard = (d % 23).cast("string")
+    urlified = F.concat(
+        F.col("text"),
+        F.lit(" https://site"), shard, F.lit(".example.org/page/"), ds,
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" http://cdn.example.net:8080/asset?id="), ds),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" https://site"), shard, F.lit(".example.org/alt#frag")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return text_ops.host_stats(docs.withColumn("text", urlified))
 
 
 @query(

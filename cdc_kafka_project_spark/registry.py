@@ -60,17 +60,28 @@ def load_all() -> None:
 
 
 # Driver-gate ordering. The per-round correctness gate checks queries in
-# dict order and covers a bounded prefix (round 1 stopped at 50), so the
-# registry orders the checked dict explicitly rather than relying on
-# module import order:
-#   1. the north-star LLM-pipeline tier (text/dedup/similarity/media) —
-#      zero driver-verified rows in round 1;
-#   2. CDC/relational queries the round-1 gate never reached;
-#   3. the CDC core + flagship relational queries (green in round 1);
-#   4. everything else in registration order.
+# dict order and covers a bounded prefix (~50 names), so the registry
+# orders the checked dict explicitly rather than relying on module
+# import order. STANDING RULE (round-2 verdict): every query that has
+# never landed a driver CORRECTNESS row goes in FRONT of the window —
+# tier 0 below — and each round's new queries are prepended there.
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
+    # -- tier 0: never driver-checked (round-2 additions that fell
+    #    outside the gate window, per VERDICT r2) + round-3 additions --
+    "doc_pii_redact",
+    "doc_host_stats",
+    "doc_split_assign",
+    "histogram_prices",
+    "similarity_ann_pq",
+    "embedding_label_centroids",
+    "group_minmax_norm",
+    "sketch_distinct_users",
+    "sketch_percentiles",
+    "cdc_snapshot_diff",
+    # round-3 additions (prepend new queries here as they land):
+    "column_profile",
     # -- tier 1: north-star (text, dedup, similarity, multimodal) --
     "text_stats",
     "token_count_regex",
@@ -124,10 +135,6 @@ _GATE_PRIORITY: list[str] = [
     "token_frequency_top100",
     "grouping_sets_sql",
     "exact_moments",
-    "group_minmax_norm",
-    "sketch_distinct_users",
-    "sketch_percentiles",
-    "cdc_snapshot_diff",
     # -- tier 3: round-1-green core, re-checked as slots allow --
     "cdc_incremental_scan",
     "cdc_latest_state",
