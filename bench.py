@@ -58,6 +58,19 @@ HEADLINE = [
     # round-2 additions: PII scrub, compressed-domain ANN
     "doc_pii_redact",
     "similarity_ann_pq",
+    # round-4 additions (r2 advice #8): the formerly-ungated round-3
+    # set + the new column profile, so every registered family has a
+    # regression base from here on
+    "doc_host_stats",
+    "doc_split_assign",
+    "histogram_prices",
+    "embedding_label_centroids",
+    "group_minmax_norm",
+    "sketch_distinct_users",
+    "sketch_percentiles",
+    "cdc_snapshot_diff",
+    "cdc_time_travel",
+    "column_profile",
 ]
 
 

@@ -4,10 +4,12 @@ One entry point — ``load_table(spark, sf_dir, name)`` — so every query
 goes through the same scan setup:
 
 * parquet scans (columnar, Catalyst pushdown/pruning apply);
-* the ``events`` table's TIMESTAMP(NANOS) column is read as long
-  (``nanosAsLong``) and converted ns->us JVM-side — the conversion is a
-  single projection, stays inside whole-stage codegen, and preserves
-  min/max-based row-group pruning on the other columns;
+* the ``events`` table's ``ts`` column is normalized to TIMESTAMP
+  across every encoding the driver has shipped — TIMESTAMP(NANOS) read
+  as long (ns->us JVM-side), naive timestamp[us] read as TIMESTAMP_NTZ
+  (cast, value-preserving under the pinned UTC session tz), or plain
+  TIMESTAMP — a single projection that stays inside whole-stage codegen
+  and preserves min/max-based row-group pruning on the other columns;
 * no caching here — callers decide; at 100 TB you never blanket-cache.
 """
 
@@ -35,6 +37,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # keep original column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    # Naive timestamp[us] parquet (the driver's current encoding for
+    # events.ts / o_orderdate / l_shipdate) reads as TIMESTAMP_NTZ in
+    # Spark 4.x, which time functions like unix_micros reject. The
+    # session tz is pinned UTC (session.py), so casting NTZ -> TIMESTAMP
+    # is value-preserving and DuckDB-oracle parity holds. One projection,
+    # inside whole-stage codegen; parquet pushdown on other columns is
+    # unaffected.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 

@@ -397,15 +397,19 @@ def near_dedup_keep(
     (min doc_id) plus every document that never appeared in a pair.
 
     Cost on top of the pair graph: the component iteration (pair-graph
-    sized, tiny vs corpus) + one broadcast anti-join of the drop list
-    against the corpus — the corpus itself is scanned once, never
-    shuffled. Returns ``df`` filtered, schema unchanged.
+    sized, tiny vs corpus) + one anti-join of the drop list against the
+    corpus. No forced broadcast: on a lightly-duplicated corpus AQE
+    broadcasts the small drop list (corpus scanned once, never
+    shuffled); on a heavily-duplicated one the drop list can approach
+    corpus size, and forcing it driver-side would OOM — AQE falls back
+    to a shuffle anti-join there (same policy as ``decontaminate``).
+    Returns ``df`` filtered, schema unchanged.
     """
     comp = connected_components(pairs, a_col, b_col)
     drop = comp.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")
 
 
 def connected_components(

@@ -69,6 +69,17 @@ def zorder_value(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
     ).head()
+    # Empty input (head() -> None) or an all-NULL column (min/max ->
+    # None) has no defined curve; fail loudly rather than TypeError
+    # inside _bucketize's arithmetic.
+    if bounds is None:
+        raise ValueError("zorder_value: input DataFrame is empty")
+    missing = [c for c in cols if bounds[f"__lo_{c}"] is None]
+    if missing:
+        raise ValueError(
+            f"zorder_value: column(s) {missing} are all-NULL (or NaN); "
+            "z-order bounds are undefined"
+        )
     normed = [
         _bucketize(
             F.col(c), bounds[f"__lo_{c}"], bounds[f"__hi_{c}"], bits_per_col

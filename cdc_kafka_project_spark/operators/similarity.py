@@ -225,6 +225,13 @@ def kmeans_centroids(
     df = training_sample(embeddings.select("vec_id", "embedding"), max_train)
     rows = df.orderBy("vec_id").collect()
     X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    if len(X) < k:
+        # X[:k] would silently train fewer centroids than requested,
+        # breaking the caller's cid-space assumption downstream.
+        raise ValueError(
+            f"kmeans_centroids: training sample has {len(X)} rows < k={k}; "
+            "lower k or raise max_train"
+        )
     C = X[:k].copy()
     x2 = (X * X).sum(axis=1)[:, None]
     for _ in range(iters):
@@ -671,11 +678,15 @@ def quantize_int8_stats(embeddings: DataFrame) -> DataFrame:
     arr = to_double_array(F.col("embedding"))
     absmax = F.array_max(F.transform(arr, lambda x: F.abs(x)))
     scale = absmax / F.lit(127.0)
+    # All-zero vector: absmax = 0 -> x/scale is 0/0 (engine-dependent
+    # NaN/NULL). Divide by a dummy 1.0 instead — every element is 0, so
+    # the codes come out 0 and the reported scale stays 0.0.
+    safe_scale = F.when(absmax == F.lit(0.0), F.lit(1.0)).otherwise(scale)
     codes = F.transform(
         arr,
         lambda x: F.greatest(
             F.lit(-127.0),
-            F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5))),
+            F.least(F.lit(127.0), F.floor(x / safe_scale + F.lit(0.5))),
         ).cast("long"),
     )
     code_sum = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x)
@@ -817,6 +828,12 @@ def pq_train(
     df = training_sample(embeddings.select("vec_id", "embedding"), max_train)
     rows = df.orderBy("vec_id").collect()
     X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    if len(X) < k_codes:
+        # S[:k_codes] would silently yield under-sized codebooks.
+        raise ValueError(
+            f"pq_train: training sample has {len(X)} rows < k_codes="
+            f"{k_codes}; lower k_codes or raise max_train"
+        )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -292,9 +292,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake join (region->nation->customer->orders->lineitem).
 
-    region/nation/customer all broadcast (dim tables); only the
-    orders⋈lineitem edge shuffles. AQE re-plans if a dim outgrows the
-    broadcast threshold.
+    nation/region are true dimensions and carry explicit broadcast
+    hints. customer is NOT a dimension at 100 TB (~15 B rows at TPC-H
+    proportions), so the customer⋈orders edge carries no hint — AQE
+    picks broadcast when the post-filter customer side is actually
+    small (it is at test SFs) and falls back to a shuffle join when it
+    isn't. Only orders⋈lineitem always shuffles.
     """
     re = _t(spark, sf_dir, "region")
     na = _t(spark, sf_dir, "nation")
@@ -306,7 +309,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.c_nationkey == na.n_nationkey,
     )
     joined = li.join(od, li.l_orderkey == od.o_orderkey).join(
-        F.broadcast(dims), od.o_custkey == dims.c_custkey
+        dims, od.o_custkey == dims.c_custkey
     )
     return joined.groupBy("r_name", "n_name").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")

@@ -269,3 +269,87 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# (col_name, kind) for the orders profile. Kind picks the min/max
+# string formatter that both engines render identically: bigints cast
+# directly, doubles go through DECIMAL(25,2) (exact 2-decimal money
+# values; decimal->string keeps trailing zeros in both engines),
+# timestamps format to 'yyyy-MM-dd HH:mm:ss'.
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _profile_fmt_spark(col: str, kind: str):
+    c = F.col(col)
+    if kind == "double":
+        return c.cast("decimal(25,2)").cast("string")
+    if kind == "timestamp":
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c.cast("string")
+
+
+def _profile_fmt_duck(expr: str, kind: str) -> str:
+    if kind == "double":
+        return f"CAST(CAST({expr} AS DECIMAL(25,2)) AS VARCHAR)"
+    if kind == "timestamp":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({expr} AS VARCHAR)"
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {_profile_fmt_duck(f'MIN({c})', kind)} AS min_value,
+           {_profile_fmt_duck(f'MAX({c})', kind)} AS max_value
+    FROM orders"""
+    for c, kind in _PROFILE_COLS
+)
+
+
+@query("column_profile", oracle=_PROFILE_ORACLE)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``orders`` — rows/nulls/distincts/
+    min/max for every column — the first pass any data-quality or
+    schema-drift monitor runs over a new drop.
+
+    ONE scan: all per-column aggregates go into a single ``agg`` (the
+    multi-COUNT(DISTINCT) compiles to Catalyst's Expand — one pass over
+    the data, map-side partials, a single shuffle of partial states),
+    then the 1-row result is unpivoted driver-free with ``stack``. At
+    100 TB this is scan-bound, exactly like histogram_prices; the
+    alternative (one pass per column, as the DuckDB oracle writes it
+    for clarity) would be a 6x scan. Exact COUNT(DISTINCT) keeps oracle
+    parity; swap in approx_count_distinct when profiling truly
+    high-cardinality columns at scale.
+    """
+    od = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        aggs.append(F.min(c).alias(f"mn_{c}"))
+        aggs.append(F.max(c).alias(f"mx_{c}"))
+    one = od.agg(*aggs)
+    for c, kind in _PROFILE_COLS:
+        one = one.withColumn(
+            f"mns_{c}", _profile_fmt_spark(f"mn_{c}", kind)
+        ).withColumn(f"mxs_{c}", _profile_fmt_spark(f"mx_{c}", kind))
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mns_{c}, mxs_{c}" for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_null, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")

@@ -124,17 +124,21 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_quantize_int8",
     oracle="""
-    WITH q AS (
-        SELECT vec_id,
+    WITH a AS (
+        SELECT vec_id, embedding,
                list_max(list_transform(embedding,
-                   u -> abs(CAST(u AS DOUBLE)))) / 127.0 AS scale,
+                   u -> abs(CAST(u AS DOUBLE)))) AS absmax
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               absmax / 127.0 AS scale,
                list_transform(embedding, u ->
                    CAST(greatest(-127.0, least(127.0,
                         floor(CAST(u AS DOUBLE) /
-                              (list_max(list_transform(embedding,
-                                   v -> abs(CAST(v AS DOUBLE)))) / 127.0)
+                              (CASE WHEN absmax = 0 THEN 1.0
+                                    ELSE absmax / 127.0 END)
                               + 0.5))) AS BIGINT)) AS codes
-        FROM embeddings
+        FROM a
     )
     SELECT vec_id,
            ROUND(scale, 8) AS scale,

@@ -68,8 +68,13 @@ def load_all() -> None:
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- tier 0: never driver-checked (round-2 additions that fell
-    #    outside the gate window, per VERDICT r2) + round-3 additions --
+    # -- tier 0: queries needing a fresh driver row first. Round-4:
+    #    sessionize broke on the regenerated NTZ testdata (fixed in
+    #    catalog.load_table) — standing rule puts it at the very front
+    #    until its green row lands; column_profile is new this round. --
+    "sessionize",
+    "column_profile",
+    # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
     "doc_split_assign",
@@ -80,8 +85,6 @@ _GATE_PRIORITY: list[str] = [
     "sketch_distinct_users",
     "sketch_percentiles",
     "cdc_snapshot_diff",
-    # round-3 additions (prepend new queries here as they land):
-    "column_profile",
     # -- tier 1: north-star (text, dedup, similarity, multimodal) --
     "text_stats",
     "token_count_regex",
@@ -114,8 +117,8 @@ _GATE_PRIORITY: list[str] = [
     "media_resize",
     "media_frame_sample",
     "media_audio_features",
-    # -- tier 2: never driver-checked; newest first (round-2 additions
-    #    must land inside the gate's ~50-query window) --
+    # -- tier 2: round-2 additions, all driver-checked by r3; kept
+    #    inside the gate's ~50-query window for periodic re-checks --
     "doc_contamination_hits",
     "doc_decontaminate",
     "cdc_scd2_history",
@@ -162,6 +165,11 @@ def _gate_order(names: list[str]) -> list[str]:
 
 def all_queries() -> dict[str, QueryFn]:
     load_all()
+    missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
+    assert not missing, (
+        f"_GATE_PRIORITY names queries that are not registered: {missing} "
+        "— the priority list must stay an accurate record of the gate"
+    )
     return {n: QUERIES[n] for n in _gate_order(list(QUERIES))}
 
 

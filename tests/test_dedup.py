@@ -199,3 +199,22 @@ def test_decontaminate_removes_exact_ngram_overlap(spark):
     assert hits == {1: 2}
     clean = sorted(r.doc_id for r in dd.decontaminate(train, ev, n=4).collect())
     assert clean == [2, 3]
+
+
+def test_near_dedup_keep_no_forced_broadcast(spark):
+    """The drop-list anti-join must not force a driver broadcast (a
+    data-dependent list can approach corpus size; let AQE choose —
+    carried r2 advice). Checked on the optimized logical plan: no
+    explicit broadcast hint survives."""
+    from cdc_kafka_project_spark.operators.dedup import near_dedup_keep
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = near_dedup_keep(df, pairs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan and "broadcast" not in plan.lower()
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 1 in kept and 10 in kept
+    assert all(d not in kept for d in (2, 3, 11))

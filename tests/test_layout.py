@@ -80,3 +80,18 @@ def test_zorder_constant_column_degrades_gracefully(spark, tmp_path):
     # constant column contributes code 0 everywhere; b still clusters
     spans_b = _file_spans(zdir, "b")
     assert sum(spans_b) / len(spans_b) < 0.5
+
+
+def test_zorder_value_raises_on_empty_and_all_null(spark):
+    """Undefined curve bounds must fail loudly, not TypeError inside
+    the bit math (carried r2 advice)."""
+    # a global agg returns one row even on empty input, so empty
+    # surfaces as all-NULL bounds
+    empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    with pytest.raises(ValueError, match="all-NULL"):
+        zorder_value(empty, ["a", "b"], bits_per_col=8)
+    all_null = spark.range(0, 10).selectExpr(
+        "id AS a", "CAST(NULL AS LONG) AS b"
+    )
+    with pytest.raises(ValueError, match="all-NULL"):
+        zorder_value(all_null, ["a", "b"], bits_per_col=8)

@@ -339,3 +339,28 @@ def test_pq_index_build_probe_and_staleness(corpus, tmp_path):
     # ensure must rebuild rather than trust a possibly-stale index
     assert sim.corpus_fingerprint(emb, {}) is None
     assert not sim.index_exists(path, None)
+
+
+def test_kmeans_raises_when_sample_smaller_than_k(corpus):
+    """Short training sample must raise, not silently train < k
+    centroids (carried r2 advice)."""
+    emb, _ = corpus
+    tiny = emb.limit(5)
+    with pytest.raises(ValueError, match="lower k or raise max_train"):
+        sim.kmeans_centroids(tiny, k=16, iters=1)
+    with pytest.raises(ValueError, match="lower k_codes"):
+        sim.pq_train(tiny, m=4, k_codes=16, iters=1)
+
+
+def test_quantize_int8_zero_vector_yields_zero_codes(spark):
+    """All-zero embedding: scale 0.0 and all-zero codes — not a 0/0
+    NaN/NULL divergence (carried r2 advice, oracle-mirrored)."""
+    df = spark.createDataFrame(
+        [(1, [0.0] * DIM), (2, [1.0] + [0.0] * (DIM - 1))], EMB_SCHEMA
+    )
+    got = {r.vec_id: r for r in sim.quantize_int8_stats(df).collect()}
+    z = got[1]
+    assert z.scale == 0.0
+    assert (z.code_sum, z.code_min, z.code_max, z.n_nonzero) == (0, 0, 0, 0)
+    nz = got[2]
+    assert nz.code_max == 127 and nz.n_nonzero == 1

@@ -1,5 +1,7 @@
 """Text-analysis semantics on hand-computable strings."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -168,7 +170,7 @@ def test_repetition_stats(spark):
 
 
 def test_py_tokens_matches_jvm_tokens_on_unicode_whitespace(spark):
-    """py_tokens must agree with functions.tokens on inputs where
+    r"""py_tokens must agree with functions.tokens on inputs where
     str.split() diverges: \xa0/  are Unicode whitespace to Python
     but NOT to Java's ASCII \s, and Spark's split(limit=-1) keeps edge
     empty fields. Every Python-side tokenizer routes through py_tokens, so
@@ -237,11 +239,14 @@ def test_tfidf_ranks_rare_terms_above_common(spark):
     top = {}
     for r in out:
         top.setdefault(r.doc_id, []).append((r.word, r.tf, r.df))
-    # doc 1: zebra (df=1) outranks common (tf=3, df=3): score
-    # zebra = 1*4/2 = 2.0, common = 3*4/4 = 3.0 -> common actually wins
-    # on tf weight; assert exact scores instead of hand-waving
+    # Standard log-idf (score = tf * ln((N+1)/(df+1)), rounded to 6):
+    # zebra (tf=1, df=1) = ln(4/2) = ln(2) = 0.693147; common (tf=3,
+    # df=3) = 3*ln(4/4) = 0.0 — the everywhere-term scores zero, so the
+    # doc-unique term genuinely outranks it.
     d1 = {r.word: r.score for r in out if r.doc_id == 1}
-    assert d1["zebra"] == 2.0 and d1["common"] == 3.0
+    assert d1["zebra"] == round(math.log(2), 6) == 0.693147
+    assert d1["common"] == 0.0
+    assert [w for w, _, _ in top[1]] == ["zebra", "common"]
     # doc 3 has only 'common'
     assert [w for w, _, _ in top[3]] == ["common"]
 
