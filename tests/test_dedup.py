@@ -218,3 +218,47 @@ def test_near_dedup_keep_no_forced_broadcast(spark):
     kept = sorted(r.doc_id for r in out.collect())
     assert 1 in kept and 10 in kept
     assert all(d not in kept for d in (2, 3, 11))
+
+
+def test_jaccard_max_df_caps_fanout_keeps_recall(spark):
+    """Hot-shingle skew cap (r2 advice #4): boilerplate shingles shared
+    by every doc are dropped before the self-join — per-key fanout is
+    bounded — while true near-dup pairs are still found and no new
+    pairs appear."""
+    import cdc_kafka_project_spark.operators.dedup as dd
+
+    footer = "generated by the same site footer text here"
+    pairs = [
+        (2 * i, 2 * i + 1, f"unique subject {i} body words alpha beta gamma delta {i}")
+        for i in range(5)
+    ]
+    rows = []
+    for a, b, body in pairs:
+        rows.append((a, f"{body} {footer}"))
+        rows.append((b, f"{body} extra {footer}"))
+    # unrelated docs sharing ONLY the footer
+    rows += [
+        (100 + i, f"totally different content number {i} {'x%d ' % i * 5} {footer}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dd.jaccard_pairs(df, threshold=0.4, max_df=10)
+    uncapped = dd.jaccard_pairs(df, threshold=0.4)
+    got_capped = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    got_uncapped = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    true_pairs = {(a, b) for a, b, _ in pairs}
+    # recall: every true near-dup pair survives the cap
+    assert true_pairs <= got_capped
+    # precision: the footer-only cross pairs do not appear
+    assert all(a < 100 and b < 100 for a, b in got_capped)
+    # and capping introduced nothing the exact tier didn't find
+    assert got_capped <= got_uncapped
+    # the fanout bound itself: no surviving shingle has df > max_df
+    sh = dd.word_shingles(df)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 10)
+    )
+    assert hot.count() > 0  # the fixture really has hot shingles
