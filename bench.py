@@ -71,6 +71,10 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "cdc_time_travel",
     "column_profile",
+    # round-4 new operators
+    "asof_join_purchases",
+    "doc_unigram_logprob",
+    "doc_source_quality_gate",
 ]
 
 

@@ -1,0 +1,119 @@
+"""As-of (point-in-time) join — the two-table operator.
+
+The reference has no joins at all (SURVEY §2 deliberate-absences), but
+any user replaying its change-streams against market/telemetry data
+immediately needs "latest right row at-or-before each left row". Spark
+has no native ASOF JOIN (DuckDB/Pandas do), and the naive formulation —
+range-condition join + row_number — explodes quadratically on hot keys.
+
+This is the scalable composition: tag both sides, union, one window
+pass per key ordered by time, ``last(<right-row struct>,
+ignorenulls=True)`` carries the most recent right row forward onto each
+left row. The sweep moves ONE struct, not per-column lasts — a right
+row whose value column is legitimately NULL still matches as a unit
+(per-column sweeps would stitch columns from different right rows).
+
+Cost model at 100 TB: ONE shuffle of |left| + |right| rows on the key
+(the same exchange a plain equi-join would do), then a linear
+per-partition sort-and-sweep. No range explosion, no per-key state
+beyond the sort. Skewed keys behave exactly like any window over a hot
+key (AQE/salting applies); pre-bucketed inputs join shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: suffix applied to right-side value columns in the output
+DEFAULT_SUFFIX = "_asof"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = DEFAULT_SUFFIX,
+) -> DataFrame:
+    """Backward as-of join: for every left row, the right row with the
+    greatest ``right_ts`` <= ``left_ts`` for the same key (inclusive on
+    equal timestamps, matching DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``).
+
+    Returns every left row (left-outer semantics) plus, per requested
+    right value column, ``<col><suffix>`` — NULL when no right row
+    precedes it — and ``<right_ts><suffix>``, the matched timestamp.
+
+    ``tolerance_seconds`` voids matches older than the tolerance
+    (``left_ts - matched_ts > tolerance`` -> NULLs), the pandas
+    ``merge_asof(tolerance=...)`` contract.
+
+    If the right side can carry duplicate (key, ts) rows, dedup it
+    first (e.g. ``latest_per_key``) — the sweep would otherwise pick
+    the duplicate that sorts last, which is deterministic only with a
+    total order.
+    """
+    keys = list(key_cols)
+    rvals = list(
+        right_value_cols
+        if right_value_cols is not None
+        else [c for c in right.columns if c not in keys and c != right_ts]
+    )
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    from pyspark.sql.types import StructField, StructType
+
+    r_row = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in rvals],
+    )
+    r_row_type = StructType(
+        [StructField("__rts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in rvals]
+    )
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        # typed NULL struct so last(ignorenulls) skips left rows
+        F.lit(None).cast(r_row_type).alias("__r"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        r_row.alias("__r"),
+    )
+    # right rows sort BEFORE a left row at the same instant
+    # (__side 0 < 1) => inclusive backward match
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = l_tagged.unionByName(r_tagged).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+
+    def _gate(col: Column) -> Column:
+        if tolerance_seconds is None:
+            return col
+        age_ok = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        ) <= int(tolerance_seconds * 1_000_000)
+        return F.when(F.col("__m").isNotNull() & age_ok, col)
+
+    return swept.filter(F.col("__side") == 1).select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *lcols,
+        *[_gate(F.col(f"__m.{c}")).alias(f"{c}{suffix}") for c in rvals],
+        _gate(F.col("__m.__rts")).alias(f"{right_ts}{suffix}"),
+    )

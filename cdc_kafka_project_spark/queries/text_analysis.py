@@ -417,14 +417,21 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host URL stats (crawl-quota / blocklist input): extract +
     explode map-side, one partial-agg shuffle on the low-cardinality
-    host key. The synthetic corpus carries no URLs, so the query preps
-    a deterministic URL suffix from doc_id (same pattern as
-    media_from_documents): every doc gets a sharded-host page URL, every
-    5th adds a port-qualified CDN URL (exercising the `:` host
-    boundary), every 7th repeats its host (n_mentions > n_docs). The
-    oracle mirrors the prep, so the extract→explode→group path is
-    checked on >0 rows."""
-    docs = _docs(spark, sf_dir)
+    host key. URL injection lives in the shared fixture-prep helper
+    ``_with_synthetic_urls`` (the synthetic corpus carries no URLs), so
+    the measured/timed body here is host_stats alone; the oracle
+    mirrors the prep verbatim. NOTE (bench history): r3 introduced the
+    URL prep, so doc_host_stats timings are not comparable to r2."""
+    return text_ops.host_stats(_with_synthetic_urls(_docs(spark, sf_dir)))
+
+
+def _with_synthetic_urls(docs: DataFrame) -> DataFrame:
+    """Fixture-layer URL injection (deterministic from doc_id, mirrored
+    by the doc_host_stats oracle): every doc gets a sharded-host page
+    URL, every 5th adds a port-qualified CDN URL (exercising the ':'
+    host boundary), every 7th repeats its host (n_mentions > n_docs).
+    One concat projection — negligible next to the regex extraction it
+    feeds, and excluded from the operator's own code path."""
     d = F.col("doc_id")
     ds = d.cast("string")
     shard = (d % 23).cast("string")
@@ -442,7 +449,7 @@ def doc_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    return text_ops.host_stats(docs.withColumn("text", urlified))
+    return docs.withColumn("text", urlified)
 
 
 @query(
@@ -466,3 +473,107 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.hash_split_portable(
         docs, "doc_id", {"train": 8, "val": 1, "test": 1}
     ).select("doc_id", "split")
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+        FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, word
+    ), vocab AS (
+        SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY word
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        FROM vocab
+    ), scored AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(ROUND(ln((vocab.c + 1.0) / (tot.n + tot.v)), 6)
+                    AS DECIMAL(25,6)) AS logp
+        FROM tf JOIN vocab USING (word) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(logp * tf) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    classic cheap LM-quality filter (docs whose tokens are improbable
+    under the corpus distribution score low; gibberish and boilerplate
+    sit at the extremes). Laplace-smoothed: logp(w) = ln((c_w+1)/(N+V)).
+
+    Shape at scale: explode is absorbed map-side by the (doc, word)
+    partial count; the model "training" (vocab counts) is a second agg
+    over |vocab| rows; scalar totals broadcast; the score join shuffles
+    |doc-word pairs| once on word. Determinism across engines: each ln
+    rounds to 6 places, the per-doc accumulation is an exact DECIMAL
+    dot-product (order-independent), one double division at the end.
+    """
+    from cdc_kafka_project_spark.functions import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
+            "word"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("word").agg(F.sum("tf").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    logp = F.round(
+        F.log((F.col("c") + F.lit(1.0)) / (F.col("__n") + F.col("__v"))), 6
+    ).cast("decimal(25,6)")
+    scored = (
+        tf.join(vocab, "word")
+        .join(F.broadcast(tot))
+        .withColumn("__logp", logp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("__logp") * F.col("tf")).cast("double")
+            / F.sum("tf"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+@query(
+    "doc_source_quality_gate",
+    oracle="""
+    WITH th AS (
+        SELECT source, ROUND(quantile_cont(n_chars, 0.25), 6) AS src_p25
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars, th.src_p25
+    FROM documents d JOIN th USING (source)
+    WHERE d.n_chars >= th.src_p25
+    """,
+)
+def doc_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile gating (curation policy: drop each source's
+    shortest quartile rather than a global cutoff, so low-resource
+    sources aren't wiped out by a high-resource source's length
+    profile). Two-phase: per-source exact interpolated p25 (tiny agg,
+    |sources| rows), broadcast back, one filter pass — no window over
+    the corpus, no global sort. Spark percentile() and DuckDB
+    quantile_cont share the linear-interpolation definition; the
+    threshold rounds to 6 to absorb the last ulp."""
+    docs = _docs(spark, sf_dir)
+    th = docs.groupBy("source").agg(
+        F.round(F.percentile("n_chars", F.lit(0.25)), 6).alias("src_p25")
+    )
+    return (
+        docs.join(F.broadcast(th), "source")
+        .filter(F.col("n_chars") >= F.col("src_p25"))
+        .select("doc_id", "source", "n_chars", "src_p25")
+    )

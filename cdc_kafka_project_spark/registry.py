@@ -74,6 +74,9 @@ _GATE_PRIORITY: list[str] = [
     #    until its green row lands; column_profile is new this round. --
     "sessionize",
     "column_profile",
+    "asof_join_purchases",
+    "doc_unigram_logprob",
+    "doc_source_quality_gate",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",

@@ -1,0 +1,79 @@
+"""asof_join semantics on hand-computable fixtures: inclusive ties,
+no-match NULLs, tolerance voiding, NULL-valued right rows carried as a
+unit, and the one-shuffle plan shape."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.operators.asof import asof_join
+
+L_SCHEMA = "k long, ts timestamp, lv string"
+R_SCHEMA = "k long, ts timestamp, rv double"
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_backward_inclusive_and_no_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t(10), "a"),   # matches r@10 (inclusive on equality)
+            (1, _t(15), "b"),   # matches r@12
+            (1, _t(5), "c"),    # before any right row -> NULL
+            (2, _t(30), "d"),   # other key matches its own stream only
+        ],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [(1, _t(10), 1.0), (1, _t(12), 2.0), (2, _t(20), 9.0)], R_SCHEMA
+    )
+    got = {
+        r.lv: (r.rv_asof, r.ts_asof)
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+    assert got["a"] == (1.0, _t(10))
+    assert got["b"] == (2.0, _t(12))
+    assert got["c"] == (None, None)
+    assert got["d"] == (9.0, _t(20))
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    left = spark.createDataFrame([(1, _t(50), "x"), (1, _t(11), "y")], L_SCHEMA)
+    right = spark.createDataFrame([(1, _t(10), 1.0)], R_SCHEMA)
+    got = {
+        r.lv: (r.rv_asof, r.ts_asof)
+        for r in asof_join(
+            left, right, ["k"], tolerance_seconds=5
+        ).collect()
+    }
+    assert got["y"] == (1.0, _t(10))   # 1s old: within tolerance
+    assert got["x"] == (None, None)    # 40s old: voided
+
+
+def test_asof_null_right_value_carried_atomically(spark):
+    """A right row whose value is NULL must still win the match (its
+    struct is non-null) — per-column sweeps would leak the older 1.0."""
+    left = spark.createDataFrame([(1, _t(20), "x")], L_SCHEMA)
+    right = spark.createDataFrame([(1, _t(10), 1.0), (1, _t(15), None)], R_SCHEMA)
+    row = asof_join(left, right, ["k"]).collect()[0]
+    assert row.ts_asof == _t(15)
+    assert row.rv_asof is None
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The sweep must cost ONE key exchange over the union — no range
+    join, no cartesian."""
+    left = spark.range(0, 1000).selectExpr(
+        "id % 7 AS k", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts", "'L' AS lv"
+    )
+    right = spark.range(0, 500).selectExpr(
+        "id % 7 AS k", "timestamp_micros(CAST(id * 2000000 AS LONG)) AS ts",
+        "CAST(id AS DOUBLE) AS rv"
+    )
+    out = asof_join(left, right, ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
