@@ -75,6 +75,7 @@ HEADLINE = [
     "asof_join_purchases",
     "doc_unigram_logprob",
     "doc_source_quality_gate",
+    "similarity_semdedup_keep",
 ]
 
 

@@ -548,6 +548,59 @@ def probe_ivf_index(
     )
 
 
+def _pair_score_fn(pre: float):
+    """Arrow kernel scoring one joined block-pair row per iteration:
+    |L| x |R| cosines as 'dim' outer-product accumulation steps —
+    vectorized over the pair plane but accumulating in ascending-
+    dimension order, i.e. bit-identical to the sequential fold
+    (functions.cosine_pd / the oracle's unnest-SUM). Same-block rows
+    (lblk == __rblk) mask to the strict upper triangle; cross-block
+    rows emit every pair once as (min_id, max_id). Shared by the
+    global block-pair tier (all_pairs_cosine_above) and the
+    cluster-scoped SemDeDup tier (semdedup_pairs)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                il = np.asarray(row["lids"], dtype=np.int64)
+                ir = np.asarray(row["rids"], dtype=np.int64)
+                if not len(il) or not len(ir):
+                    continue
+                X = np.stack([np.asarray(e) for e in row["lembs"]]).astype(
+                    np.float64
+                )
+                Y = np.stack([np.asarray(e) for e in row["rembs"]]).astype(
+                    np.float64
+                )
+                dim = X.shape[1]
+                acc = np.zeros((len(X), len(Y)))
+                xn = np.zeros(len(X))
+                yn = np.zeros(len(Y))
+                # ascending-dimension fold: parity with cosine_pd
+                for j in range(dim):
+                    acc = acc + X[:, j : j + 1] * Y[None, :, j]
+                    xn = xn + X[:, j] * X[:, j]
+                    yn = yn + Y[:, j] * Y[:, j]
+                cos = acc / (np.sqrt(xn)[:, None] * np.sqrt(yn)[None, :])
+                mask = cos >= pre
+                if row["lblk"] == row["__rblk"]:
+                    mask &= il[:, None] < ir[None, :]
+                a, b = np.nonzero(mask)
+                ia, ib = il[a], ir[b]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                        "raw_cos": cos[a, b],
+                    }
+                )
+
+    return fn
+
+
 def all_pairs_cosine_above(
     embeddings: DataFrame,
     threshold: float,
@@ -610,50 +663,84 @@ def all_pairs_cosine_above(
         F.col("embs").alias("rembs"),
     )
     joined = left.join(right, "__rblk")
-
-    def fn(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                il = np.asarray(row["lids"], dtype=np.int64)
-                ir = np.asarray(row["rids"], dtype=np.int64)
-                if not len(il) or not len(ir):
-                    continue
-                X = np.stack([np.asarray(e) for e in row["lembs"]]).astype(
-                    np.float64
-                )
-                Y = np.stack([np.asarray(e) for e in row["rembs"]]).astype(
-                    np.float64
-                )
-                dim = X.shape[1]
-                acc = np.zeros((len(X), len(Y)))
-                xn = np.zeros(len(X))
-                yn = np.zeros(len(Y))
-                # ascending-dimension fold: parity with cosine_pd
-                for j in range(dim):
-                    acc = acc + X[:, j : j + 1] * Y[None, :, j]
-                    xn = xn + X[:, j] * X[:, j]
-                    yn = yn + Y[:, j] * Y[:, j]
-                cos = acc / (np.sqrt(xn)[:, None] * np.sqrt(yn)[None, :])
-                mask = cos >= pre
-                if row["lblk"] == row["__rblk"]:
-                    mask &= il[:, None] < ir[None, :]
-                a, b = np.nonzero(mask)
-                ia, ib = il[a], ir[b]
-                yield pd.DataFrame(
-                    {
-                        "vec_a": np.minimum(ia, ib),
-                        "vec_b": np.maximum(ia, ib),
-                        "raw_cos": cos[a, b],
-                    }
-                )
-
-    out = joined.mapInPandas(fn, "vec_a long, vec_b long, raw_cos double")
+    out = joined.mapInPandas(
+        _pair_score_fn(pre), "vec_a long, vec_b long, raw_cos double"
+    )
     return (
         out.select(
             "vec_a", "vec_b", F.round(F.col("raw_cos"), round_to).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    max_train: int = 100_000,
+    threshold: float = 0.95,
+    round_to: int = 4,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means cluster the
+    corpus, score exact cosine only WITHIN each cluster (the public
+    SemDeDup recipe — Abbas et al. 2023, arXiv:2303.09540: semantic
+    duplicates land in the same cluster, so the quadratic pair scan
+    shrinks from n^2 to sum(|cluster|^2)).
+
+    Pipeline: bounded-sample k-means (kmeans_centroids) -> distributed
+    cid assignment (one map pass) -> block-pair equi-join keyed on
+    (cid, target block) -> shared Arrow cosine kernel. Identical
+    worst-case memory bounds to all_pairs_cosine_above; the join key
+    gains cid so blocks only ever meet within their cluster. Cross-
+    cluster near-dups are missed BY DESIGN (the documented SemDeDup
+    recall trade — raise k for smaller clusters / higher speed, lower
+    k for higher recall).
+
+    Returns (vec_a, vec_b, cos_sim) pairs with cos_sim >= threshold;
+    feed to ``near_dedup_keep`` for the keep policy.
+    """
+    C = kmeans_centroids(embeddings, k=k, iters=iters, max_train=max_train)
+    idx = ivf_index(embeddings, C)
+    n = embeddings.count()
+    # ~block_rows-sized sub-blocks assuming balanced clusters; a skewed
+    # mega-cluster degrades toward the global tier's block count, never
+    # a single task
+    B = max(1, -(-n // (block_rows * max(k, 1))))
+    pre = threshold - 10.0 ** (-round_to)
+    packed = (
+        idx.withColumn(
+            "__blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+        )
+        .groupBy("cid", "__blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("embs"),
+        )
+    )
+    left = packed.select(
+        "cid",
+        F.col("__blk").alias("lblk"),
+        F.col("ids").alias("lids"),
+        F.col("embs").alias("lembs"),
+        F.explode(F.sequence(F.col("__blk"), F.lit(B - 1))).alias("__rblk"),
+    )
+    right = packed.select(
+        "cid",
+        F.col("__blk").alias("__rblk"),
+        F.col("ids").alias("rids"),
+        F.col("embs").alias("rembs"),
+    )
+    joined = left.join(right, ["cid", "__rblk"])
+    out = joined.mapInPandas(
+        _pair_score_fn(pre), "vec_a long, vec_b long, raw_cos double"
+    )
+    return (
+        out.select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("raw_cos"), round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

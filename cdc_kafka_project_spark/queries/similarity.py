@@ -216,3 +216,22 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg; the shuffle carries O(labels x dim) decimal partials,
     never vectors, and the answer is partition-count-invariant."""
     return sim.label_centroids(_emb(spark, sf_dir))
+
+
+@query("similarity_semdedup_keep")  # rows-only: k-means model is engine-side
+def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (semantic dedup policy): cluster-scoped
+    exact-cosine pairs (operators/similarity.py::semdedup_pairs, the
+    public SemDeDup recipe) -> connected components -> keep the
+    representative per duplicate group + every unpaired vector. On the
+    near-orthogonal synthetic embeddings nothing crosses the 0.95
+    threshold, so the keep set is the full corpus (a non-vacuous,
+    deterministic row count); drop behavior on genuinely duplicated
+    corpora is pinned by tests/test_similarity.py."""
+    from cdc_kafka_project_spark.operators.dedup import near_dedup_keep
+
+    emb = _emb(spark, sf_dir)
+    pairs = sim.semdedup_pairs(emb, k=16, iters=2, max_train=512, threshold=0.95)
+    return near_dedup_keep(
+        emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    ).select("vec_id")

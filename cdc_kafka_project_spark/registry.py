@@ -77,6 +77,7 @@ _GATE_PRIORITY: list[str] = [
     "asof_join_purchases",
     "doc_unigram_logprob",
     "doc_source_quality_gate",
+    "similarity_semdedup_keep",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",

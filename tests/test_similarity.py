@@ -364,3 +364,43 @@ def test_quantize_int8_zero_vector_yields_zero_codes(spark):
     assert (z.code_sum, z.code_min, z.code_max, z.n_nonzero) == (0, 0, 0, 0)
     nz = got[2]
     assert nz.code_max == 127 and nz.n_nonzero == 1
+
+
+def test_semdedup_drops_within_cluster_duplicates(corpus, spark):
+    """SemDeDup: exact duplicates and tight near-neighbors share a
+    k-means cluster, so the cluster-scoped pair scan finds them; the
+    keep policy drops all but one per group and keeps everything
+    unpaired."""
+    from cdc_kafka_project_spark.operators.dedup import near_dedup_keep
+
+    emb, _ = corpus
+    pairs = sim.semdedup_pairs(emb, k=4, iters=2, max_train=512, threshold=0.999)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    assert (300, 301) in got  # the exact-duplicate pair
+    kept = {
+        r.vec_id
+        for r in near_dedup_keep(
+            emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+        ).select("vec_id").collect()
+    }
+    assert 300 in kept and 301 not in kept  # representative = min id
+    assert len(kept) == emb.count() - len({b for _, b in got})
+
+
+def test_semdedup_matches_global_tier_within_clusters(corpus):
+    """Every pair SemDeDup emits must also be found by the exact global
+    tier at the same threshold (soundness: cluster scoping only
+    *removes* candidate pairs, never invents similarity)."""
+    emb, _ = corpus
+    sd = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in sim.semdedup_pairs(
+            emb, k=4, iters=2, max_train=512, threshold=0.9
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in sim.all_pairs_cosine_above(emb, threshold=0.9).collect()
+    }
+    assert sd <= exact
+    assert (300, 301, 1.0) in sd
