@@ -425,7 +425,17 @@ def near_dedup_keep(
     corpus size, and forcing it driver-side would OOM — AQE falls back
     to a shuffle anti-join there (same policy as ``decontaminate``).
     Returns ``df`` filtered, schema unchanged.
+
+    The pair frame is materialized once up front (localCheckpoint):
+    pair generation is the expensive tier (LSH bands / cluster-scoped
+    cosine / shingle joins), and the component iteration would
+    otherwise re-evaluate that whole pipeline every round. The edge
+    list itself is pair-graph-sized — small relative to the corpus by
+    construction. Empty pair graph short-circuits: nothing to drop.
     """
+    pairs = pairs.localCheckpoint(eager=True)
+    if pairs.isEmpty():
+        return df
     comp = connected_components(pairs, a_col, b_col)
     drop = comp.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
