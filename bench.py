@@ -76,7 +76,63 @@ HEADLINE = [
     "doc_unigram_logprob",
     "doc_source_quality_gate",
     "similarity_semdedup_keep",
+    "doc_uniform_sample",
+    "source_weighted_sample",
 ]
+
+
+def _cdc_latency_sec(spark) -> float:
+    """BASELINE.md's one latency SLO: source commit -> replica visible
+    in < 1 s (pdf p.9, single-host 7-event scale). Measured here as:
+    change-file landed (commit) -> bounded micro-batch run -> replica
+    snapshot forced. Cold start (checkpoint/JVM init) is excluded —
+    the SLO describes a running pipeline; best of 3 warm rounds, same
+    policy as the query timings."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from cdc_kafka_project_spark.operators import cdc as cdc_ops
+    from cdc_kafka_project_spark.schemas import EMP_CDC_SCHEMA
+    from cdc_kafka_project_spark.streaming.pipeline import CdcFileStreamPipeline
+
+    work = tempfile.mkdtemp(prefix="cdc-latency-")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    pipe = CdcFileStreamPipeline(
+        spark, src, work, EMP_CDC_SCHEMA, cdc_ops.employee_invalid_predicate()
+    )
+
+    def drop(i: int, n: int = 10) -> None:
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (
+                i * 1000 + j, f"F{j}", f"L{j}", dt.date(2012, 1, 1), "City",
+                50_000 + j, "insert",
+                base + dt.timedelta(seconds=i * 100 + j), i * 1000 + j,
+            )
+            for j in range(n)
+        ]
+        spark.createDataFrame(rows, EMP_CDC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    try:
+        drop(0)
+        pipe.run_available_now()
+        pipe.snapshot().count()  # cold path excluded
+        best = float("inf")
+        for i in (1, 2, 3):
+            drop(i)
+            t0 = time.time()
+            pipe.run_available_now()
+            n = pipe.snapshot().count()
+            dt_s = time.time() - t0
+            assert n == (i + 1) * 10, f"replica row count {n} at round {i}"
+            best = min(best, dt_s)
+        return round(best, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -119,6 +175,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # reference SLO counterpart (BASELINE.md row 1): warm
+        # micro-batch change->replica latency through the streaming
+        # CDC pipeline, best of 3
+        "cdc_apply_latency_sec": _cdc_latency_sec(spark),
     }
     _record_history(record)
     print(json.dumps(record))

@@ -577,3 +577,59 @@ def doc_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") >= F.col("src_p25"))
         .select("doc_id", "source", "n_chars", "src_p25")
     )
+
+
+@query(
+    "doc_uniform_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def doc_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample: rank every doc by the md5 of a
+    salted key and take the k smallest — reproducible on any md5-capable
+    engine (the auditable twin of rand()-sampling, same trick as
+    hash_split_portable). Plans as TakeOrderedAndProject: per-partition
+    top-k heaps, k rows to the driver, never a global sort — the only
+    sane shape for "give me 10k docs from 100 TB"."""
+    docs = _docs(spark, sf_dir)
+    rank = F.md5(F.concat(F.lit("sample"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", rank.alias("__r"))
+        .orderBy("__r", "doc_id")
+        .limit(100)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "source_weighted_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN source IN ('src0', 'src1', 'src2') THEN 'cccc'
+               WHEN source IN ('src3', 'src4') THEN '6666'
+               ELSE '1999' END
+    """,
+)
+def source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source rate sampling (data-mixing): keep a doc
+    iff its salted md5 bucket falls under the source's target rate
+    (here 80% / 40% / 10% tiers — the up/down-weighting step of corpus
+    mixing recipes). Pure map-side filter, zero shuffle, and any
+    md5-capable system reproduces the exact kept set — no rand(), no
+    seed coupling to partitioning."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit("cccc"))
+        .when(F.col("source").isin("src3", "src4"), F.lit("6666"))
+        .otherwise(F.lit("1999"))
+    )
+    return docs.filter(bucket < rate).select("doc_id", "source")

@@ -78,6 +78,8 @@ _GATE_PRIORITY: list[str] = [
     "doc_unigram_logprob",
     "doc_source_quality_gate",
     "similarity_semdedup_keep",
+    "doc_uniform_sample",
+    "source_weighted_sample",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
