@@ -168,3 +168,41 @@ def test_decontamination_broadcasts_eval_side(spark, queries):
     clean = _q(queries, spark, "doc_decontaminate")
     assert has_broadcast_join(clean)
     assert not has_cartesian(hits) and not has_cartesian(clean)
+
+
+def test_uniform_sample_is_takeordered_no_global_sort(spark, queries):
+    """Salted-md5 sampling must plan per-partition top-k heaps
+    (TakeOrderedAndProject) — a global sort of the corpus to take 100
+    rows is the 100 TB anti-pattern."""
+    from cdc_kafka_project_spark.plans import simple_plan
+
+    df = _q(queries, spark, "doc_uniform_sample")
+    p = simple_plan(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_weighted_sample_zero_shuffle(spark, queries):
+    """Per-source rate sampling is a pure map-side filter: zero keyed
+    exchanges, filter applied at/above the scan."""
+    from cdc_kafka_project_spark.plans import count_key_exchanges
+
+    df = _q(queries, spark, "source_weighted_sample")
+    assert count_key_exchanges(df) == 0, plan_summary(df)
+
+
+def test_unigram_logprob_broadcasts_totals(spark, queries):
+    """The (N, V) scalar totals join must broadcast (a 1-row frame);
+    the word-level score join may shuffle — never a cartesian."""
+    df = _q(queries, spark, "doc_unigram_logprob")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_source_quality_gate_broadcasts_thresholds(spark, queries):
+    """The per-source p25 thresholds (|sources| rows) broadcast back
+    onto the corpus — a corpus shuffle against a 20-row frame would be
+    the 100 TB bottleneck."""
+    df = _q(queries, spark, "doc_source_quality_gate")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
