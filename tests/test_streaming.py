@@ -224,3 +224,93 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
     # accumulated across runs: ECC = 100 + 49; CIT untouched in run 2
     # but still current from run 1's emission
     assert got2 == {"ECC": 149, "CIT": 200, "EMS": 10}
+
+
+def test_tws_plan_builds_without_execution(spark, tmp_path):
+    """The transformWithStateInPandas plan must CONSTRUCT in any
+    environment (protobuf is an execution-time dependency only):
+    streaming flag set, output schema as declared."""
+    from cdc_kafka_project_spark.streaming.stateful import running_totals_tws
+
+    src = tmp_path / "tws_plan_src"
+    src.mkdir()
+    stream = spark.readStream.schema(EMPLOYEE_SALARIES_SCHEMA).parquet(str(src))
+    out = running_totals_tws(stream)
+    assert out.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("department", "string"),
+        ("total_salary", "bigint"),
+    ]
+
+
+def test_tws_running_totals_parity_and_restart(spark, tmp_path):
+    """transformWithStateInPandas (the current Spark 4.x stateful API,
+    RocksDB-backed) must produce the same totals as the
+    applyInPandasWithState implementation and resume state across
+    bounded runs. Skips when google.protobuf is absent (TWS's state
+    protocol dependency; not shipped in this container)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState requires protobuf for its state protocol",
+    )
+    import decimal
+
+    from cdc_kafka_project_spark.streaming.stateful import running_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "sal_tws"
+        src.mkdir()
+        d = dt.date(2015, 1, 1)
+        cp = str(tmp_path / "cp_tws")
+
+        def run():
+            stream = spark.readStream.schema(EMPLOYEE_SALARIES_SCHEMA).parquet(
+                str(src)
+            )
+            q = (
+                running_totals_tws(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName("tws_totals")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        first = [
+            ("ECC", "d1", "t", d, decimal.Decimal("100.75")),
+            ("CIT", "d1", "t", d, decimal.Decimal("200.25")),
+        ]
+        spark.createDataFrame(first, EMPLOYEE_SALARIES_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        run()
+        got1 = {
+            r.department: r.total_salary
+            for r in spark.table("tws_totals").collect()
+        }
+        assert got1 == {"ECC": 100, "CIT": 200}
+
+        second = [("ECC", "d2", "t", d, decimal.Decimal("49.50"))]
+        spark.createDataFrame(second, EMPLOYEE_SALARIES_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        run()  # memory sink resets per run; emission covers batch 2 only
+        got2 = {
+            r.department: r.total_salary
+            for r in spark.table("tws_totals").collect()
+        }
+        assert got2["ECC"] == 149  # resumed 100 + floor(49.50)
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
