@@ -78,6 +78,7 @@ HEADLINE = [
     "similarity_semdedup_keep",
     "doc_uniform_sample",
     "source_weighted_sample",
+    "asof_join_next_purchase",
 ]
 
 

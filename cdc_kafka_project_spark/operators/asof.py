@@ -40,10 +40,15 @@ def asof_join(
     right_value_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = DEFAULT_SUFFIX,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the right row with the
-    greatest ``right_ts`` <= ``left_ts`` for the same key (inclusive on
-    equal timestamps, matching DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``).
+    """As-of join. ``direction="backward"`` (default): for every left
+    row, the right row with the greatest ``right_ts`` <= ``left_ts``
+    for the same key (inclusive on equal timestamps, matching DuckDB
+    ``ASOF JOIN ... ON r.ts <= l.ts``). ``direction="forward"``: the
+    smallest ``right_ts`` >= ``left_ts`` (DuckDB ``ON r.ts >= l.ts``,
+    pandas ``merge_asof(direction="forward")``) — the sweep just runs
+    time-descending.
 
     Returns every left row (left-outer semantics) plus, per requested
     right value column, ``<col><suffix>`` — NULL when no right row
@@ -58,6 +63,8 @@ def asof_join(
     the duplicate that sorts last, which is deterministic only with a
     total order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(key_cols)
     rvals = list(
         right_value_cols
@@ -92,10 +99,14 @@ def asof_join(
         r_row.alias("__r"),
     )
     # right rows sort BEFORE a left row at the same instant
-    # (__side 0 < 1) => inclusive backward match
+    # (__side 0 < 1) => inclusive match in either direction; forward
+    # sweeps time-descending so "preceding" rows are future ones
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     swept = l_tagged.unionByName(r_tagged).withColumn(
@@ -105,9 +116,10 @@ def asof_join(
     def _gate(col: Column) -> Column:
         if tolerance_seconds is None:
             return col
-        age_ok = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
-        ) <= int(tolerance_seconds * 1_000_000)
+        gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        if direction == "forward":
+            gap = -gap
+        age_ok = gap <= int(tolerance_seconds * 1_000_000)
         return F.when(F.col("__m").isNotNull() & age_ok, col)
 
     return swept.filter(F.col("__side") == 1).select(

@@ -627,3 +627,55 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_p").alias("purchase_value"),
         F.col("event_id_p").alias("purchase_event_id"),
     )
+
+
+@query(
+    "asof_join_next_purchase",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, ts, event_id
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) = 1
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS next_purchase_time,
+           p.event_id AS next_purchase_event_id
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (time-to-conversion analysis: for every click,
+    the user's NEXT purchase at-or-after it) — the operator's forward
+    sweep checked against DuckDB's native ASOF JOIN with the reversed
+    inequality."""
+    from cdc_kafka_project_spark.operators.asof import asof_join
+    from cdc_kafka_project_spark.operators.cdc import latest_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        right_value_cols=["event_id"],
+        suffix="_p",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_p", TS_FMT_SPARK).alias("next_purchase_time"),
+        F.col("event_id_p").alias("next_purchase_event_id"),
+    )

@@ -80,6 +80,7 @@ _GATE_PRIORITY: list[str] = [
     "similarity_semdedup_keep",
     "doc_uniform_sample",
     "source_weighted_sample",
+    "asof_join_next_purchase",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",

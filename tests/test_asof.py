@@ -77,3 +77,41 @@ def test_asof_single_shuffle_plan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_asof_forward_inclusive_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t(10), "a"),   # matches r@10 (inclusive)
+            (1, _t(11), "b"),   # matches r@12 (next at-or-after)
+            (1, _t(30), "c"),   # after all right rows -> NULL
+        ],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame([(1, _t(10), 1.0), (1, _t(12), 2.0)], R_SCHEMA)
+    got = {
+        r.lv: (r.rv_asof, r.ts_asof)
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    assert got["a"] == (1.0, _t(10))
+    assert got["b"] == (2.0, _t(12))
+    assert got["c"] == (None, None)
+    # tolerance: r@12 is 1s ahead of b (ok at tol=5), 2s ahead of a@10
+    got_tol = {
+        r.lv: r.ts_asof
+        for r in asof_join(
+            left, right, ["k"], direction="forward", tolerance_seconds=1
+        ).collect()
+    }
+    assert got_tol["a"] == _t(10)   # exact match, gap 0
+    assert got_tol["b"] == _t(12)   # gap 1s == tolerance
+    assert got_tol["c"] is None
+
+
+def test_asof_rejects_unknown_direction(spark):
+    left = spark.createDataFrame([(1, _t(1), "x")], L_SCHEMA)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, left.selectExpr("k", "ts", "1.0 AS rv"), ["k"],
+                  direction="nearest")
