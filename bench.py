@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_uniform_sample",
     "source_weighted_sample",
     "asof_join_next_purchase",
+    "corr_lineitem_measures",
 ]
 
 

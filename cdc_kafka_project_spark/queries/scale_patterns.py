@@ -374,3 +374,100 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+@query(
+    "corr_lineitem_measures",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(25,6))) AS sq,
+               SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS sp,
+               SUM(CAST(l_discount AS DECIMAL(25,6))) AS sd,
+               SUM(CAST(l_quantity AS DECIMAL(25,6))
+                   * CAST(l_quantity AS DECIMAL(25,6))) AS sqq,
+               SUM(CAST(l_extendedprice AS DECIMAL(25,6))
+                   * CAST(l_extendedprice AS DECIMAL(25,6))) AS spp,
+               SUM(CAST(l_discount AS DECIMAL(25,6))
+                   * CAST(l_discount AS DECIMAL(25,6))) AS sdd,
+               SUM(CAST(l_quantity AS DECIMAL(25,6))
+                   * CAST(l_extendedprice AS DECIMAL(25,6))) AS sqp,
+               SUM(CAST(l_quantity AS DECIMAL(25,6))
+                   * CAST(l_discount AS DECIMAL(25,6))) AS sqd,
+               SUM(CAST(l_extendedprice AS DECIMAL(25,6))
+                   * CAST(l_discount AS DECIMAL(25,6))) AS spd
+        FROM lineitem
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+               AS corr_qty_price,
+           ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+               AS corr_qty_disc,
+           ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                  - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+               AS corr_price_disc
+    FROM s
+    """,
+)
+def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between the lineitem measures in
+    ONE scan — the multivariate profiling pass feature-engineering jobs
+    run before training. All co-moments (sums, squares, cross products)
+    accumulate as exact DECIMALs, so the partial aggregation is
+    order/partition-invariant and both engines compute identical sums;
+    the closed-form corr arithmetic then runs once on scalars in
+    float64 (identical operand bits -> identical IEEE results, rounded
+    to 6). Contrast with F.corr: its float running state is partition-
+    order-dependent — fine statistically, but not reproducible
+    bit-for-bit across engines or cluster layouts.
+    """
+    q = F.col("l_quantity").cast("decimal(25,6)")
+    p = F.col("l_extendedprice").cast("decimal(25,6)")
+    d = F.col("l_discount").cast("decimal(25,6)")
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = n * F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(
+            sy
+        ).cast("double")
+        vx = n * F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(
+            sx
+        ).cast("double")
+        vy = n * F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(
+            sy
+        ).cast("double")
+        return F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)
+
+    return s.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )

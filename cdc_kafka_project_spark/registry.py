@@ -81,6 +81,7 @@ _GATE_PRIORITY: list[str] = [
     "doc_uniform_sample",
     "source_weighted_sample",
     "asof_join_next_purchase",
+    "corr_lineitem_measures",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
