@@ -80,6 +80,8 @@ HEADLINE = [
     "source_weighted_sample",
     "asof_join_next_purchase",
     "corr_lineitem_measures",
+    "funnel_view_click_purchase",
+    "weekly_retention_cohorts",
 ]
 
 

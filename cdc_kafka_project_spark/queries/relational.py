@@ -679,3 +679,111 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_p", TS_FMT_SPARK).alias("next_purchase_time"),
         F.col("event_id_p").alias("next_purchase_event_id"),
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fc AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click' AND e.ts >= fv.first_view
+        GROUP BY e.user_id
+    ), fp AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM fc) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (product analytics): users who viewed, then
+    clicked at-or-after their first view, then purchased at-or-after
+    that click. Three stage aggregations, each one keyed shuffle on
+    user_id — AQE reuses the co-partitioning, and each stage's input
+    shrinks to the survivors of the previous one. No window over the
+    whole event stream, no per-user event arrays collected."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    # one distributed job: tag each stage's survivors, conditional-count
+    tagged = (
+        fv.select(F.lit("view").alias("stage"))
+        .unionByName(fc.select(F.lit("click").alias("stage")))
+        .unionByName(fp.select(F.lit("purchase").alias("stage")))
+    )
+    return tagged.groupBy().agg(
+        F.count(F.when(F.col("stage") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("stage") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("stage") == "purchase", 1)).alias("n_purchase"),
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+           CAST((a.week - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the growth-analytics staple): bucket each user
+    by first-active week, count distinct users active at each week
+    offset. Two keyed aggregations (per-user-week activity dedup, then
+    per-user min) plus one user-keyed join — the activity dedup
+    collapses the event stream to |user x active-week| rows FIRST, so
+    the join and everything after run on the collapsed set, not the
+    raw 100 TB stream. Spark's date_trunc('week') and DuckDB's both
+    start weeks on Monday."""
+    ev = _t(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -82,6 +82,8 @@ _GATE_PRIORITY: list[str] = [
     "source_weighted_sample",
     "asof_join_next_purchase",
     "corr_lineitem_measures",
+    "funnel_view_click_purchase",
+    "weekly_retention_cohorts",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
