@@ -82,6 +82,8 @@ HEADLINE = [
     "corr_lineitem_measures",
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
+    "session_stats",
+    "weekly_revenue_wow",
 ]
 
 

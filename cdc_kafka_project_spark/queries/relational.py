@@ -787,3 +787,96 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "session_stats",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+               AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup on top of sessionize: events, duration,
+    value per (user, session). The session assignment reuses the same
+    lag+cumsum window (one user-keyed shuffle); the rollup groups on
+    (user, session) — already co-partitioned by user, so AQE plans the
+    second agg without a new exchange. Duration in whole seconds via
+    exact integer-microsecond arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(cum).cast("long")
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # integer division (both engines floor): float/1e6 + cast would
+        # truncate in Spark but round in DuckDB's double->BIGINT cast
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000"
+        ).alias("duration_sec"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "weekly_revenue_wow",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(week AS VARCHAR) AS week,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) - 1, 6)
+               AS wow_change
+    FROM w
+    """,
+)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change: aggregate FIRST (per-week decimal
+    sums — one partial-agg shuffle over the fact table), THEN window
+    over the tiny aggregated series. The single-partition window is
+    safe exactly because it runs on |weeks| rows, never the fact table
+    — the ordering trap this query exists to demonstrate."""
+    od = _t(spark, sf_dir, "orders")
+    weekly = od.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
+    w = Window.orderBy("week")
+    return weekly.select(
+        F.col("week").cast("string").alias("week"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double")
+            - 1,
+            6,
+        ).alias("wow_change"),
+    )

@@ -84,6 +84,8 @@ _GATE_PRIORITY: list[str] = [
     "corr_lineitem_measures",
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
+    "session_stats",
+    "weekly_revenue_wow",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
