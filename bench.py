@@ -84,6 +84,7 @@ HEADLINE = [
     "weekly_retention_cohorts",
     "session_stats",
     "weekly_revenue_wow",
+    "salted_join_segment_revenue",
 ]
 
 

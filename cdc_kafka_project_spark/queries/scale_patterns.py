@@ -471,3 +471,38 @@ def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     )
+
+
+@query(
+    "salted_join_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salted join (operators/skew.py): orders spray into 8
+    sub-keys per customer, the customer side replicates 8x, and the
+    grouped result is bit-identical to the plain join (the oracle IS
+    the plain join). On this data the keys aren't skewed — the query
+    pins CORRECTNESS of the reshape; the skew win is pinned by
+    tests/test_skew.py and the AQE engagement tests cover the
+    automatic path."""
+    from cdc_kafka_project_spark.operators.skew import salted_join
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(od, cu, ["o_custkey"], n_salt=8, spray_cols=["o_orderkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -86,6 +86,7 @@ _GATE_PRIORITY: list[str] = [
     "weekly_retention_cohorts",
     "session_stats",
     "weekly_revenue_wow",
+    "salted_join_segment_revenue",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
