@@ -85,6 +85,7 @@ HEADLINE = [
     "session_stats",
     "weekly_revenue_wow",
     "salted_join_segment_revenue",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Bounded-memory frequency sketches (candidate + verify pattern).
+
+``heavy_hitters``: exact top-k frequent items over an arbitrarily large
+item stream using Misra-Gries summaries per partition followed by an
+exact recount of the candidate union — the standard two-phase shape
+that keeps worst-case memory fixed no matter the item cardinality:
+
+* Phase 1 (map-only): each partition runs a Misra-Gries summary with
+  ``capacity`` counters (public algorithm, Misra & Gries 1982). Any
+  item whose GLOBAL frequency exceeds N/capacity must exceed
+  n_p/capacity in at least one partition (pigeonhole), so it survives
+  in that partition's summary — the candidate union provably contains
+  every item with freq > N/capacity.
+* Phase 2: exact counts for candidates only — the corpus streams once
+  more through a filter against the (tiny, broadcast) candidate set,
+  then one partial-agg shuffle of |candidates| keys.
+
+Exactness contract: if the true k-th frequency f_k > N/capacity, the
+result is EXACTLY the top-k (the driver oracle recomputes it as a
+plain GROUP BY / ORDER BY / LIMIT). Size ``capacity`` accordingly
+(capacity >= N/f_k); when the tail is too flat for that bound the
+result degrades to "top-k among items with freq > N/capacity" —
+loudly documented, never silently wrong counts (phase 2 counts are
+always exact).
+
+Contrast with groupBy+top-k: the plain plan shuffles |vocab| keys;
+this shuffles |candidates| <= capacity x partitions keys — the
+difference between a web-scale vocabulary and a few thousand rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 25,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact top-``k`` (item, n) for the items column, provided the
+    k-th frequency exceeds N/``capacity`` (see module docstring).
+    Deterministic tie-break: count desc, then item asc."""
+
+    def phase1(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            col = pdf[item_col].dropna()
+            for x in col:
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < capacity:
+                    counters[x] = 1
+                else:
+                    counters = {
+                        kk: v - 1 for kk, v in counters.items() if v > 1
+                    }
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    src = df.select(item_col)
+    candidates = src.mapInPandas(
+        phase1, f"{item_col} string"
+    ).distinct()
+    exact = (
+        src.join(F.broadcast(candidates), item_col)
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.orderBy(F.col("n").desc(), item_col).limit(k)

@@ -506,3 +506,34 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=r"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+          FROM documents WHERE trim(text) <> '')
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 25
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 tokens via Misra-Gries candidates + exact recount
+    (operators/sketches.py): per-partition bounded-memory summaries
+    (capacity 4096 counters regardless of vocabulary size) yield a
+    provable candidate superset of everything with freq > N/4096; the
+    exact recount then shuffles |candidates| keys, not |vocab|. The
+    oracle is the plain GROUP BY top-25 — identical answers, different
+    memory ceiling. Compare token_frequency_top100: same answer family,
+    |vocab|-keyed shuffle."""
+    from cdc_kafka_project_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
+            "word"
+        )
+    )
+    return heavy_hitters(toks, "word", k=25, capacity=4096)

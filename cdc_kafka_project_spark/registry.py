@@ -87,6 +87,7 @@ _GATE_PRIORITY: list[str] = [
     "session_stats",
     "weekly_revenue_wow",
     "salted_join_segment_revenue",
+    "heavy_hitter_tokens",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",

@@ -318,3 +318,27 @@ def test_hash_split_portable_properties(spark):
     a = dict(small.collect())
     b = dict(got.filter(F.col("doc_id") < 1000).collect())
     assert a == b
+
+
+def test_heavy_hitters_exact_when_capacity_sufficient(spark):
+    """Misra-Gries candidates + recount must equal the plain groupBy
+    top-k whenever f_k > N/capacity — and the candidate set stays
+    bounded by capacity per partition."""
+    from cdc_kafka_project_spark.operators.sketches import heavy_hitters
+
+    rows = []
+    # skewed vocabulary: item i appears ~ 1000/i times (zipf-ish)
+    for i in range(1, 200):
+        rows += [(f"w{i:03d}",)] * max(1000 // i, 1)
+    df = spark.createDataFrame(rows, "word string").repartition(8)
+    got = [(r.word, r.n) for r in heavy_hitters(df, "word", k=10, capacity=64).collect()]
+    exact = [
+        (r.word, r.n)
+        for r in df.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+    assert got[0] == ("w001", 1000)
