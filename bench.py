@@ -86,6 +86,8 @@ HEADLINE = [
     "weekly_revenue_wow",
     "salted_join_segment_revenue",
     "heavy_hitter_tokens",
+    "dedup_normalized_groups",
+    "doc_url_canonical",
 ]
 
 

@@ -553,3 +553,31 @@ def decontaminate(
     runtime size is actually small, shuffle anti-join when it isn't."""
     hits = contamination_hits(train, eval_df, text_col, n).select("doc_id")
     return train.join(hits, "doc_id", "left_anti")
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """Canonical text form for fuzzy-exact dedup (the C4-style
+    normalization pass): lowercase, collapse all whitespace runs to
+    single spaces, strip punctuation to spaces, trim. Two documents
+    differing only in case/spacing/punctuation collapse to one
+    canonical string; real wording differences survive. Pure codegen'd
+    expression — usable inside any scan."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^\p{L}\p{N}]+", " ")
+    return F.trim(t)
+
+
+def normalized_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate groups under normalize_for_dedup: (fp_md5,
+    keep_doc_id, n_dups) keyed on the digest of the CANONICAL text —
+    same digest-only shuffle economics as exact_dedup_groups, one
+    normalization expression earlier in the scan."""
+    c = normalize_for_dedup(F.col(text_col))
+    return (
+        df.select("doc_id", F.md5(c).alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

@@ -597,3 +597,18 @@ def hash_split_portable(
     for name, hi in reversed(edges[:-1]):
         expr = F.when(hx < hi, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL form for crawl dedup / per-host accounting:
+    fragment stripped, scheme+authority lowercased (path/query case is
+    SIGNIFICANT per RFC 3986 and preserved), default ports removed
+    (http:80, https:443), single trailing slash stripped. Pure regex
+    chain — codegen'd, mirrorable on any RE2/Java-regex engine."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    rest = F.substring(u, F.length(prefix) + 1, F.length(u))
+    u = F.concat(F.lower(prefix), rest)
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", "$1$2")
+    return F.regexp_replace(u, r"/$", "")

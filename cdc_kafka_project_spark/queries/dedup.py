@@ -247,3 +247,24 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the flagged ids)."""
     train, ev = _decon_split(spark, sf_dir)
     return dd.decontaminate(train, ev, n=_DECON_N).select("doc_id", "source")
+
+
+@query(
+    "dedup_normalized_groups",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')))
+               AS fp_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup groups under text normalization (lowercase +
+    punctuation/whitespace collapse — the C4-style canonical form):
+    case/spacing/punctuation variants collapse to one group while real
+    wording differences survive. Same digest-only shuffle economics as
+    the exact tier; Java regex and DuckDB RE2 agree on the
+    \\p{L}/\\p{N} Unicode-category subset used."""
+    return dd.normalized_dedup_groups(_docs(spark, sf_dir))

@@ -633,3 +633,65 @@ def source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("1999"))
     )
     return docs.filter(bucket < rate).select("doc_id", "source")
+
+
+@query(
+    "doc_url_canonical",
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTP://Site' || CAST(doc_id % 23 AS VARCHAR)
+                   || '.Example.org:80/Page/' || CAST(doc_id AS VARCHAR)
+                   || '/#sec' || CAST(doc_id % 7 AS VARCHAR) AS url
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'https://CDN.example.net:443/Asset?Id=' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 5 = 0
+    ), c AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '#.*$', '') AS u1
+        FROM u
+    ), p AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+                   || substr(u1, length(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) + 1)
+                   AS u2
+        FROM c
+    )
+    SELECT doc_id, url,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(u2, '^(http://[^/:]+):80(/|$)', '\1\2'),
+                   '^(https://[^/:]+):443(/|$)', '\1\2'),
+               '/$', '') AS canon_url
+    FROM p
+    """,
+)
+def doc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/text.py::canonical_url) over a
+    deterministic doc_id-derived fixture exercising every rule:
+    mixed-case scheme/host (lowercased; path case preserved per RFC
+    3986), fragments (stripped), default ports http:80/https:443
+    (removed), trailing slash (stripped). Zero-shuffle projection; the
+    oracle re-runs the identical regex chain on DuckDB's RE2."""
+    docs = _docs(spark, sf_dir)
+    d, ds = F.col("doc_id"), F.col("doc_id").cast("string")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Site"), (d % 23).cast("string"),
+            F.lit(".Example.org:80/Page/"), ds,
+            F.lit("/#sec"), (d % 7).cast("string"),
+        ).alias("url"),
+    )
+    cdn = docs.filter(d % 5 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://CDN.example.net:443/Asset?Id="), ds
+        ).alias("url"),
+    )
+    u = page.unionByName(cdn)
+    return u.select(
+        "doc_id", "url", text_ops.canonical_url(F.col("url")).alias("canon_url")
+    )

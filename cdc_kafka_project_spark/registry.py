@@ -88,6 +88,8 @@ _GATE_PRIORITY: list[str] = [
     "weekly_revenue_wow",
     "salted_join_segment_revenue",
     "heavy_hitter_tokens",
+    "dedup_normalized_groups",
+    "doc_url_canonical",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",

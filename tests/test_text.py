@@ -342,3 +342,20 @@ def test_heavy_hitters_exact_when_capacity_sufficient(spark):
     ]
     assert got == exact
     assert got[0] == ("w001", 1000)
+
+
+def test_canonical_url_rules(spark):
+    cases = [
+        ("HTTP://Example.COM:80/Path/#frag", "http://example.com/Path"),
+        ("https://A.b:443/", "https://a.b"),
+        ("https://a.b:8443/x", "https://a.b:8443/x"),  # non-default port kept
+        ("http://a.b/Q?X=1#y", "http://a.b/Q?X=1"),    # path/query case kept
+        ("ftp://Mixed.Case/z", "ftp://mixed.case/z"),  # scheme-agnostic lower
+        ("http://a.b:80", "http://a.b"),               # port at end, no path
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.c for r in df.select(
+        "i", tx.canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
