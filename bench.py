@@ -88,6 +88,7 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "dedup_normalized_groups",
     "doc_url_canonical",
+    "embedding_pca_project",
 ]
 
 

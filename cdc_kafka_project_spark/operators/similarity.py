@@ -1128,3 +1128,70 @@ def label_centroids(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def pca_train(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    max_train: int = 100_000,
+) -> dict:
+    """Train a PCA model (mean + top components) on a bounded
+    deterministic sample — same training contract as kmeans_centroids /
+    pq_train: one ≤max_train-row collect, numpy SVD on the driver, the
+    corpus itself never collected.
+
+    Determinism: the sample is vec_id-ordered and each component's sign
+    is fixed so its largest-|value| coordinate is positive (SVD signs
+    are otherwise arbitrary — the standard convention fix). Returns
+    {"mean": [dim], "components": [n_components x dim],
+    "explained_var": [n_components]}.
+    """
+    import numpy as np
+
+    df = training_sample(embeddings.select("vec_id", "embedding"), max_train)
+    rows = df.orderBy("vec_id").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    if len(X) < 2:
+        raise ValueError("pca_train: need at least 2 training rows")
+    k = min(n_components, X.shape[1])
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    # SVD of the centered sample: rows of Vt are principal axes
+    _, s, Vt = np.linalg.svd(Xc, full_matrices=False)
+    comps = Vt[:k]
+    for i in range(k):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    var = (s[:k] ** 2) / max(len(X) - 1, 1)
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_var": var.tolist(),
+    }
+
+
+def pca_project(
+    embeddings: DataFrame, model: dict, out_col: str = "pca"
+) -> DataFrame:
+    """Project every embedding onto the PCA axes: one Arrow-batched
+    matmul pass (the model closure is O(k*dim) floats, shipped with
+    the plan). Adds ``out_col`` as array<double>; corpus touched once,
+    map-only — the compressed representation the exact/ANN tiers then
+    index at a fraction of the scan width."""
+    import numpy as np
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def proj(e):
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in e])
+        Y = (X - mean) @ comps.T
+        return pd.Series(list(Y))
+
+    return embeddings.withColumn(out_col, proj(F.col("embedding")))

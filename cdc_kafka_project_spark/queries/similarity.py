@@ -235,3 +235,29 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_keep(
         emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
     ).select("vec_id")
+
+
+@query("embedding_pca_project")  # rows-only: SVD model is engine-side
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA tier (dimensionality reduction before indexing): model
+    trained on the bounded deterministic sample (pca_train — same
+    contract as k-means/PQ), corpus projected in one Arrow matmul pass.
+    Output: per-vector leading components + reconstruction-relevant
+    norms. Orthonormality/variance-ordering/determinism pinned in
+    tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    model = sim.pca_train(emb, n_components=8, max_train=512)
+    proj = sim.pca_project(emb, model)
+    return proj.select(
+        "vec_id",
+        F.round(F.col("pca")[0], 6).alias("pc1"),
+        F.round(F.col("pca")[1], 6).alias("pc2"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "pca", F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            6,
+        ).alias("pca_norm"),
+    )

@@ -90,6 +90,7 @@ _GATE_PRIORITY: list[str] = [
     "heavy_hitter_tokens",
     "dedup_normalized_groups",
     "doc_url_canonical",
+    "embedding_pca_project",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",

@@ -404,3 +404,41 @@ def test_semdedup_matches_global_tier_within_clusters(corpus):
     }
     assert sd <= exact
     assert (300, 301, 1.0) in sd
+
+
+def test_pca_orders_variance_and_projects_deterministically(corpus, spark):
+    """PCA contract: explained variance is non-increasing, components
+    are orthonormal, projection is reproducible across partitionings,
+    and reconstruction error shrinks as k grows."""
+    import numpy as np
+
+    emb, _ = corpus
+    m4 = sim.pca_train(emb, n_components=4, max_train=512)
+    m8 = sim.pca_train(emb, n_components=8, max_train=512)
+    ev = m8["explained_var"]
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    C = np.asarray(m8["components"])
+    assert np.allclose(C @ C.T, np.eye(len(C)), atol=1e-8)
+
+    a = {r.vec_id: r.pca for r in sim.pca_project(emb, m8).collect()}
+    b = {
+        r.vec_id: r.pca
+        for r in sim.pca_project(emb.repartition(7), m8).collect()
+    }
+    assert a.keys() == b.keys()
+    some = list(a)[:20]
+    assert all(np.allclose(a[k], b[k]) for k in some)
+
+    X = np.array([list(r.embedding) for r in emb.orderBy("vec_id").collect()],
+                 dtype=np.float64)
+    def recon_err(m):
+        mean = np.asarray(m["mean"]); Cm = np.asarray(m["components"])
+        Y = (X - mean) @ Cm.T
+        return float(((X - mean - Y @ Cm) ** 2).sum())
+    assert recon_err(m8) < recon_err(m4)
+
+
+def test_pca_train_raises_on_tiny_sample(corpus):
+    emb, _ = corpus
+    with pytest.raises(ValueError, match="at least 2"):
+        sim.pca_train(emb.limit(1), n_components=2)
