@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_normalized_groups",
     "doc_url_canonical",
     "embedding_pca_project",
+    "curation_pipeline",
 ]
 
 

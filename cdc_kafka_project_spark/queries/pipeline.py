@@ -1,0 +1,124 @@
+"""The curation pipeline END-TO-END as one declarative plan.
+
+Every stage below is an already-oracle-proven operator; this module
+registers their composition — the thing a user actually runs nightly:
+
+    raw corpus
+      -> holdout split (eval set kept aside)
+      -> quality gate           (C4/Gopher-style heuristics)
+      -> normalized exact dedup (canonical-form digest groups)
+      -> decontamination        (word-4-gram overlap vs eval)
+      -> train/val/test assignment (portable md5 buckets)
+
+Composability is the point: Catalyst sees ONE logical plan — filters
+merge into the scan, stage boundaries cost nothing by themselves, and
+the whole pipeline remains a hash-checkable pure function of the
+corpus. The oracle rebuilds the identical pipeline as a single DuckDB
+CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.operators import dedup as dd
+from cdc_kafka_project_spark.operators import text as text_ops
+from cdc_kafka_project_spark.queries.dedup import _DECON_N, _DECON_SETUP
+from cdc_kafka_project_spark.queries.text_analysis import _STOPS_SQL
+from cdc_kafka_project_spark.registry import query
+
+_QUALITY_KEEP_SQL = rf"""
+    (CASE WHEN n_tok < 5 THEN 'too_few_tokens'
+          WHEN alpha / greatest(n_chars, 1) < 0.5 THEN 'low_alpha_ratio'
+          WHEN nonspace / CAST(n_tok AS DOUBLE) > 15.0 THEN 'long_tokens'
+          WHEN stop_hits / CAST(n_tok AS DOUBLE) < 0.02
+              THEN 'low_stopword_ratio'
+     END) IS NULL
+"""
+
+_PIPELINE_ORACLE = rf"""
+    WITH {_DECON_SETUP},
+    qstats AS (
+        SELECT doc_id, source, text,
+               length(text) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               length(text) - length(regexp_replace(text, '[^ ]', '', 'g'))
+                   AS nonspace,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(
+                        list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> lower(x)),
+                        x -> x IN ({_STOPS_SQL}))) END AS stop_hits
+        FROM train
+    ),
+    q AS (SELECT doc_id, source, text FROM qstats WHERE {_QUALITY_KEEP_SQL}),
+    k AS (
+        SELECT doc_id, source, text FROM (
+            SELECT q.*, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text),
+                                      '[^\p{{L}}\p{{N}}]+', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+            FROM q
+        ) WHERE rn = 1
+    ),
+    ksh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - {_DECON_N} + 2),
+                      i -> array_to_string(ws[i : i + {_DECON_N} - 1], ' ')))
+               AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM k WHERE trim(text) <> ''))),
+    khits AS (SELECT DISTINCT doc_id FROM ksh
+              WHERE shingle IN (SELECT shingle FROM esh)),
+    final AS (SELECT doc_id, source FROM k
+              WHERE doc_id NOT IN (SELECT doc_id FROM khits))
+    SELECT doc_id, source,
+           CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM final
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query("curation_pipeline", oracle=_PIPELINE_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-curation pipeline as one plan: holdout split ->
+    quality gate -> normalized exact dedup (min doc_id representative)
+    -> eval decontamination -> portable 80/10/10 split assignment.
+    Output: the surviving training corpus with split labels.
+
+    Scale shape: the quality gate and normalization are scan-fused
+    projections; dedup shuffles digests; decontamination broadcasts the
+    (tiny) eval shingle set; split assignment is map-only. One corpus
+    scan feeds the gate+dedup leg, one more the shingle leg — nothing
+    quadratic, nothing driver-side.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+
+    keep_ids = text_ops.quality_filter(train).filter(F.col("keep")).select("doc_id")
+    q = train.join(keep_ids, "doc_id")
+
+    w = Window.partitionBy(
+        F.md5(dd.normalize_for_dedup(F.col("text")))
+    ).orderBy("doc_id")
+    k = (
+        q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    clean = dd.decontaminate(k, ev, n=_DECON_N)
+    return text_ops.hash_split_portable(
+        clean, "doc_id", {"train": 8, "val": 1, "test": 1}
+    ).select("doc_id", "source", "split")

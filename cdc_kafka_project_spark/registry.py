@@ -56,6 +56,7 @@ def load_all() -> None:
         dedup,
         similarity,
         multimodal,
+        pipeline,
     )
 
 
@@ -91,6 +92,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_normalized_groups",
     "doc_url_canonical",
     "embedding_pca_project",
+    "curation_pipeline",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
