@@ -110,6 +110,33 @@ def quality_filter(
     from cdc_kafka_project_spark.functions import spread
 
     df = spread(df)
+    reason, stop_ratio = quality_reason_expr(
+        text_col,
+        min_tokens=min_tokens,
+        min_alpha_ratio=min_alpha_ratio,
+        min_stopword_ratio=min_stopword_ratio,
+        max_avg_token_len=max_avg_token_len,
+    )
+    return df.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+    )
+
+
+def quality_reason_expr(
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.02,
+    max_avg_token_len: float = 15.0,
+) -> tuple[Column, Column]:
+    """The quality gate as PURE column expressions: (reason,
+    stop_ratio), with ``reason IS NULL`` == keep. Usable anywhere a
+    projection is — batch scans, and streaming plans where the
+    frame-returning ``quality_filter`` would force a stream-stream
+    re-join to recover the text column (streaming/curation.py)."""
     c = F.col(text_col)
     n_chars = F.length(c).cast("long")
     n_tok = token_count(c)
@@ -133,12 +160,7 @@ def quality_filter(
         .when(avg_tok_len > max_avg_token_len, F.lit("long_tokens"))
         .when(stop_ratio < min_stopword_ratio, F.lit("low_stopword_ratio"))
     )
-    return df.select(
-        "doc_id",
-        reason.isNull().alias("keep"),
-        reason.alias("reason"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-    )
+    return reason, stop_ratio
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -442,3 +442,24 @@ def test_pca_train_raises_on_tiny_sample(corpus):
     emb, _ = corpus
     with pytest.raises(ValueError, match="at least 2"):
         sim.pca_train(emb.limit(1), n_components=2)
+
+
+def test_pca_ann_recall_vs_full_dim(corpus):
+    """Search in PCA space (8 of 16 dims) must still place most true
+    near-neighbors in the top-k: recall >= 0.8 vs full-dim brute force
+    on the clustered fixture — the accuracy/width trade the PCA tier
+    exists for."""
+    from pyspark.sql import functions as F
+
+    emb, q = corpus
+    truth = {r.vec_id for r in sim.brute_force_topk(emb, q, k=11).collect()}
+    model = sim.pca_train(emb, n_components=8, max_train=512)
+    proj = sim.pca_project(emb, model).select(
+        "vec_id", F.col("pca").alias("embedding")
+    )
+    import numpy as np
+
+    qp = ((np.asarray(q) - np.asarray(model["mean"]))
+          @ np.asarray(model["components"]).T).tolist()
+    got = {r.vec_id for r in sim.brute_force_topk(proj, qp, k=11).collect()}
+    assert len(truth & got) / len(truth) >= 0.8
