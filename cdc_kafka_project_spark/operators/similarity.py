@@ -518,6 +518,44 @@ def ensure_ivf_index(
         )
 
 
+def append_to_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    fingerprint: str | None = None,
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new vectors with
+    the index's EXISTING centroid model and append them to the
+    partitioned store — no retraining, no rewrite of the standing
+    lists. This is how a 100 TB index absorbs a daily delta: the append
+    touches O(|delta|) data, while a rebuild would re-scan and re-write
+    the whole corpus. Amortized maintenance contract: the quantizer
+    drifts as the distribution shifts, so rebuild (ensure_ivf_index
+    with a fresh fingerprint) on a slow cadence and append between
+    rebuilds — the FAISS add-vs-train distinction, applied to a
+    partitioned parquet layout.
+
+    ``fingerprint``: optional new corpus fingerprint recorded in the
+    model so ``index_exists`` keeps treating the index as current for
+    the grown corpus. Callers are responsible for not appending
+    vec_ids already present (dedup upstream) — parquet append cannot
+    check uniqueness.
+    """
+    model = read_model(path)
+    if model.get("kind") != "ivf":
+        raise ValueError(f"{path} is not an IVF index (kind={model.get('kind')!r})")
+    centroids = model["centroids"]
+    (
+        ivf_index(new_embeddings, centroids)
+        .repartition(F.col("cid"))
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    if fingerprint is not None:
+        model["fingerprint"] = fingerprint
+        _write_model(path, model)
+
+
 def probe_ivf_index(
     spark,
     path: str,

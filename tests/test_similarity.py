@@ -463,3 +463,43 @@ def test_pca_ann_recall_vs_full_dim(corpus):
           @ np.asarray(model["components"]).T).tolist()
     got = {r.vec_id for r in sim.brute_force_topk(proj, qp, k=11).collect()}
     assert len(truth & got) / len(truth) >= 0.8
+
+
+def test_ivf_incremental_append(corpus, spark, tmp_path):
+    """Appending a delta must make its vectors probeable WITHOUT
+    rewriting the standing lists (file set for old data unchanged),
+    using the existing centroid model."""
+    import glob
+
+    emb, q = corpus
+    path = str(tmp_path / "ivf_incr")
+    base = emb.filter(F.col("vec_id") < 200)
+    delta = emb.filter(F.col("vec_id") >= 200)
+    sim.build_ivf_index(base, path, k_centroids=4, iters=2, max_train=512)
+    files_before = set(glob.glob(path + "/cid=*/part-*.parquet"))
+
+    # a probe for an exact-duplicate pair that lives ONLY in the delta
+    dup_vec = sim.query_vector(emb, 300)
+    pre = {r.vec_id for r in sim.probe_ivf_index(spark, path, dup_vec, k=5, nprobe=4).collect()}
+    assert 300 not in pre and 301 not in pre
+
+    sim.append_to_ivf_index(delta, path)
+    files_after = set(glob.glob(path + "/cid=*/part-*.parquet"))
+    assert files_before <= files_after          # old files untouched
+    assert len(files_after) > len(files_before)  # delta appended
+
+    post = {r.vec_id for r in sim.probe_ivf_index(spark, path, dup_vec, k=5, nprobe=4).collect()}
+    assert {300, 301} <= post
+
+    # appended rows were assigned with the SAME model: full-probe scan
+    # equals base+delta corpus
+    total = spark.read.parquet(path).count()
+    assert total == emb.count()
+
+
+def test_ivf_append_rejects_wrong_index_kind(corpus, tmp_path):
+    emb, _ = corpus
+    path = str(tmp_path / "lsh_not_ivf")
+    sim.build_lsh_index(emb.limit(50), path, n_planes=4)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        sim.append_to_ivf_index(emb.limit(5), path)
