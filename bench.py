@@ -90,6 +90,7 @@ HEADLINE = [
     "doc_url_canonical",
     "embedding_pca_project",
     "curation_pipeline",
+    "event_value_anomalies",
 ]
 
 

@@ -537,3 +537,50 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return heavy_hitters(toks, "word", k=25, capacity=4096)
+
+
+@query(
+    "event_value_anomalies",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))
+                        * CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - m.s1 / m.n)
+                 / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 6) AS zscore
+    FROM events e JOIN m USING (event_type)
+    WHERE ABS((e.value - m.s1 / m.n)
+              / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) > 3.0
+    """,
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (>3 sigma) — the monitoring pass that
+    catches corrupted feeds. Two-phase: per-type moments from exact
+    decimal sums (order/partition-invariant, |types| rows), broadcast
+    back over the stream, one filter pass. The z arithmetic runs on
+    identical scalar operands in both engines, so even the >3.0 cut
+    agrees bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(25,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+    )

@@ -93,6 +93,7 @@ _GATE_PRIORITY: list[str] = [
     "doc_url_canonical",
     "embedding_pca_project",
     "curation_pipeline",
+    "event_value_anomalies",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
