@@ -263,3 +263,62 @@ def test_merge_agg_states_split_invariant(spark, rows, pivot):
     got = {r.k: (r.n, r.s) for r in merged.collect()}
     want = {r.k: (r.n, r.s) for r in agg(df).collect()}
     assert got == want
+
+
+# asof: left rows (key, ts, tag) and right rows (key, ts, value) with
+# unique (key, ts) on the right — the operator's documented precondition
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 999)),
+    min_size=1,
+    max_size=15,
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(-50, 50)),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _asof_ref(left, right, direction):
+    out = []
+    for k, lt, tag in left:
+        cands = [
+            (rt, v)
+            for rk, rt, v in right
+            if rk == k and (rt <= lt if direction == "backward" else rt >= lt)
+        ]
+        if not cands:
+            out.append((k, lt, tag, None, None))
+        else:
+            rt, v = (max if direction == "backward" else min)(cands)
+            out.append((k, lt, tag, v, rt))
+    return sorted(out, key=lambda t: (t[0], t[1], t[2]))
+
+
+@given(left=asof_left, right=asof_right,
+       direction=st.sampled_from(["backward", "forward"]))
+@settings(**SETTINGS)
+def test_asof_join_matches_reference(spark, left, right, direction):
+    """asof_join (both directions) vs a per-row reference: inclusive
+    bounds, no-match NULLs, arbitrary key overlap — integer 'seconds'
+    stand in for timestamps via timestamp_seconds."""
+    from cdc_kafka_project_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        left, "k int, lt int, tag int"
+    ).selectExpr("k", "timestamp_seconds(lt) AS ts", "tag")
+    rdf = spark.createDataFrame(
+        right, "k int, rt int, v int"
+    ).selectExpr("k", "timestamp_seconds(rt) AS ts", "v")
+    got = sorted(
+        (
+            r.k,
+            int(r.ts.timestamp()),
+            r.tag,
+            r.v_asof,
+            None if r.ts_asof is None else int(r.ts_asof.timestamp()),
+        )
+        for r in asof_join(ldf, rdf, ["k"], direction=direction).collect()
+    )
+    assert got == _asof_ref(left, right, direction)
