@@ -91,6 +91,7 @@ HEADLINE = [
     "embedding_pca_project",
     "curation_pipeline",
     "event_value_anomalies",
+    "dedup_levenshtein_verify",
 ]
 
 

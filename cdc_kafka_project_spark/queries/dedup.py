@@ -268,3 +268,66 @@ def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact tier; Java regex and DuckDB RE2 agree on the
     \\p{L}/\\p{N} Unicode-category subset used."""
     return dd.normalized_dedup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_levenshtein_verify",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+                   JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+           ROUND(1.0 - levenshtein(ta.text, tb.text)
+                     / CAST(greatest(length(ta.text), length(tb.text), 1)
+                            AS DOUBLE), 6) AS edit_similarity
+    FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+                JOIN documents tb ON tb.doc_id = c.doc_b
+    """,
+)
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify tier over near-dup CANDIDATES: Levenshtein
+    distance + normalized similarity for each Jaccard-candidate pair —
+    the character-level confirmation pass (catches shingle-level false
+    positives from reordered text). O(len^2) per pair is affordable
+    exactly because it runs on the candidate set, never all pairs; the
+    text join is two broadcast-or-shuffle key joins on the (small)
+    candidate list. Both engines implement the same Wagner-Fischer
+    levenshtein natively."""
+    docs = _docs(spark, sf_dir)
+    cand = dd.jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    dist = F.levenshtein("__ta", "__tb")
+    sim = 1.0 - dist / F.greatest(
+        F.length("__ta"), F.length("__tb"), F.lit(1)
+    ).cast("double")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_distance"),
+            F.round(sim, 6).alias("edit_similarity"),
+        )
+    )

@@ -94,6 +94,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_pca_project",
     "curation_pipeline",
     "event_value_anomalies",
+    "dedup_levenshtein_verify",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",

@@ -322,3 +322,54 @@ def test_asof_join_matches_reference(spark, left, right, direction):
         for r in asof_join(ldf, rdf, ["k"], direction=direction).collect()
     )
     assert got == _asof_ref(left, right, direction)
+
+
+joins_big = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+    min_size=1, max_size=30, unique_by=lambda r: r[1],
+)
+joins_small = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-9, 9)),
+    min_size=0, max_size=10,
+)
+
+
+@given(big=joins_big, small=joins_small,
+       how=st.sampled_from(["inner", "left"]), n_salt=st.sampled_from([1, 3, 8]))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, big, small, how, n_salt):
+    from cdc_kafka_project_spark.operators.skew import salted_join
+
+    bdf = spark.createDataFrame(big, "k int, row_id long")
+    sdf = spark.createDataFrame(small, "k int, v int") if small else (
+        spark.createDataFrame([], "k int, v int")
+    )
+    plain = sorted(
+        (r.k, r.row_id, r.v) for r in bdf.join(sdf, "k", how).collect()
+    )
+    salted = sorted(
+        (r.k, r.row_id, r.v)
+        for r in salted_join(bdf, sdf, ["k"], n_salt=n_salt, how=how).collect()
+    )
+    assert salted == plain
+
+
+hh_items = st.lists(st.integers(0, 30), min_size=1, max_size=120)
+
+
+@given(items=hh_items, k=st.sampled_from([1, 3, 5]))
+@settings(**SETTINGS)
+def test_heavy_hitters_exact_with_ample_capacity(spark, items, k):
+    """capacity >= |distinct| makes Misra-Gries lossless in every
+    partition, so the result must equal the exact top-k for ANY input."""
+    from collections import Counter
+
+    from cdc_kafka_project_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"w{x:02d}",) for x in items], "word string"
+    ).repartition(4)
+    got = [(r.word, r.n) for r in heavy_hitters(df, "word", k=k, capacity=64).collect()]
+    cnt = Counter(f"w{x:02d}" for x in items)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
