@@ -92,6 +92,7 @@ HEADLINE = [
     "curation_pipeline",
     "event_value_anomalies",
     "dedup_levenshtein_verify",
+    "dedup_keep_longest",
 ]
 
 

@@ -331,3 +331,35 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 6).alias("edit_similarity"),
         )
     )
+
+
+@query(
+    "dedup_keep_longest",
+    oracle=r"""
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text),
+                                         '[^\p{L}\p{N}]+', ' ', 'g')))
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup policy: per normalized-content group keep
+    the LONGEST variant (richest formatting/content survives; ties to
+    the lowest id) — the curation-practical alternative to min-id
+    representatives. Same digest-partitioned window as the exact tier;
+    the policy is just the sort key."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        F.md5(dd.normalize_for_dedup(F.col("text")))
+    ).orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_chars")
+    )

@@ -95,6 +95,7 @@ _GATE_PRIORITY: list[str] = [
     "curation_pipeline",
     "event_value_anomalies",
     "dedup_levenshtein_verify",
+    "dedup_keep_longest",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
