@@ -63,8 +63,15 @@ def asof_join(
     the duplicate that sorts last, which is deterministic only with a
     total order.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, key_cols, left_ts, right_ts,
+            right_value_cols, tolerance_seconds, suffix,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = list(key_cols)
     rvals = list(
         right_value_cols
@@ -129,3 +136,53 @@ def asof_join(
         *[_gate(F.col(f"__m.{c}")).alias(f"{c}{suffix}") for c in rvals],
         _gate(F.col("__m.__rts")).alias(f"{right_ts}{suffix}"),
     )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str] | None,
+    tolerance_seconds: float | None,
+    suffix: str,
+) -> DataFrame:
+    """direction="nearest" (pandas merge_asof parity): per left row the
+    right row with the smallest |gap|, ties to the EARLIER right row
+    (pandas breaks nearest-ties backward). Composition of the two
+    directional sweeps — two window passes over the same key
+    partitioning (AQE reuses the exchange), one per-row pick at the
+    end. Tolerance applies to the absolute gap."""
+    keys = list(key_cols)
+    rvals = list(
+        right_value_cols
+        if right_value_cols is not None
+        else [c for c in right.columns if c not in keys and c != right_ts]
+    )
+    bwd_sfx, fwd_sfx = "__b", "__f"
+    b = asof_join(
+        left, right, keys, left_ts, right_ts, rvals,
+        tolerance_seconds, bwd_sfx, "backward",
+    )
+    f = asof_join(
+        left, right, keys, left_ts, right_ts, rvals,
+        tolerance_seconds, fwd_sfx, "forward",
+    )
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    joined = b.join(f, keys + [left_ts] + lcols)
+    bt, ft = F.col(f"{right_ts}{bwd_sfx}"), F.col(f"{right_ts}{fwd_sfx}")
+    bgap = F.unix_micros(F.col(left_ts)) - F.unix_micros(bt)
+    fgap = F.unix_micros(ft) - F.unix_micros(F.col(left_ts))
+    # pick backward when it exists and is at-least-as-close (tie -> the
+    # earlier row, i.e. backward), else forward
+    use_b = bt.isNotNull() & (ft.isNull() | (bgap <= fgap))
+    picked = [
+        F.when(use_b, F.col(f"{c}{bwd_sfx}"))
+        .otherwise(F.col(f"{c}{fwd_sfx}"))
+        .alias(f"{c}{suffix}")
+        for c in rvals
+    ] + [
+        F.when(use_b, bt).otherwise(ft).alias(f"{right_ts}{suffix}")
+    ]
+    return joined.select(*keys, left_ts, *lcols, *picked)

@@ -72,7 +72,9 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: queries needing a fresh driver row first. Round-4:
     #    sessionize broke on the regenerated NTZ testdata (fixed in
     #    catalog.load_table) — standing rule puts it at the very front
-    #    until its green row lands; column_profile is new this round. --
+    #    until its green row lands — followed by every round-4 addition
+    #    (as-of joins, LM scoring, sampling, SemDeDup, funnels/cohorts,
+    #    salted join, heavy hitters, curation pipeline, ...). --
     "sessionize",
     "column_profile",
     "asof_join_purchases",

@@ -112,6 +112,37 @@ def test_asof_rejects_unknown_direction(spark):
     left = spark.createDataFrame([(1, _t(1), "x")], L_SCHEMA)
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="backward|forward"):
+    with _pytest.raises(ValueError, match="backward|forward|nearest"):
         asof_join(left, left.selectExpr("k", "ts", "1.0 AS rv"), ["k"],
-                  direction="nearest")
+                  direction="sideways")
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t(10), "a"),   # r@8 gap 2 vs r@13 gap 3 -> backward
+            (1, _t(12), "b"),   # r@13 gap 1 vs r@8 gap 4 -> forward
+            (1, _t(18), "c"),   # r@13 gap 5 vs r@23 gap 5 -> tie: backward
+            (2, _t(5), "d"),    # no rows for key 2 -> NULL
+        ],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [(1, _t(8), 1.0), (1, _t(13), 2.0), (1, _t(23), 3.0)], R_SCHEMA
+    )
+    got = {
+        r.lv: (r.rv_asof, r.ts_asof)
+        for r in asof_join(left, right, ["k"], direction="nearest").collect()
+    }
+    assert got["a"] == (1.0, _t(8))
+    assert got["b"] == (2.0, _t(13))
+    assert got["c"] == (2.0, _t(13))  # tie broken backward, like pandas
+    assert got["d"] == (None, None)
+    # tolerance: gap 2 voided at tol=1
+    got_tol = {
+        r.lv: r.ts_asof
+        for r in asof_join(
+            left, right, ["k"], direction="nearest", tolerance_seconds=1
+        ).collect()
+    }
+    assert got_tol["a"] is None and got_tol["b"] == _t(13)

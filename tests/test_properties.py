@@ -280,24 +280,39 @@ asof_right = st.lists(
 )
 
 
+def _asof_dir_ref(left_row, right, direction):
+    k, lt, _ = left_row
+    cands = [
+        (rt, v)
+        for rk, rt, v in right
+        if rk == k and (rt <= lt if direction == "backward" else rt >= lt)
+    ]
+    if not cands:
+        return None
+    return (max if direction == "backward" else min)(cands)
+
+
 def _asof_ref(left, right, direction):
     out = []
-    for k, lt, tag in left:
-        cands = [
-            (rt, v)
-            for rk, rt, v in right
-            if rk == k and (rt <= lt if direction == "backward" else rt >= lt)
-        ]
-        if not cands:
-            out.append((k, lt, tag, None, None))
+    for row in left:
+        k, lt, tag = row
+        if direction == "nearest":
+            b = _asof_dir_ref(row, right, "backward")
+            f = _asof_dir_ref(row, right, "forward")
+            if b is not None and (f is None or lt - b[0] <= f[0] - lt):
+                m = b
+            else:
+                m = f
         else:
-            rt, v = (max if direction == "backward" else min)(cands)
-            out.append((k, lt, tag, v, rt))
+            m = _asof_dir_ref(row, right, direction)
+        out.append(
+            (k, lt, tag, None, None) if m is None else (k, lt, tag, m[1], m[0])
+        )
     return sorted(out, key=lambda t: (t[0], t[1], t[2]))
 
 
 @given(left=asof_left, right=asof_right,
-       direction=st.sampled_from(["backward", "forward"]))
+       direction=st.sampled_from(["backward", "forward", "nearest"]))
 @settings(**SETTINGS)
 def test_asof_join_matches_reference(spark, left, right, direction):
     """asof_join (both directions) vs a per-row reference: inclusive
