@@ -498,7 +498,8 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(logp * tf) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+           floor(CAST(SUM(logp * tf) AS DOUBLE) / SUM(tf) * 1e6 + 0.5) / 1e6
+               AS avg_logprob
     FROM scored GROUP BY doc_id
     """,
 )
@@ -537,13 +538,15 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .withColumn("__logp", logp)
     )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): both engines see
+    # bit-identical x (exact decimal dot product -> one IEEE divide),
+    # and this form is a pure function of those bits — Spark's round
+    # (BigDecimal HALF_UP) and DuckDB's (scaled-double rounding) can
+    # disagree at exact half boundaries, which sf0.1 actually hit.
+    avg = F.sum(F.col("__logp") * F.col("tf")).cast("double") / F.sum("tf")
     return scored.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"),
-        F.round(
-            F.sum(F.col("__logp") * F.col("tf")).cast("double")
-            / F.sum("tf"),
-            6,
-        ).alias("avg_logprob"),
+        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_logprob"),
     )
 
 
