@@ -854,9 +854,9 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(week AS VARCHAR) AS week,
            CAST(rev AS DOUBLE) AS revenue,
-           ROUND(CAST(rev AS DOUBLE)
-                 / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) - 1, 6)
-               AS wow_change
+           floor((CAST(rev AS DOUBLE)
+                  / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) - 1)
+                 * 1e6 + 0.5) / 1e6 AS wow_change
     FROM w
     """,
 )
@@ -874,9 +874,16 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.select(
         F.col("week").cast("string").alias("week"),
         F.col("rev").cast("double").alias("revenue"),
-        F.round(
-            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double")
-            - 1,
-            6,
+        (
+            F.floor(
+                (
+                    F.col("rev").cast("double")
+                    / F.lag("rev").over(w).cast("double")
+                    - 1
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
         ).alias("wow_change"),
     )

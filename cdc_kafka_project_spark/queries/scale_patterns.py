@@ -399,27 +399,27 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT n,
-           ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+           floor((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
                   - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
                  / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
                     * SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
-                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
-               AS corr_qty_price,
-           ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS corr_qty_price,
+           floor((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
                   - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
                  / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
                     * SQRT(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
-                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
-               AS corr_qty_disc,
-           ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS corr_qty_disc,
+           floor((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
                   - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
                  / (SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
                          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
                     * SQRT(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
-                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
-               AS corr_price_disc
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS corr_price_disc
     FROM s
     """,
 )
@@ -463,7 +463,7 @@ def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         vy = n * F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(
             sy
         ).cast("double")
-        return F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)
+        return F.floor(num / (F.sqrt(vx) * F.sqrt(vy)) * 1e6 + F.lit(0.5)) / 1e6
 
     return s.select(
         "n",
@@ -551,8 +551,9 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           ROUND((e.value - m.s1 / m.n)
-                 / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 6) AS zscore
+           floor((e.value - m.s1 / m.n)
+                 / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
+                 * 1e6 + 0.5) / 1e6 AS zscore
     FROM events e JOIN m USING (event_type)
     WHERE ABS((e.value - m.s1 / m.n)
               / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) > 3.0
@@ -581,6 +582,6 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round(z, 6).alias("zscore"),
+            (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("zscore"),
         )
     )

@@ -554,7 +554,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_source_quality_gate",
     oracle="""
     WITH th AS (
-        SELECT source, ROUND(quantile_cont(n_chars, 0.25), 6) AS src_p25
+        SELECT source, floor(quantile_cont(n_chars, 0.25) * 1e6 + 0.5) / 1e6 AS src_p25
         FROM documents GROUP BY source
     )
     SELECT d.doc_id, d.source, d.n_chars, th.src_p25
@@ -573,7 +573,7 @@ def doc_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold rounds to 6 to absorb the last ulp."""
     docs = _docs(spark, sf_dir)
     th = docs.groupBy("source").agg(
-        F.round(F.percentile("n_chars", F.lit(0.25)), 6).alias("src_p25")
+        (F.floor(F.percentile("n_chars", F.lit(0.25)) * 1e6 + F.lit(0.5)) / 1e6).alias("src_p25")
     )
     return (
         docs.join(F.broadcast(th), "source")
