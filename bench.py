@@ -93,6 +93,7 @@ HEADLINE = [
     "event_value_anomalies",
     "dedup_levenshtein_verify",
     "dedup_keep_longest",
+    "doc_ngram_novelty",
 ]
 
 

@@ -363,3 +363,60 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "n_chars")
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN first_seen f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a document's word-3-grams
+    whose FIRST corpus appearance (min doc_id) is this document — the
+    curation signal that separates original content from recombinations
+    of earlier material (near-dup-heavy sources score near 0). Two
+    shingle-keyed aggregations + one join, all on the distinct-shingle
+    relation, never on raw text; the novelty division runs on identical
+    integer operands in both engines, so the raw double needs no
+    rounding at all."""
+    sh = dd.word_shingles(_docs(spark, sf_dir), n=3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_shingles").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )

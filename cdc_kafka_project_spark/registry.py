@@ -98,6 +98,7 @@ _GATE_PRIORITY: list[str] = [
     "event_value_anomalies",
     "dedup_levenshtein_verify",
     "dedup_keep_longest",
+    "doc_ngram_novelty",
     # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
     "doc_host_stats",
