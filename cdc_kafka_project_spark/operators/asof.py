@@ -13,6 +13,13 @@ left row. The sweep moves ONE struct, not per-column lasts — a right
 row whose value column is legitimately NULL still matches as a unit
 (per-column sweeps would stitch columns from different right rows).
 
+``direction="nearest"`` runs BOTH sweeps over the same union in one
+plan (two window functions, same key partitioning — one exchange, two
+sorts) and picks per-row; there is no rejoin of the two directional
+results, so NULL left-payload values and duplicate left rows pass
+through untouched (an earlier join-based recombine dropped NULL rows
+and fanned out duplicates).
+
 Cost model at 100 TB: ONE shuffle of |left| + |right| rows on the key
 (the same exchange a plain equi-join would do), then a linear
 per-partition sort-and-sweep. No range explosion, no per-key state
@@ -26,9 +33,66 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 #: suffix applied to right-side value columns in the output
 DEFAULT_SUFFIX = "_asof"
+
+
+def _tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    rvals: list[str],
+    lcols: list[str],
+) -> DataFrame:
+    """Union of both sides with a ``__side`` tag (right=0, left=1), a
+    common ``__ts`` event-time column, and the right row packed into a
+    single ``__r`` struct (NULL on left rows so ``last(ignorenulls)``
+    skips them)."""
+    r_row = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in rvals],
+    )
+    r_row_type = StructType(
+        [StructField("__rts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in rvals]
+    )
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        # typed NULL struct so last(ignorenulls) skips left rows
+        F.lit(None).cast(r_row_type).alias("__r"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        r_row.alias("__r"),
+    )
+    return l_tagged.unionByName(r_tagged)
+
+
+def _split_cols(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str] | None,
+) -> tuple[list[str], list[str]]:
+    rvals = list(
+        right_value_cols
+        if right_value_cols is not None
+        else [c for c in right.columns if c not in keys and c != right_ts]
+    )
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    return rvals, lcols
 
 
 def asof_join(
@@ -73,37 +137,8 @@ def asof_join(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
     keys = list(key_cols)
-    rvals = list(
-        right_value_cols
-        if right_value_cols is not None
-        else [c for c in right.columns if c not in keys and c != right_ts]
-    )
-    lcols = [c for c in left.columns if c not in keys and c != left_ts]
-
-    from pyspark.sql.types import StructField, StructType
-
-    r_row = F.struct(
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(c) for c in rvals],
-    )
-    r_row_type = StructType(
-        [StructField("__rts", right.schema[right_ts].dataType)]
-        + [StructField(c, right.schema[c].dataType) for c in rvals]
-    )
-    l_tagged = left.select(
-        *keys,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.col(c) for c in lcols],
-        # typed NULL struct so last(ignorenulls) skips left rows
-        F.lit(None).cast(r_row_type).alias("__r"),
-    )
-    r_tagged = right.select(
-        *keys,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        r_row.alias("__r"),
+    rvals, lcols = _split_cols(
+        left, right, keys, left_ts, right_ts, right_value_cols
     )
     # right rows sort BEFORE a left row at the same instant
     # (__side 0 < 1) => inclusive match in either direction; forward
@@ -116,9 +151,9 @@ def asof_join(
         .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    swept = l_tagged.unionByName(r_tagged).withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
-    )
+    swept = _tag_union(
+        left, right, keys, left_ts, right_ts, rvals, lcols
+    ).withColumn("__m", F.last("__r", ignorenulls=True).over(w))
 
     def _gate(col: Column) -> Column:
         if tolerance_seconds is None:
@@ -150,39 +185,54 @@ def _asof_nearest(
 ) -> DataFrame:
     """direction="nearest" (pandas merge_asof parity): per left row the
     right row with the smallest |gap|, ties to the EARLIER right row
-    (pandas breaks nearest-ties backward). Composition of the two
-    directional sweeps — two window passes over the same key
-    partitioning (AQE reuses the exchange), one per-row pick at the
-    end. Tolerance applies to the absolute gap."""
+    (pandas breaks nearest-ties backward). Both directional sweeps run
+    as two window functions over ONE tagged union — same key
+    partitioning (one exchange, two sorts), then a per-row pick. No
+    rejoin, so left rows with NULL payloads or exact duplicates keep
+    strict left-outer row-for-row semantics. Tolerance applies to the
+    absolute gap on each side independently before the pick."""
     keys = list(key_cols)
-    rvals = list(
-        right_value_cols
-        if right_value_cols is not None
-        else [c for c in right.columns if c not in keys and c != right_ts]
+    rvals, lcols = _split_cols(
+        left, right, keys, left_ts, right_ts, right_value_cols
     )
-    bwd_sfx, fwd_sfx = "__b", "__f"
-    b = asof_join(
-        left, right, keys, left_ts, right_ts, rvals,
-        tolerance_seconds, bwd_sfx, "backward",
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    f = asof_join(
-        left, right, keys, left_ts, right_ts, rvals,
-        tolerance_seconds, fwd_sfx, "forward",
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    lcols = [c for c in left.columns if c not in keys and c != left_ts]
-    joined = b.join(f, keys + [left_ts] + lcols)
-    bt, ft = F.col(f"{right_ts}{bwd_sfx}"), F.col(f"{right_ts}{fwd_sfx}")
-    bgap = F.unix_micros(F.col(left_ts)) - F.unix_micros(bt)
-    fgap = F.unix_micros(ft) - F.unix_micros(F.col(left_ts))
-    # pick backward when it exists and is at-least-as-close (tie -> the
-    # earlier row, i.e. backward), else forward
-    use_b = bt.isNotNull() & (ft.isNull() | (bgap <= fgap))
-    picked = [
-        F.when(use_b, F.col(f"{c}{bwd_sfx}"))
-        .otherwise(F.col(f"{c}{fwd_sfx}"))
-        .alias(f"{c}{suffix}")
-        for c in rvals
-    ] + [
-        F.when(use_b, bt).otherwise(ft).alias(f"{right_ts}{suffix}")
-    ]
-    return joined.select(*keys, left_ts, *lcols, *picked)
+    swept = (
+        _tag_union(left, right, keys, left_ts, right_ts, rvals, lcols)
+        .withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+        .withColumn("__mf", F.last("__r", ignorenulls=True).over(wf))
+        .filter(F.col("__side") == 1)
+    )
+    bgap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__mb.__rts"))
+    fgap = F.unix_micros(F.col("__mf.__rts")) - F.unix_micros(F.col("__ts"))
+    b_ok = F.col("__mb").isNotNull()
+    f_ok = F.col("__mf").isNotNull()
+    if tolerance_seconds is not None:
+        tol = int(tolerance_seconds * 1_000_000)
+        b_ok = b_ok & (bgap <= tol)
+        f_ok = f_ok & (fgap <= tol)
+    # pick backward when it qualifies and is at-least-as-close (tie ->
+    # the earlier row, i.e. backward), else forward if it qualifies
+    use_b = b_ok & (~f_ok | (bgap <= fgap))
+
+    def _pick(name: str) -> Column:
+        return (
+            F.when(use_b, F.col(f"__mb.{name}"))
+            .when(f_ok, F.col(f"__mf.{name}"))
+        )
+
+    return swept.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *lcols,
+        *[_pick(c).alias(f"{c}{suffix}") for c in rvals],
+        _pick("__rts").alias(f"{right_ts}{suffix}"),
+    )

@@ -146,3 +146,44 @@ def test_asof_nearest_picks_closer_side_ties_backward(spark):
         ).collect()
     }
     assert got_tol["a"] is None and got_tol["b"] == _t(13)
+
+
+def test_asof_nearest_null_payload_and_duplicate_left_rows(spark):
+    """Regression (round-4 advice): the old join-based recombine of the
+    two directional sweeps equi-joined on every left payload column, so
+    a left row with a NULL payload vanished and duplicate left rows
+    fanned out n^2. The single-pass form must keep strict row-for-row
+    left-outer semantics: 3 left rows in -> 3 rows out."""
+    left = spark.createDataFrame(
+        [
+            (1, _t(10), None),   # NULL payload must survive
+            (1, _t(12), "dup"),  # exact duplicates must not fan out
+            (1, _t(12), "dup"),
+        ],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame([(1, _t(11), 5.0)], R_SCHEMA)
+    rows = asof_join(left, right, ["k"], direction="nearest").collect()
+    assert len(rows) == 3
+    by_lv = {}
+    for r in rows:
+        by_lv.setdefault(r.lv, []).append((r.rv_asof, r.ts_asof))
+    assert by_lv[None] == [(5.0, _t(11))]
+    assert by_lv["dup"] == [(5.0, _t(11)), (5.0, _t(11))]
+
+
+def test_asof_nearest_single_shuffle_plan(spark):
+    """Both directional sweeps must share ONE key exchange (two sorts
+    over the same partitioning), with no join operator at all."""
+    left = spark.range(0, 200).selectExpr(
+        "id % 5 AS k", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts",
+        "'L' AS lv"
+    )
+    right = spark.range(0, 100).selectExpr(
+        "id % 5 AS k", "timestamp_micros(CAST(id * 3000000 AS LONG)) AS ts",
+        "CAST(id AS DOUBLE) AS rv"
+    )
+    out = asof_join(left, right, ["k"], direction="nearest")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
