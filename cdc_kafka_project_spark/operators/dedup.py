@@ -50,22 +50,30 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep one representative (min doc_id) per exact text.
+    """Keep one representative (min doc_id) per exact trimmed text.
 
-    The window partitions on the full trimmed text: Spark's exchange
-    hashes the value internally for routing but groups rows by the
-    *value*, so two distinct texts can never merge (a window keyed on
-    xxhash64(text) would silently drop a document per 64-bit collision
-    — see text.fingerprint's birthday-bound note). The shuffle moves
-    document bodies, which is what "exact" costs; the hash-grouped
-    variant (exact_dedup_groups, 128-bit md5) is the cheap
-    candidate-pruning tier.
+    Digest-first, collision-safe: the exchange partitions on
+    ``md5(trim(text))`` — a 32-char key, so routing and partition
+    assignment never hash multi-KB document bodies — and full-text
+    equality is then verified WITHIN each digest group by sorting on
+    (text, doc_id) and keeping each text-run's first row. Two distinct
+    texts that collided on md5 would land in one partition but form two
+    runs, so both representatives survive — identical output to a
+    window keyed on the raw text (which round 4 flagged as shuffling
+    whole documents as the exchange key). Within-group comparisons
+    touch full text, but only among rows that are (collisions aside)
+    duplicates of each other.
     """
-    w = Window.partitionBy(F.trim(F.col(text_col))).orderBy("doc_id")
+    c = F.trim(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy(c.asc(), F.col("doc_id").asc())
+    # first row of the partition, or first row of a new text-run
+    # (eqNullSafe so a NULL-text run still keeps exactly one row)
+    is_rep = (F.row_number().over(w) == 1) | ~F.lag(c).over(w).eqNullSafe(c)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("__fp", F.md5(c))
+        .withColumn("__rep", is_rep)
+        .filter(F.col("__rep"))
+        .drop("__fp", "__rep")
     )
 
 

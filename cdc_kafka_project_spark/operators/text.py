@@ -278,8 +278,8 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     collision-free at that scale — birthday bound gives ~n^2/2^65 ≈
     2.7e4 expected colliding pairs at 10^12 docs — so this is candidate
     pruning only: any keep/drop decision must confirm on the full text
-    (dedup.exact_dedup partitions its window by the trimmed text
-    itself, not this hash).
+    (dedup.exact_dedup partitions by the 128-bit md5 digest and then
+    verifies full-text equality within each digest group).
     """
     c = F.trim(F.col(text_col))
     return df.select(

@@ -295,41 +295,59 @@ def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                    JOIN sizes sb ON sb.doc_id = inter.doc_b
         WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
-           ROUND(1.0 - levenshtein(ta.text, tb.text)
-                     / CAST(greatest(length(ta.text), length(tb.text), 1)
-                            AS DOUBLE), 6) AS edit_similarity
-    FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
-                JOIN documents tb ON tb.doc_id = c.doc_b
+    SELECT doc_a, doc_b, edit_distance,
+           ROUND(raw_sim, 6) AS edit_similarity
+    FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+               1.0 - levenshtein(ta.text, tb.text)
+                   / CAST(greatest(length(ta.text), length(tb.text), 1)
+                          AS DOUBLE) AS raw_sim
+        FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+                    JOIN documents tb ON tb.doc_id = c.doc_b
+        WHERE 1.0 - abs(length(ta.text) - length(tb.text))
+                  / CAST(greatest(length(ta.text), length(tb.text), 1)
+                         AS DOUBLE) >= 0.5
+    ) WHERE raw_sim >= 0.5
     """,
 )
 def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verify tier over near-dup CANDIDATES: Levenshtein
-    distance + normalized similarity for each Jaccard-candidate pair —
-    the character-level confirmation pass (catches shingle-level false
-    positives from reordered text). O(len^2) per pair is affordable
-    exactly because it runs on the candidate set, never all pairs; the
-    text join is two broadcast-or-shuffle key joins on the (small)
-    candidate list. Both engines implement the same Wagner-Fischer
+    distance + normalized similarity for each Jaccard-candidate pair
+    passing a 0.5 similarity cut — the character-level confirmation
+    pass (catches shingle-level false positives from reordered text).
+    O(len^2) per pair is affordable exactly because it runs on the
+    candidate set, never all pairs; the text join is two
+    broadcast-or-shuffle key joins on the (small) candidate list.
+
+    Length-bound prefilter (lossless): edit distance >= |len_a-len_b|,
+    so any pair whose LENGTH GAP alone caps similarity below the cut is
+    dropped BEFORE Wagner-Fischer runs — at scale that skips the
+    O(len^2) DP for grossly mismatched candidates without changing one
+    output row. Both engines implement the same Wagner-Fischer
     levenshtein natively."""
     docs = _docs(spark, sf_dir)
+    threshold = 0.5
     cand = dd.jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    mx = F.greatest(F.length("__ta"), F.length("__tb"), F.lit(1)).cast("double")
+    len_bound = 1.0 - F.abs(F.length("__ta") - F.length("__tb")) / mx
     dist = F.levenshtein("__ta", "__tb")
-    sim = 1.0 - dist / F.greatest(
-        F.length("__ta"), F.length("__tb"), F.lit(1)
-    ).cast("double")
+    sim = 1.0 - dist / mx
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(len_bound >= threshold)   # before any levenshtein eval
         .select(
             "doc_a",
             "doc_b",
             dist.cast("long").alias("edit_distance"),
             F.round(sim, 6).alias("edit_similarity"),
+            (sim >= threshold).alias("__keep"),
         )
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )
 
 

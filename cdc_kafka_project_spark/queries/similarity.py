@@ -24,6 +24,32 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: vec_id offset for fixture-injected near-duplicates — far above any
+#: real vec_id at every shipped scale factor
+DUP_OFFSET = 10_000_000
+N_INJECTED_DUPS = 8
+
+
+def _with_injected_dups(emb: DataFrame, n: int = N_INJECTED_DUPS) -> DataFrame:
+    """Fixture-layer near-duplicate injection (the `_with_synthetic_urls`
+    pattern): the synthetic embeddings are near-orthogonal (max pairwise
+    cosine ~0.51), so threshold-0.95 queries would return empty/full-
+    corpus results that prove nothing at the driver. Re-emit the first
+    ``n`` vectors under offset ids, scaled by 1.001 — cosine with the
+    source is exactly 1.0 (scale-invariant) while the scaled copy stays
+    in the source's k-means cell (0.1%% Euclidean perturbation), so both
+    the LSH-bucketed and the cluster-scoped paths must find the pairs.
+    One filter + projection — negligible next to the operator it feeds."""
+    dups = emb.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + F.lit(DUP_OFFSET)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return emb.select("vec_id", "embedding", "label").unionByName(dups)
+
+
 def _index_dir(sf_dir: str, name: str) -> str:
     """Per-scale-factor location for materialized ANN indexes. Local
     scratch here; on a cluster this is a shared-store prefix."""
@@ -96,14 +122,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_near_dup")  # rows-only: seeded-hyperplane LSH is engine-side
 def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.95) via LSH-bucketed
-    self-join + exact verify.
-
-    The synthetic embeddings are near-orthogonal (max pairwise cosine
-    ~0.51 at sf0.01), so an empty result here is CORRECT; the operator's
-    recall on corpora that do contain near-dups is pinned by
+    self-join + exact verify, over the corpus plus injected fixture
+    near-duplicates (see _with_injected_dups — the raw synthetic
+    embeddings are near-orthogonal, so without injection an empty
+    result proved nothing). Each injected copy must pair with exactly
+    its source, so the expected pair count is N_INJECTED_DUPS; recall
+    on organically duplicated corpora is pinned by
     tests/test_similarity.py, and the exact-threshold twin below is
     oracle-checked on thresholds this data does exercise."""
-    return sim.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.95)
+    return sim.cosine_near_dup_pairs(
+        _with_injected_dups(_emb(spark, sf_dir)), threshold=0.95
+    )
 
 
 @query("similarity_ann_ivf")  # rows-only: k-means model is engine-side
@@ -223,14 +252,17 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end (semantic dedup policy): cluster-scoped
     exact-cosine pairs (operators/similarity.py::semdedup_pairs, the
     public SemDeDup recipe) -> connected components -> keep the
-    representative per duplicate group + every unpaired vector. On the
-    near-orthogonal synthetic embeddings nothing crosses the 0.95
-    threshold, so the keep set is the full corpus (a non-vacuous,
-    deterministic row count); drop behavior on genuinely duplicated
-    corpora is pinned by tests/test_similarity.py."""
+    representative per duplicate group + every unpaired vector, over
+    the corpus plus injected fixture near-duplicates (see
+    _with_injected_dups — on the raw near-orthogonal embeddings the
+    keep set equaled the full corpus, proving nothing about the drop
+    path). Each injected copy must be dropped in favor of its
+    lower-id source, so expected keep = corpus size (injected rows all
+    removed); drop behavior on organically duplicated corpora is
+    additionally pinned by tests/test_similarity.py."""
     from cdc_kafka_project_spark.operators.dedup import near_dedup_keep
 
-    emb = _emb(spark, sf_dir)
+    emb = _with_injected_dups(_emb(spark, sf_dir))
     pairs = sim.semdedup_pairs(emb, k=16, iters=2, max_train=512, threshold=0.95)
     return near_dedup_keep(
         emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"

@@ -64,26 +64,122 @@ def load_all() -> None:
 # dict order and covers a bounded prefix (~50 names), so the registry
 # orders the checked dict explicitly rather than relying on module
 # import order. STANDING RULE (round-2 verdict): every query that has
-# never landed a driver CORRECTNESS row goes in FRONT of the window —
-# tier 0 below — and each round's new queries are prepended there.
+# never landed a driver CORRECTNESS row — or whose code changed this
+# round — goes in FRONT of the window (tier 0), new queries prepended.
+# ROTATION RULE (round-4 verdict): after tier 0, order by STALENESS —
+# the driver regenerates testdata between rounds, so the names whose
+# newest CORRECTNESS row is oldest re-verify first. Entering round 5
+# that is the r1-era tier (49 names), then r2 (10), then r3 (24); the
+# 50 names freshly green in CORRECTNESS_r04 sort last.
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- tier 0: queries needing a fresh driver row first. Round-4:
-    #    sessionize broke on the regenerated NTZ testdata (fixed in
-    #    catalog.load_table) — standing rule puts it at the very front
-    #    until its green row lands — followed by every round-4 addition
-    #    (as-of joins, LM scoring, sampling, SemDeDup, funnels/cohorts,
-    #    salted join, heavy hitters, curation pipeline, ...). --
+    # -- tier 0: round-5 new queries (prepended as added) and queries
+    #    whose implementation changed this round (need a fresh row
+    #    under the new code path). --
+    "dedup_exact_keep",
+    "dedup_levenshtein_verify",
+    "similarity_near_dup",
+    "similarity_semdedup_keep",
+    "doc_host_stats",
+    # -- tier 1 (staleness: last driver row r1, on a long-gone testdata
+    #    generation). CDC surface first — SURVEY §2's core semantics
+    #    currently rest entirely on r1 rows — then q-series, set ops,
+    #    windows, scalar/date surfaces. --
+    "cdc_incremental_scan",
+    "cdc_latest_state",
+    "cdc_replica",
+    "cdc_validate_valid",
+    "cdc_validate_dlq",
+    "cdc_json_decode",
+    "cdc_json_encode",
+    "cdc_merge_upsert",
+    "cdc_running_totals",
+    "asof_last_purchase",
+    "q1_pricing_summary",
+    "q2_min_price_per_type",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_revenue_delta",
+    "q12_priority_case_agg",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_supplier_variety",
+    "q17_small_qty_avg",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_rich_customers",
+    "topk_orders",
+    "set_union_active_keys",
+    "set_intersect_keys",
+    "set_except_keys",
+    "semi_join_big_spenders",
+    "anti_join_no_big_orders",
+    "outer_join_nation_counts",
+    "range_join_price_bands",
+    "in_list_filter",
+    "distinct_counts",
+    "grouped_floor_sum",
+    "scalar_exprs",
+    "string_funcs",
+    "date_exprs",
+    "pivot_qty",
+    "cube_agg",
+    "rollup_agg",
+    "percentile_prices",
+    "conditional_aggs",
+    "window_running_sum",
+    "window_topn_per_group",
+    "tumbling_hourly_agg",
+    "latest_event_per_user",
+    "event_props_extract",
+    "event_props_typed",
+    # -- tier 2 (staleness: last driver row r2) --
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_part_value_share",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "exact_moments",
+    "grouping_sets_sql",
+    "salted_event_type_totals",
+    "token_frequency_top100",
+    # -- tier 3 (staleness: last driver row r3) --
+    "cdc_incremental_agg",
+    "cdc_scd2_history",
+    "cdc_time_travel",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "dedup_components",
+    "dedup_near_keep",
+    "dedup_simhash_pairs",
+    "doc_contamination_hits",
+    "doc_decontaminate",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "similarity_topk",
+    "similarity_pairs_above",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "media_catalog",
+    "media_decode_features",
+    "media_resize",
+    "media_frame_sample",
+    "media_audio_features",
+    "text_tfidf_top_terms",
+    "word_bigrams_top100",
+    # -- tier 4 (fresh: green in CORRECTNESS_r04 on current-generation
+    #    testdata; re-checked as slots allow) --
     "sessionize",
     "column_profile",
     "asof_join_purchases",
+    "asof_join_next_purchase",
     "doc_unigram_logprob",
     "doc_source_quality_gate",
-    "similarity_semdedup_keep",
     "doc_uniform_sample",
     "source_weighted_sample",
-    "asof_join_next_purchase",
     "corr_lineitem_measures",
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
@@ -96,12 +192,9 @@ _GATE_PRIORITY: list[str] = [
     "embedding_pca_project",
     "curation_pipeline",
     "event_value_anomalies",
-    "dedup_levenshtein_verify",
     "dedup_keep_longest",
     "doc_ngram_novelty",
-    # round-3 tier 0 (all landed green/rows-only rows in r3):
     "doc_pii_redact",
-    "doc_host_stats",
     "doc_split_assign",
     "histogram_prices",
     "similarity_ann_pq",
@@ -110,7 +203,6 @@ _GATE_PRIORITY: list[str] = [
     "sketch_distinct_users",
     "sketch_percentiles",
     "cdc_snapshot_diff",
-    # -- tier 1: north-star (text, dedup, similarity, multimodal) --
     "text_stats",
     "token_count_regex",
     "lang_id",
@@ -123,61 +215,9 @@ _GATE_PRIORITY: list[str] = [
     "doc_pack_assignments",
     "doc_repetition_stats",
     "dedup_exact_groups",
-    "dedup_exact_keep",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_components",
-    "dedup_near_keep",
-    "embedding_quantize_int8",
-    "similarity_topk",
-    "embedding_norms",
-    "similarity_ann_lsh",
-    "similarity_near_dup",
-    "similarity_ann_ivf",
-    "similarity_pairs_above",
-    "media_catalog",
-    "media_decode_features",
-    "media_resize",
-    "media_frame_sample",
-    "media_audio_features",
-    # -- tier 2: round-2 additions, all driver-checked by r3; kept
-    #    inside the gate's ~50-query window for periodic re-checks --
-    "doc_contamination_hits",
-    "doc_decontaminate",
-    "cdc_scd2_history",
-    "cdc_incremental_agg",
-    "cdc_time_travel",
-    "text_tfidf_top_terms",
-    "word_bigrams_top100",
-    "q13_customer_distribution",
-    "q10_returned_revenue",
-    "q7_nation_volume",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_part_value_share",
-    "q20_volume_suppliers",
-    "salted_event_type_totals",
-    "token_frequency_top100",
-    "grouping_sets_sql",
-    "exact_moments",
-    # -- tier 3: round-1-green core, re-checked as slots allow --
-    "cdc_incremental_scan",
-    "cdc_latest_state",
-    "cdc_replica",
-    "cdc_validate_valid",
-    "cdc_validate_dlq",
-    "cdc_json_decode",
-    "cdc_json_encode",
-    "cdc_merge_upsert",
-    "cdc_running_totals",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "topk_orders",
-    "asof_last_purchase",
 ]
 
 
@@ -191,10 +231,12 @@ def _gate_order(names: list[str]) -> list[str]:
 def all_queries() -> dict[str, QueryFn]:
     load_all()
     missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
-    assert not missing, (
-        f"_GATE_PRIORITY names queries that are not registered: {missing} "
-        "— the priority list must stay an accurate record of the gate"
-    )
+    if missing:
+        # explicit raise, not assert: the guard must survive python -O
+        raise RuntimeError(
+            f"_GATE_PRIORITY names queries that are not registered: {missing}"
+            " — the priority list must stay an accurate record of the gate"
+        )
     return {n: QUERIES[n] for n in _gate_order(list(QUERIES))}
 
 

@@ -176,6 +176,19 @@ def test_exact_dedup_survives_hash_collisions(spark):
     assert kept == [1, 3]  # trims agree on 'alpha'; 'beta' distinct
 
 
+def test_exact_dedup_null_texts_form_one_group(spark):
+    """All-NULL texts are one duplicate group (md5(NULL)=NULL routes
+    them together; the run check is null-safe): exactly one survives."""
+    from cdc_kafka_project_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
 def test_decontaminate_removes_exact_ngram_overlap(spark):
     """A train doc sharing a 4-gram with the eval set is flagged with
     the right overlap count and removed; disjoint docs survive."""

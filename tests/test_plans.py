@@ -114,6 +114,23 @@ def test_dedup_exact_single_shuffle(spark, queries):
     assert count_exchanges(df) <= 1, plan_summary(df)
 
 
+def test_dedup_exact_keep_exchange_key_is_digest(spark):
+    """The keep tier's exchange must partition on the md5 digest (a
+    32-char key), never on the document text itself — round-4 flagged
+    the full-text partition key as the one scale-killer in the repo."""
+    from cdc_kafka_project_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "some document body"), (2, "another body")],
+        "doc_id long, text string",
+    )
+    plan = exact_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^,]+)", plan)
+    assert keys and all(k.strip().startswith("__fp") for k in keys), plan[:2000]
+
+
 def test_lang_id_zero_shuffle(spark, queries):
     """Language ID is a pure projection — any exchange is a regression
     (the map-only property SURVEY §7.5 calls out)."""

@@ -503,3 +503,27 @@ def test_ivf_append_rejects_wrong_index_kind(corpus, tmp_path):
     sim.build_lsh_index(emb.limit(50), path, n_planes=4)
     with pytest.raises(ValueError, match="not an IVF index"):
         sim.append_to_ivf_index(emb.limit(5), path)
+
+
+def test_driver_near_dup_fixtures_are_not_vacuous(spark):
+    """Round-4 verdict: the raw synthetic embeddings are near-orthogonal,
+    so the registered near-dup/SemDeDup queries passed at the driver
+    without ever exercising a drop. The fixture-injected duplicates must
+    make both non-vacuous: each injected copy pairs with exactly its
+    source, and SemDeDup drops every injected copy (keep == corpus)."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.similarity import (
+        DUP_OFFSET,
+        N_INJECTED_DUPS,
+        similarity_near_dup,
+        similarity_semdedup_keep,
+    )
+
+    pairs = similarity_near_dup(spark, SF_SMOKE).collect()
+    assert len(pairs) == N_INJECTED_DUPS
+    assert all(r.vec_b == r.vec_a + DUP_OFFSET for r in pairs)
+
+    corpus_n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    kept = {r.vec_id for r in similarity_semdedup_keep(spark, SF_SMOKE).collect()}
+    assert len(kept) == corpus_n          # all injected copies dropped
+    assert all(v < DUP_OFFSET for v in kept)  # sources won every group
