@@ -102,7 +102,7 @@ def _cdc_latency_sec(spark) -> float:
     in < 1 s (pdf p.9, single-host 7-event scale). Measured here as:
     change-file landed (commit) -> bounded micro-batch run -> replica
     snapshot forced. Cold start (checkpoint/JVM init) is excluded —
-    the SLO describes a running pipeline; best of 3 warm rounds, same
+    the SLO describes a running pipeline; median of 3 warm rounds, same
     policy as the query timings."""
     import datetime as dt
     import shutil
@@ -137,7 +137,7 @@ def _cdc_latency_sec(spark) -> float:
         drop(0)
         pipe.run_available_now()
         pipe.snapshot().count()  # cold path excluded
-        best = float("inf")
+        rounds = []
         for i in (1, 2, 3):
             drop(i)
             t0 = time.time()
@@ -145,8 +145,8 @@ def _cdc_latency_sec(spark) -> float:
             n = pipe.snapshot().count()
             dt_s = time.time() - t0
             assert n == (i + 1) * 10, f"replica row count {n} at round {i}"
-            best = min(best, dt_s)
-        return round(best, 3)
+            rounds.append(dt_s)
+        return round(sorted(rounds)[1], 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -169,20 +169,23 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Best of 2 runs per query: this host shows multi-second kernel-time
-    # stalls (virtualized CPU steal) that land on random queries; the
-    # minimum reflects the plan's steady-state cost, which is the thing
-    # this harness exists to track.
+    # Median of 3 runs per query (round-4 verdict): this host shows
+    # multi-second kernel-time stalls (virtualized CPU steal) that land
+    # on random queries — the r4 driver run came out ~40% above an
+    # identical-code run minutes earlier. The median discards a single
+    # stalled run without the optimism of a pure minimum; wall_sec
+    # keeps the raw all-runs wall clock for capacity planning.
+    t_wall0 = time.time()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -190,10 +193,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "wall_sec": round(time.time() - t_wall0, 3),
+        "runs_per_query": 3,
+        "aggregation": "median",
         "sf": sf,
         # reference SLO counterpart (BASELINE.md row 1): warm
         # micro-batch change->replica latency through the streaming
-        # CDC pipeline, best of 3
+        # CDC pipeline, median of 3
         "cdc_apply_latency_sec": _cdc_latency_sec(spark),
     }
     _record_history(record)

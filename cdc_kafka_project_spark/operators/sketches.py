@@ -31,6 +31,7 @@ difference between a web-scale vocabulary and a few thousand rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def heavy_hitters(
@@ -41,7 +42,9 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact top-``k`` (item, n) for the items column, provided the
     k-th frequency exceeds N/``capacity`` (see module docstring).
-    Deterministic tie-break: count desc, then item asc."""
+    Deterministic tie-break: count desc, then item asc. Works for any
+    hashable item type — the candidate schema mirrors the input
+    column's type, so integer keys rejoin without lossy casts."""
 
     def phase1(batches):
         import pandas as pd
@@ -55,15 +58,27 @@ def heavy_hitters(
                 elif len(counters) < capacity:
                     counters[x] = 1
                 else:
-                    counters = {
-                        kk: v - 1 for kk, v in counters.items() if v > 1
-                    }
+                    # decrement in place, drop zeroed keys — no dict
+                    # rebuild/rehash per miss. Each pass removes
+                    # len(counters) units of count mass and mass only
+                    # enters one per arrival, so total decrement work
+                    # is O(N) over the stream (amortized O(1)/item).
+                    dead = []
+                    for kk in counters:
+                        nv = counters[kk] - 1
+                        if nv:
+                            counters[kk] = nv
+                        else:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
         yield pd.DataFrame({item_col: list(counters.keys())})
 
     src = df.select(item_col)
-    candidates = src.mapInPandas(
-        phase1, f"{item_col} string"
-    ).distinct()
+    # candidate schema derived from the input column (round-4 advice:
+    # a hardcoded `string` coerced non-string keys lossily)
+    cand_schema = StructType([StructField(item_col, df.schema[item_col].dataType)])
+    candidates = src.mapInPandas(phase1, cand_schema).distinct()
     exact = (
         src.join(F.broadcast(candidates), item_col)
         .groupBy(item_col)

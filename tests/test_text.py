@@ -344,6 +344,27 @@ def test_heavy_hitters_exact_when_capacity_sufficient(spark):
     assert got[0] == ("w001", 1000)
 
 
+def test_heavy_hitters_non_string_items(spark):
+    """The candidate schema must mirror the item column's type (round-4
+    advice: a hardcoded string schema coerced bigint keys lossily)."""
+    from cdc_kafka_project_spark.operators.sketches import heavy_hitters
+
+    rows = [(i,) for i in range(1, 50) for _ in range(200 // i)]
+    df = spark.createDataFrame(rows, "item_id long").repartition(4)
+    got = [(r.item_id, r.n) for r in heavy_hitters(
+        df, "item_id", k=5, capacity=64).collect()]
+    exact = [
+        (r.item_id, r.n)
+        for r in df.groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "item_id")
+        .limit(5)
+        .collect()
+    ]
+    assert got == exact
+    assert all(isinstance(i, int) for i, _ in got)
+
+
 def test_canonical_url_rules(spark):
     cases = [
         ("HTTP://Example.COM:80/Path/#frag", "http://example.com/Path"),
