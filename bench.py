@@ -94,6 +94,13 @@ HEADLINE = [
     "dedup_levenshtein_verify",
     "dedup_keep_longest",
     "doc_ngram_novelty",
+    # round-5 new operators
+    "bm25_topk",
+    "text_index_topk",
+    "hard_negative_mining",
+    "dedup_incremental_new_docs",
+    "rolling_7d_user_spend",
+    "lang_temperature_sample",
 ]
 
 

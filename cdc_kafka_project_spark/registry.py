@@ -57,6 +57,7 @@ def load_all() -> None:
         similarity,
         multimodal,
         pipeline,
+        retrieval,
     )
 
 
@@ -77,6 +78,12 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "bm25_topk",
+    "text_index_topk",
+    "hard_negative_mining",
+    "dedup_incremental_new_docs",
+    "rolling_7d_user_spend",
+    "lang_temperature_sample",
     "dedup_exact_keep",
     "dedup_levenshtein_verify",
     "similarity_near_dup",
