@@ -101,6 +101,9 @@ HEADLINE = [
     "dedup_incremental_new_docs",
     "rolling_7d_user_spend",
     "lang_temperature_sample",
+    "doc_span_dedup",
+    "doc_stratified_split",
+    "media_phash_dup_pairs",
 ]
 
 

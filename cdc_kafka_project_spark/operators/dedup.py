@@ -589,3 +589,55 @@ def normalized_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """C4-style span-level dedup: split each document into consecutive
+    ``span_tokens``-token spans, keep only each distinct span's FIRST
+    corpus occurrence (min (doc_id, span_idx)), and reassemble the
+    surviving spans in document order. This removes boilerplate that
+    exact/near doc-level dedup can't touch — repeated headers, license
+    blocks, navigation chrome — while keeping the novel remainder of
+    every document (C4 does this with three-sentence spans; the
+    synthetic corpus has no sentence punctuation, so the span unit is
+    token count).
+
+    Shape at scale: tokenize once (map-side), explode to spans, ONE
+    shuffle keyed by span text (~span_tokens words, bounded width —
+    never whole documents), min-aggregate, rejoin, then a per-doc
+    regroup. The first-occurrence key packs (doc_id, span_idx) into one
+    int64 (span_idx < 1e6 by construction: a doc would need 10M tokens
+    to overflow).
+    """
+    from cdc_kafka_project_spark.functions import spread, tokens
+
+    base = spread(df.select(id_col, tokens(text_col).alias("__ws"))).filter(
+        F.size("__ws") > 0
+    )
+    segs = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(__ws)/{span_tokens}.0)) - 1),"
+                f" i -> concat_ws(' ', slice(__ws, i*{span_tokens}+1, {span_tokens})))"
+            )
+        ).alias("span_idx", "span"),
+    )
+    key = F.col(id_col) * F.lit(1_000_000) + F.col("span_idx")
+    firsts = segs.groupBy("span").agg(F.min(key).alias("__first"))
+    kept = segs.join(firsts, "span").filter(key == F.col("__first"))
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

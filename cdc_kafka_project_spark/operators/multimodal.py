@@ -278,3 +278,93 @@ def audio_features(media: DataFrame, window: int = 64) -> DataFrame:
 
     auds = media.filter(F.col("kind") == "audio").select("media_id", "payload")
     return auds.mapInPandas(fn, AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def phash_bands(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of image payloads,
+    split into 4x16-bit bands for LSH-style candidate joins.
+
+    Recipe (public aHash): resize to 8x8 (the same nearest-neighbour
+    sampling as resize_image), bit i = 1 iff pixel i is strictly above
+    the mean — computed integer-exactly as ``r[i]*64 > sum(r)``, so any
+    engine reproduces the bits. Band j packs bits [16j, 16j+16) little-
+    endian. On the fake codec the "pixels" are payload bytes; a real
+    deployment swaps the decode only — banding, joins, and the Hamming
+    verify are codec-agnostic.
+    """
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        pw = (1 << np.arange(16)).astype(np.int64)
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = int(a.size)
+                if n == 0:
+                    r = np.zeros(64, dtype=np.int64)
+                elif n == 1:
+                    r = np.repeat(a[:1], 64)
+                else:
+                    idx = (np.arange(64) * (n - 1)) // 63
+                    r = a[idx]
+                bits = (r * 64 > int(r.sum())).astype(np.int64)
+                bands = [int(bits[j * 16:(j + 1) * 16] @ pw) for j in range(4)]
+                rows.append((int(mid), *bands))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def phash_dup_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance:
+    candidates from 4-band equi-joins, exact bit_count verify.
+
+    Completeness is provable for ``max_hamming <= 3``: two hashes
+    within Hamming 3 differ in at most 3 of the 4 bands (pigeonhole),
+    so at least one band matches exactly and the pair surfaces in the
+    band join — the same guarantee the SimHash tier documents. The
+    join fans out per (band_idx, value) group, never all-pairs.
+    """
+    long = bands.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "val"
+        ),
+    )
+    cand = (
+        long.alias("a")
+        .join(long.alias("b"), ["band_idx", "val"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(c).alias(f"{c}_a") for c in ("b0", "b1", "b2", "b3")],
+    )
+    bb = bands.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(c).alias(f"{c}_b") for c in ("b0", "b1", "b2", "b3")],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"b{j}_a").bitwiseXOR(F.col(f"b{j}_b")))
+        for j in range(4)
+    ).cast("long")
+    return (
+        cand.join(ba, "media_a")
+        .join(bb, "media_b")
+        .select("media_a", "media_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

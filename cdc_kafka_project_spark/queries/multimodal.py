@@ -155,3 +155,78 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(_media(spark, sf_dir), window=64).select(
         "media_id", "n_windows", "rms"
     )
+
+
+@query(
+    "media_phash_dup_pairs",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    media_plus AS (
+        SELECT media_id, kind, n, ords FROM media
+        UNION ALL
+        SELECT media_id + 10000000, kind, n, ords
+        FROM media WHERE kind = 'image' AND media_id < 18
+    ),
+    rz AS (
+        SELECT media_id,
+               CASE
+                   WHEN n = 0 THEN list_transform(range(0, 64), i -> 0)
+                   WHEN n = 1 THEN list_transform(range(0, 64), i -> ords[1])
+                   ELSE list_transform(range(0, 64),
+                                       i -> ords[(i * (n - 1) // 63) + 1])
+               END AS r
+        FROM media_plus WHERE kind = 'image'
+    ),
+    bands AS (
+        SELECT media_id,
+               list_transform(range(0, 4), j ->
+                   CAST(list_sum(list_transform(range(j * 16, (j + 1) * 16),
+                       i -> CASE WHEN r[i + 1] * 64 > list_sum(r)
+                                 THEN 1 << (i - j * 16) ELSE 0 END))
+                        AS INT)) AS bs
+        FROM rz
+    ),
+    longb AS (
+        SELECT media_id, j AS band_idx, bs[j + 1] AS val
+        FROM bands, unnest(range(0, 4)) AS t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM longb a JOIN longb b
+          ON a.band_idx = b.band_idx AND a.val = b.val
+         AND a.media_id < b.media_id
+    )
+    SELECT c.media_a, c.media_b,
+           CAST(bit_count(xor(ba.bs[1], bb.bs[1]))
+              + bit_count(xor(ba.bs[2], bb.bs[2]))
+              + bit_count(xor(ba.bs[3], bb.bs[3]))
+              + bit_count(xor(ba.bs[4], bb.bs[4])) AS BIGINT) AS hamming
+    FROM cand c JOIN bands ba ON ba.media_id = c.media_a
+                JOIN bands bb ON bb.media_id = c.media_b
+    WHERE bit_count(xor(ba.bs[1], bb.bs[1]))
+        + bit_count(xor(ba.bs[2], bb.bs[2]))
+        + bit_count(xor(ba.bs[3], bb.bs[3]))
+        + bit_count(xor(ba.bs[4], bb.bs[4])) <= 3
+    """,
+)
+def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs: aHash over the
+    8x8 fake-decode (bit = pixel strictly above mean, integer-exact),
+    4x16-bit bands for the candidate equi-join, exact bit_count verify
+    at Hamming <= 3 — provably complete at that bound (a pair within
+    Hamming 3 shares at least one untouched band; pigeonhole). The
+    multimodal member of the dedup family; a real-codec deployment
+    changes only the decode.
+
+    The corpus carries no byte-identical images, so fixture prep
+    re-emits the first 6 images under offset ids (the
+    _with_injected_dups pattern, oracle-mirrored) — each copy must
+    surface as a Hamming-0 pair, making the driver row exercise a real
+    match path instead of an empty result."""
+    media = _media(spark, sf_dir)
+    dups = media.filter(
+        (F.col("kind") == "image") & (F.col("media_id") < 18)
+    ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+    return mm.phash_dup_pairs(
+        mm.phash_bands(media.unionByName(dups)), max_hamming=3
+    )

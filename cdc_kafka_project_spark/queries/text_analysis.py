@@ -698,3 +698,87 @@ def doc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "doc_id", "url", text_ops.canonical_url(F.col("url")).alias("canon_url")
     )
+
+
+@query(
+    "doc_span_dedup",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''
+    ),
+    segs AS (
+        SELECT doc_id, i AS span_idx,
+               array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ') AS span
+        FROM words,
+             unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    firsts AS (
+        SELECT span, MIN(doc_id * 1000000 + span_idx) AS first_key
+        FROM segs GROUP BY span
+    ),
+    kept AS (
+        SELECT s.doc_id, s.span_idx, s.span
+        FROM segs s JOIN firsts f USING (span)
+        WHERE s.doc_id * 1000000 + s.span_idx = f.first_key
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+           string_agg(span, ' ' ORDER BY span_idx) AS text_dedup
+    FROM kept GROUP BY doc_id
+    """,
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup (see operators/dedup.span_dedup): every
+    10-token span keeps only its first corpus occurrence; documents are
+    reassembled from their surviving spans. Removes cross-document
+    boilerplate that doc-level dedup can't; docs made entirely of
+    repeated spans drop out. One span-keyed shuffle (bounded width) +
+    one per-doc regroup."""
+    from cdc_kafka_project_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), span_tokens=10)
+
+
+@query(
+    "doc_stratified_split",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= CAST(floor(CAST(n AS DOUBLE) * 0.8) AS BIGINT)
+                    THEN 'train'
+                WHEN rn <= CAST(floor(CAST(n AS DOUBLE) * 0.9) AS BIGINT)
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 80/10/10 split with EXACT per-stratum proportions
+    (floor boundaries), strata = language: a salted-md5 rank inside
+    each language assigns splits deterministically — unlike the
+    expected-proportion hash_split, every language lands exactly
+    floor(n*0.8)/floor(n*0.9) cut points, so low-resource languages
+    cannot be starved of eval docs by hash luck. One rank window per
+    stratum; seed-free and reproducible on any md5-capable engine."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    rank = F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(rank, "doc_id")
+    wn = Window.partitionBy("lang")
+    n = F.count(F.lit(1)).over(wn)
+    rn = F.row_number().over(w)
+    split = (
+        F.when(rn <= F.floor(n.cast("double") * 0.8).cast("long"), "train")
+        .when(rn <= F.floor(n.cast("double") * 0.9).cast("long"), "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))

@@ -275,3 +275,38 @@ def test_jaccard_max_df_caps_fanout_keeps_recall(spark):
         .filter(F.col("df") > 10)
     )
     assert hot.count() > 0  # the fixture really has hot shingles
+
+
+def test_span_dedup_removes_repeated_spans(spark):
+    """10-token spans keep only their first corpus occurrence; docs are
+    reassembled in order from surviving spans; a doc that is entirely
+    repeated material disappears."""
+    from cdc_kafka_project_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))      # one exact span
+    novel_a = " ".join(f"a{i}" for i in range(10))
+    novel_c = " ".join(f"c{i}" for i in range(7))       # short tail span
+    rows = [
+        (1, f"{boiler} {novel_a}"),       # first occurrence: keeps both
+        (2, f"{boiler} {novel_c}"),       # boilerplate deduped away
+        (3, boiler),                      # nothing left -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans_kept, r.text_dedup)
+           for r in span_dedup(df, span_tokens=10).collect()}
+    assert got[1] == (2, f"{boiler} {novel_a}")
+    assert got[2] == (1, novel_c)
+    assert 3 not in got
+
+
+def test_span_dedup_within_doc_repetition(spark):
+    """A span repeated INSIDE one document also collapses to its first
+    occurrence (same global first-occurrence rule)."""
+    from cdc_kafka_project_spark.operators.dedup import span_dedup
+
+    s = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{s} {s}")], "doc_id long, text string"
+    )
+    got = span_dedup(df, span_tokens=10).collect()[0]
+    assert (got.n_spans_kept, got.text_dedup) == (1, s)

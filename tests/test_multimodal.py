@@ -118,3 +118,45 @@ def test_arrow_batch_iteration_bounded(spark):
         assert nb >= 10  # 100 rows / 10-per-batch in one partition
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_phash_identical_payloads_hamming_zero(spark):
+    """Byte-identical image payloads must pair at Hamming 0; distinct
+    content stays out at the 3-bit bound."""
+    from cdc_kafka_project_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "image", bytearray(b"hello world this is image zero")),
+        (1, "image", bytearray(b"hello world this is image zero")),   # dup of 0
+        (2, "image", bytearray(b"completely different content !!")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    pairs = mm.phash_dup_pairs(mm.phash_bands(media), max_hamming=3).collect()
+    assert [(r.media_a, r.media_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+
+
+def test_phash_band_join_completeness_bound(spark):
+    """Pigeonhole: a pair within Hamming 3 differs in at most 3 bands,
+    so the band equi-join must surface it. Construct a payload pair
+    whose hashes differ in exactly 3 bits across 3 different bands and
+    assert the pair is found with the right distance."""
+    import numpy as np
+    from cdc_kafka_project_spark.operators import multimodal as mm
+
+    # 64-byte payloads = the resized pixels directly (n == 64 keeps
+    # nearest-neighbour sampling the identity permutation)
+    base = np.zeros(64, dtype=np.uint8)
+    base[::2] = 200          # alternating high/low -> bits = evens
+    other = base.copy()
+    # flip pixels 0, 20, 40 (bands 0, 1, 2) from high to low
+    other[[0, 20, 40]] = 0
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(base.tobytes())),
+         (1, "image", bytearray(other.tobytes()))],
+        "media_id long, kind string, payload binary",
+    )
+    pairs = mm.phash_dup_pairs(mm.phash_bands(media), max_hamming=3).collect()
+    assert [(r.media_a, r.media_b, r.hamming) for r in pairs] == [(0, 1, 3)]
