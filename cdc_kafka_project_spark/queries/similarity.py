@@ -293,3 +293,87 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pca_norm"),
     )
+
+
+@query(
+    "embedding_matryoshka_fidelity",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    pairs AS (
+        SELECT e.vec_id, i AS pos,
+               CAST(e.embedding[i] AS DOUBLE) AS x,
+               CAST(q.qe[i] AS DOUBLE) AS y
+        FROM embeddings e CROSS JOIN q,
+             unnest(range(1, 65)) AS t(i)
+    ),
+    dots AS (
+        SELECT vec_id,
+               SUM(x * y) AS dp_full,
+               SQRT(SUM(x * x)) AS na_full, SQRT(SUM(y * y)) AS nb_full,
+               SUM(CASE WHEN pos <= 16 THEN x * y ELSE 0 END) AS dp_t,
+               SQRT(SUM(CASE WHEN pos <= 16 THEN x * x ELSE 0 END)) AS na_t,
+               SQRT(SUM(CASE WHEN pos <= 16 THEN y * y ELSE 0 END)) AS nb_t
+        FROM pairs GROUP BY vec_id
+    )
+    SELECT vec_id,
+           ROUND(dp_full / (na_full * nb_full), 4) AS cos_full,
+           ROUND(dp_t / (na_t * nb_t), 4) AS cos_trunc16,
+           ROUND(abs(dp_full / (na_full * nb_full)
+                     - dp_t / (na_t * nb_t)), 4) AS fidelity_gap
+    FROM dots
+    """,
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation fidelity: per vector, cosine to the
+    query at FULL dimension (64) vs the 16-dim prefix — the measurement
+    behind 'how much recall do we buy back by storing only the prefix'
+    (4x cheaper index). One scan, two fused vector expressions, no
+    shuffle; at 100 TB this is the evaluation pass run before choosing
+    a truncated index layout. The per-pair ordering in both engines is
+    plain float64 sums in index order, rounded to 4."""
+    from cdc_kafka_project_spark.functions import cosine_pd
+
+    emb = _emb(spark, sf_dir)
+    qv = sim.query_vector(emb, QUERY_VEC_ID)
+    q_full = F.array(*[F.lit(float(v)) for v in qv])
+    q_t = F.array(*[F.lit(float(v)) for v in qv[:16]])
+    trunc = F.slice(F.col("embedding"), 1, 16)
+    cf = cosine_pd(F.col("embedding"), q_full)
+    ct = cosine_pd(trunc, q_t)
+    return emb.select(
+        "vec_id",
+        F.round(cf, 4).alias("cos_full"),
+        F.round(ct, 4).alias("cos_trunc16"),
+        F.round(F.abs(cf - ct), 4).alias("fidelity_gap"),
+    )
+
+
+@query("similarity_ann_recall")  # rows-only: probes engine-side indexes
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality gate: recall@20 of each approximate
+    probe (LSH, IVF, PQ) against the exact brute-force top-20 for the
+    standing query vector — the continuous-evaluation row an index
+    deployment alerts on. The ground-truth and probe sets are k=20
+    driver-side reads (bounded, the documented exception); everything
+    upstream is the same partition-pruned probes the individual queries
+    run."""
+    emb = _emb(spark, sf_dir)
+    qv = sim.query_vector(emb, QUERY_VEC_ID)
+    truth = {
+        r.vec_id
+        for r in sim.brute_force_topk(emb, qv, k=TOP_K, round_to=None).collect()
+    }
+    rows = []
+    for method, probe in (
+        ("lsh", lambda: sim.probe_lsh_index(
+            spark, _index_dir(sf_dir, "lsh_p8"), qv, k=TOP_K, probe_hamming=1)),
+        ("ivf", lambda: sim.probe_ivf_index(
+            spark, _index_dir(sf_dir, "ivf_k16"), qv, k=TOP_K, nprobe=4)),
+        ("pq", lambda: sim.probe_pq_index(
+            spark, _index_dir(sf_dir, "pq_m8k32"), qv, k=TOP_K)),
+    ):
+        got = {r.vec_id for r in probe().collect()}
+        rows.append((method, TOP_K, len(got & truth) / float(TOP_K)))
+    return spark.createDataFrame(rows, "method string, k int, recall double")

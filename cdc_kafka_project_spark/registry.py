@@ -78,6 +78,8 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "embedding_matryoshka_fidelity",
+    "similarity_ann_recall",
     "doc_span_dedup",
     "doc_stratified_split",
     "media_phash_dup_pairs",

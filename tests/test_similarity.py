@@ -527,3 +527,40 @@ def test_driver_near_dup_fixtures_are_not_vacuous(spark):
     kept = {r.vec_id for r in similarity_semdedup_keep(spark, SF_SMOKE).collect()}
     assert len(kept) == corpus_n          # all injected copies dropped
     assert all(v < DUP_OFFSET for v in kept)  # sources won every group
+
+
+def test_ann_recall_query_bounds_and_determinism(spark):
+    """The self-measuring recall row: one row per index method, recall
+    in [0,1], repeat run identical (indexes are materialized and the
+    probes deterministic)."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.similarity import similarity_ann_recall
+
+    a = sorted((r.method, r.k, r.recall)
+               for r in similarity_ann_recall(spark, SF_SMOKE).collect())
+    assert [m for m, _, _ in a] == ["ivf", "lsh", "pq"]
+    assert all(k == 20 and 0.0 <= rec <= 1.0 for _, k, rec in a)
+    b = sorted((r.method, r.k, r.recall)
+               for r in similarity_ann_recall(spark, SF_SMOKE).collect())
+    assert a == b
+
+
+def test_matryoshka_full_dim_is_exact_on_query_vector(spark):
+    """The query vector itself must score cos_full == 1.0 and a
+    fidelity gap equal to |1 - cos_trunc16| (sanity of the two fused
+    expressions)."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.similarity import (
+        QUERY_VEC_ID,
+        embedding_matryoshka_fidelity,
+    )
+    import pyspark.sql.functions as F
+
+    row = (
+        embedding_matryoshka_fidelity(spark, SF_SMOKE)
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .collect()[0]
+    )
+    assert row.cos_full == 1.0
+    assert row.cos_trunc16 == 1.0       # prefix of itself
+    assert row.fidelity_gap == 0.0
