@@ -86,3 +86,87 @@ def run_streaming_curation(
     )
     q.awaitTermination()
     return q
+
+
+def incremental_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    digest_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of digest-table-backed incremental dedup — the
+    streaming twin of the batch ``dedup_incremental_new_docs`` query,
+    with UNBOUNDED horizon: instead of watermark-bounded streaming
+    state (which forgets digests once the watermark passes), the seen
+    set is a persisted parquet digest table that only ever appends.
+    At 100 TB that is the right state store — the digest table is
+    16-byte rows, anti-joined per batch, and survives any restart.
+
+    Per epoch: dedup within the batch (min id per digest), anti-join
+    against the digest table, then write BOTH the surviving docs and
+    their digests under ``epoch=<id>`` directories with overwrite —
+    a replayed epoch (foreachBatch's at-least-once) rewrites the same
+    partition instead of double-appending, making the sink effectively
+    exactly-once.
+    """
+    if batch_df.isEmpty():
+        return
+    from pyspark.sql import Window
+
+    fp = F.md5(F.trim(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    firsts = (
+        batch_df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if os.path.isdir(digest_dir) and any(
+        f.startswith("epoch=") for f in os.listdir(digest_dir)
+    ):
+        seen = spark.read.parquet(digest_dir).select(
+            F.col("fp").alias("__fp")
+        )
+        firsts = firsts.join(seen, "__fp", "left_anti")
+    firsts.drop("__fp").write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"epoch={epoch_id}")
+    )
+    firsts.select(F.col("__fp").alias("fp")).write.mode("overwrite").parquet(
+        os.path.join(digest_dir, f"epoch={epoch_id}")
+    )
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Bounded availableNow run of the digest-table incremental dedup:
+    each micro-batch keeps only documents whose content digest has
+    never been seen in ANY previous epoch (cross-restart, no watermark
+    horizon). Checkpoint-restartable; epoch-keyed overwrites keep
+    replays idempotent."""
+    out_dir = os.path.join(work_dir, "unique")
+    digest_dir = os.path.join(work_dir, "digests")
+    ckpt = os.path.join(work_dir, "checkpoint")
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        incremental_dedup_batch(
+            spark, batch_df, epoch_id, out_dir, digest_dir, text_col, id_col
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

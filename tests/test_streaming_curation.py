@@ -73,3 +73,53 @@ def test_streaming_curation_gates_dedups_and_decontaminates(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(work + "/curated").collect()
     }
     assert got2 == {1, 6}
+
+
+def test_incremental_dedup_stream_unbounded_horizon(spark, tmp_path):
+    """Digest-table-backed incremental dedup: duplicates are dropped
+    across SEPARATE runs (no watermark horizon — the digest table is
+    the state), within-batch dups collapse to min id, and a replayed
+    epoch overwrites instead of double-appending."""
+    import os
+
+    from cdc_kafka_project_spark.streaming.curation import (
+        incremental_dedup_batch,
+        run_incremental_dedup_stream,
+    )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_incremental_dedup_stream(
+        spark, src, spark.createDataFrame([], schema).schema, work
+    )
+    uniq = lambda: sorted(  # noqa: E731
+        r.doc_id for r in spark.read.parquet(f"{work}/unique").collect()
+    )
+    assert uniq() == [1, 2]          # within-batch dup 3 collapsed
+
+    # second run, new arrivals: 'alpha' seen in a PREVIOUS run drops
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_incremental_dedup_stream(
+        spark, src, spark.createDataFrame([], schema).schema, work
+    )
+    assert uniq() == [1, 2, 11]
+
+    # replayed epoch: same epoch id twice -> same output (overwrite)
+    batch = spark.createDataFrame([(20, "delta")], schema)
+    incremental_dedup_batch(
+        spark, batch, 99, f"{work}/unique", f"{work}/digests"
+    )
+    incremental_dedup_batch(
+        spark, batch, 99, f"{work}/unique", f"{work}/digests"
+    )
+    assert uniq() == [1, 2, 11, 20]
+    n_digests = spark.read.parquet(f"{work}/digests").count()
+    assert n_digests == 4            # alpha, beta, gamma, delta — no dups
