@@ -365,6 +365,17 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.vec_id
         for r in sim.brute_force_topk(emb, qv, k=TOP_K, round_to=None).collect()
     }
+    # Build-if-absent with the SAME parameters the individual ANN
+    # queries use, so a standalone recall run measures the identical
+    # materialized indexes (fingerprint-checked, so this is a no-op
+    # when those queries already ran).
+    sim.ensure_lsh_index(emb, _index_dir(sf_dir, "lsh_p8"), n_planes=8)
+    sim.ensure_ivf_index(
+        emb, _index_dir(sf_dir, "ivf_k16"), k_centroids=16, iters=2, max_train=512
+    )
+    sim.ensure_pq_index(
+        emb, _index_dir(sf_dir, "pq_m8k32"), m=8, k_codes=32, iters=5, max_train=4096
+    )
     rows = []
     for method, probe in (
         ("lsh", lambda: sim.probe_lsh_index(
