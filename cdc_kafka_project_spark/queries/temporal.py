@@ -1,0 +1,208 @@
+"""Temporal analytics: big-to-big range joins and calendar gap-fill.
+
+Two shapes every time-series warehouse needs that vanilla SQL joins
+don't scale to:
+
+* **Interval overlap at big-to-big size.** Spark plans a pure
+  non-equi time-range join as BroadcastNestedLoopJoin — fine when one
+  side broadcasts (``range_join_price_bands``), a cartesian stall when
+  both sides are large. ``operators/intervals.py`` turns it into a
+  hash equi-join on a time bin; these queries prove the binned plan
+  computes exactly what the naive BETWEEN join computes (the oracle IS
+  the naive join).
+* **Calendar gap-fill / forward-fill.** Resampling to a dense daily
+  spine with zero-fill and last-observation-carried-forward. The scale
+  property: the spine join and window run on the *aggregated* series
+  (days x groups), never on the fact table — 100 TB of orders
+  collapses to a few thousand aggregate rows before any calendar
+  logic happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import dsum
+from cdc_kafka_project_spark.operators import intervals as iv
+from cdc_kafka_project_spark.registry import query
+
+#: incident fixture: every high-value error event opens a 1-hour window
+INCIDENT_VALUE_MIN = 99.0
+INCIDENT_SPAN = "INTERVAL 1 HOUR"
+
+_INCIDENT_CTE = f"""
+    inc AS (
+        SELECT event_id AS incident_id,
+               ts AS start_ts,
+               ts + {INCIDENT_SPAN} AS end_ts
+        FROM events
+        WHERE event_type = 'error' AND value >= {INCIDENT_VALUE_MIN}
+    )
+"""
+
+
+def _incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-value error events as 1-hour incident windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= INCIDENT_VALUE_MIN)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr(INCIDENT_SPAN)).alias("end_ts"),
+    )
+
+
+@query(
+    "interval_incident_event_stats",
+    oracle=f"""
+    WITH {_INCIDENT_CTE}
+    SELECT inc.incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM inc JOIN events e ON e.ts BETWEEN inc.start_ts AND inc.end_ts
+    GROUP BY inc.incident_id
+    """,
+)
+def interval_incident_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join, big-to-big tier: every event (any user)
+    landing inside any incident window, aggregated per incident.
+
+    The plan is a hash equi-join on a 1-hour time bin (facts bin once,
+    windows explode to <= 2 bins) followed by the exact BETWEEN
+    refinement — shuffle volume |events| + 2|incidents|, no broadcast,
+    no nested loop. The oracle is the naive non-equi join, so a green
+    row proves bin-and-refine is lossless (match-once by construction:
+    a fact has exactly one bin).
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    inc = _incidents(spark, sf_dir)
+    joined = iv.bin_point_interval_join(
+        ev, inc, fact_ts_col="ts", start_col="start_ts", end_col="end_ts",
+        bin_width_sec=3600,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "interval_incident_overlap_pairs",
+    oracle=f"""
+    WITH {_INCIDENT_CTE}
+    SELECT a.incident_id AS incident_a, b.incident_id AS incident_b
+    FROM inc a JOIN inc b
+      ON a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+     AND a.incident_id < b.incident_id
+    """,
+)
+def interval_incident_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join: all pairs of incident windows
+    that overlap in time (correlated incidents).
+
+    Both sides explode to their covered bins and equi-join; the
+    first-overlap-bin rule emits each overlapping pair exactly once,
+    so there is NO post-join distinct — at scale that saves a second
+    full shuffle of the pair set. The oracle is the naive non-equi
+    self-join.
+    """
+    inc = _incidents(spark, sf_dir)
+    right = inc.select(
+        F.col("incident_id").alias("incident_b"),
+        F.col("start_ts").alias("r_start_ts"),
+        F.col("end_ts").alias("r_end_ts"),
+    )
+    left = inc.select(
+        F.col("incident_id").alias("incident_a"),
+        "start_ts",
+        "end_ts",
+    )
+    pairs = iv.bin_interval_overlap_join(
+        left, right,
+        l_start="start_ts", l_end="end_ts",
+        r_start="r_start_ts", r_end="r_end_ts",
+        bin_width_sec=3600,
+    )
+    return pairs.filter(F.col("incident_a") < F.col("incident_b")).select(
+        "incident_a", "incident_b"
+    )
+
+
+@query(
+    "gapfill_daily_revenue",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev_raw
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    spine AS (
+        SELECT p.o_orderpriority, d.day
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p CROSS JOIN days d
+    )
+    SELECT s.o_orderpriority,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(a.n_raw, 0) AS n_orders,
+           COALESCE(a.rev_raw, 0.0) AS revenue,
+           last_value(a.rev_raw IGNORE NULLS) OVER (
+               PARTITION BY s.o_orderpriority ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_revenue
+    FROM spine s
+    LEFT JOIN agg a ON s.o_orderpriority = a.o_orderpriority AND s.day = a.day
+    """,
+)
+def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill: daily revenue per order
+    priority on a dense day spine — missing days appear with zero
+    count/revenue, and ``ffill_revenue`` carries the last observed
+    day's revenue forward (LOCF; NULL before the first observation).
+
+    Scale shape: the fact table collapses to |priorities| x |days|
+    aggregate rows in one shuffle; the spine (sequence + explode of a
+    1-row min/max aggregate — no driver collect) and the LOCF window
+    run on that tiny series. Window parallelism is |priorities|, which
+    is fine BECAUSE the windowed input is the aggregate, never the
+    facts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate").alias("day")
+    agg = orders.groupBy("o_orderpriority", day).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        dsum("o_totalprice").alias("rev_raw"),
+    )
+    bounds = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    prios = orders.select("o_orderpriority").distinct()
+    spine = prios.crossJoin(F.broadcast(days))
+    joined = spine.join(agg, ["o_orderpriority", "day"], "left")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_raw", F.lit(0)).alias("n_orders"),
+        F.coalesce("rev_raw", F.lit(0.0)).alias("revenue"),
+        F.last("rev_raw", ignorenulls=True).over(w).alias("ffill_revenue"),
+    )

@@ -58,6 +58,7 @@ def load_all() -> None:
         multimodal,
         pipeline,
         retrieval,
+        temporal,
     )
 
 
@@ -78,6 +79,9 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "interval_incident_event_stats",
+    "interval_incident_overlap_pairs",
+    "gapfill_daily_revenue",
     "embedding_matryoshka_fidelity",
     "similarity_ann_recall",
     "doc_span_dedup",
