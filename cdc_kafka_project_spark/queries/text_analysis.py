@@ -904,3 +904,23 @@ def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.log(ratio) * 1e6 + F.lit(0.5)) / 1e6).alias("pmi"),
         )
     )
+
+
+@query("bpe_merge_ranks")  # rows-only: iterative argmax training loop
+def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE tokenizer induction (operators/bpe.py): the
+    first 24 learned merge rules in rank order. Iterative by nature
+    (one argmax per rank — not SQL-expressible), so driver-checked
+    rows-only; exact parity with a pure-Python reference
+    implementation (including greedy-overlap and tiebreak semantics,
+    on any partitioning) is pinned in tests/test_bpe.py.
+
+    Scale shape: ONE full-corpus pass collapses text to the distinct
+    word-frequency table; every round after that is a pair-count
+    shuffle over |vocab| rows plus a 1-row driver argmax read (the
+    bounded-collect trainer contract shared with k-means/PQ), and the
+    rewrite is a zero-shuffle higher-order fold re-persisted per round
+    to keep lineage linear."""
+    from cdc_kafka_project_spark.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(_docs(spark, sf_dir), n_merges=24)

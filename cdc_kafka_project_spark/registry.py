@@ -79,6 +79,7 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "bpe_merge_ranks",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",

@@ -127,7 +127,14 @@ def incremental_dedup_batch(
     if os.path.isdir(digest_dir) and any(
         f.startswith("epoch=") for f in os.listdir(digest_dir)
     ):
-        seen = spark.read.parquet(digest_dir).select(
+        # Exclude THIS epoch's partition from the seen set: a replayed
+        # epoch (at-least-once delivery) already wrote its own digests,
+        # and anti-joining against them would erase its own output on
+        # the overwrite — the replay must see exactly the state the
+        # first attempt saw. (epoch is the hive partition column the
+        # epoch=<id> directory layout discovers.)
+        seen = spark.read.parquet(digest_dir)
+        seen = seen.filter(F.col("epoch") != F.lit(epoch_id)).select(
             F.col("fp").alias("__fp")
         )
         firsts = firsts.join(seen, "__fp", "left_anti")

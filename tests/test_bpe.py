@@ -1,0 +1,86 @@
+"""Distributed BPE trainer vs a pure-Python reference implementation.
+
+The reference below is the textbook Sennrich-style algorithm (word
+frequency table, count adjacent pairs, merge the argmax greedily
+left-to-right, repeat) with the SAME deterministic tiebreak
+(count DESC, left ASC, right ASC). The Spark trainer must reproduce
+its merge sequence exactly, on any partitioning.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+
+
+def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    freq = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            freq[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for sym, f in freq.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_freq = collections.Counter()
+        for sym, f in freq.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_freq[tuple(out)] += f
+        freq = new_freq
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "the the the a a banana",
+]
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_bpe_matches_reference_any_partitioning(spark, n_parts):
+    from cdc_kafka_project_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    ).repartition(n_parts)
+    got = [(m.left, m.right) for m in train_bpe(docs, 10)]
+    assert got == _ref_bpe(CORPUS, 10)
+
+
+def test_bpe_stops_early_when_no_pairs_left(spark):
+    from cdc_kafka_project_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
+    merges = train_bpe(docs, 50)
+    # 'ab' and 'cd' each collapse to one symbol; then nothing remains
+    assert [(m.left, m.right) for m in merges] == [("a", "b"), ("c", "d")]
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """'aaaa' under merge (a,a) must become ['aa','aa'] (greedy
+    left-to-right, non-overlapping), matching the reference fold."""
+    from cdc_kafka_project_spark.operators.bpe import train_bpe
+
+    texts = ["aaaa aaaa aaaa"]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    got = [(m.left, m.right) for m in train_bpe(docs, 3)]
+    assert got == _ref_bpe(texts, 3)
+    assert got[0] == ("a", "a") and got[1] == ("aa", "aa")
