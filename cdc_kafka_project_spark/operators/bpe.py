@@ -30,7 +30,14 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["BpeMerge", "word_freq_table", "train_bpe", "bpe_merge_table"]
+__all__ = [
+    "BpeMerge",
+    "word_freq_table",
+    "train_bpe",
+    "bpe_merge_table",
+    "bpe_vocab_table",
+    "bpe_token_counts",
+]
 
 
 @dataclass(frozen=True)
@@ -82,7 +89,7 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     return pairs.groupBy("p.left", "p.right").agg(F.sum("freq").alias("n"))
 
 
-def _apply_merge(left: str, right: str):
+def _apply_merge(left: str, right: str, col: str = "symbols"):
     """Column expression applying ONE merge rule greedily
     left-to-right inside a symbol array: fold carrying the previous
     unmerged symbol; emit the merged token when (prev, current)
@@ -108,7 +115,7 @@ def _apply_merge(left: str, right: str):
         ).otherwise(F.struct(flush(acc).alias("res"), x.alias("prev")))
 
     return F.aggregate(
-        F.col("symbols"),
+        F.col(col),
         F.struct(empty.alias("res"), nul.alias("prev")),
         step,
         flush,
@@ -176,4 +183,56 @@ def bpe_merge_table(
     return spark.createDataFrame(
         [(m.rank, m.left, m.right, m.merged) for m in merges],
         "rank int, left string, right string, merged string",
+    )
+
+
+def bpe_vocab_table(
+    docs: DataFrame, merges: list[BpeMerge], text_col: str = "text"
+) -> DataFrame:
+    """(word, tokens array<string>, n_tokens) for every distinct corpus
+    word under the learned merges — the segmentation LOOKUP TABLE.
+
+    Applying a trained tokenizer at corpus scale is a join problem,
+    not a per-row recompute problem: segment each DISTINCT word once
+    (chained merge folds over |vocab| rows — cheap), then let every
+    downstream use broadcast-join the table. 100 TB of text re-uses a
+    vocab-sized artifact instead of running n_merges folds per token
+    occurrence.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "").distinct()
+    out = words.withColumn("tokens", F.split("word", ""))
+    for m in merges:
+        out = out.withColumn(
+            "tokens", _apply_merge(m.left, m.right, col="tokens")
+        )
+    return out.withColumn("n_tokens", F.size("tokens"))
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token count + chars-per-token compression:
+    explode to words (map-side), broadcast-join the segmentation
+    table, one partial-agg shuffle on the doc id."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    joined = words.join(
+        F.broadcast(vocab.select("word", "n_tokens")), "word"
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("n_tokens").alias("n_bpe_tokens"),
+        F.sum(F.length("word")).alias("n_word_chars"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bpe_tokens",
+        (F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens"))
+        .alias("chars_per_token"),
     )

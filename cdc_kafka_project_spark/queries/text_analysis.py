@@ -924,3 +924,24 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_kafka_project_spark.operators.bpe import bpe_merge_table
 
     return bpe_merge_table(_docs(spark, sf_dir), n_merges=24)
+
+
+@query("doc_bpe_token_counts")  # rows-only: merge model is engine-side
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE tokenizer corpus-wide: per-doc token count
+    and chars-per-token compression. The apply path is a JOIN, not a
+    per-row recompute — each DISTINCT word is segmented once
+    (operators/bpe.py::bpe_vocab_table, chained merge folds over
+    |vocab| rows), then docs explode to words and broadcast-join the
+    lookup table with one partial-agg shuffle on doc_id. Token-count
+    parity with the reference encoder is pinned in tests/test_bpe.py."""
+    from cdc_kafka_project_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_vocab_table,
+        train_bpe,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, n_merges=16)
+    vocab = bpe_vocab_table(docs, merges)
+    return bpe_token_counts(docs, vocab)

@@ -80,6 +80,7 @@ _GATE_PRIORITY: list[str] = [
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
     "bpe_merge_ranks",
+    "doc_bpe_token_counts",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",

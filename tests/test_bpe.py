@@ -84,3 +84,42 @@ def test_bpe_greedy_overlap_semantics(spark):
     got = [(m.left, m.right) for m in train_bpe(docs, 3)]
     assert got == _ref_bpe(texts, 3)
     assert got[0] == ("a", "a") and got[1] == ("aa", "aa")
+
+
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (a, b):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_apply_path_matches_reference_encoder(spark):
+    from cdc_kafka_project_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_vocab_table,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, 8)
+    pairs = [(m.left, m.right) for m in merges]
+    vocab = {r.word: r.tokens for r in bpe_vocab_table(docs, merges).collect()}
+    for w, toks in vocab.items():
+        assert toks == _ref_encode(w, pairs), w
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(docs, bpe_vocab_table(docs, merges)).collect()
+    }
+    for i, t in enumerate(CORPUS):
+        want = sum(len(_ref_encode(w, pairs)) for w in t.lower().split())
+        assert counts[i] == want
