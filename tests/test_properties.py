@@ -388,3 +388,92 @@ def test_heavy_hitters_exact_with_ample_capacity(spark, items, k):
     cnt = Counter(f"w{x:02d}" for x in items)
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert got == want
+
+
+# -- binned interval joins == brute-force non-equi join ----------------------
+
+_ts_base = 1_700_000_000  # seconds
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(0, 50_000),          # start offset seconds
+        st.integers(0, 10_000),          # duration seconds (may be 0)
+    ),
+    min_size=0,
+    max_size=12,
+)
+point_rows = st.lists(st.integers(0, 60_000), min_size=0, max_size=20)
+
+
+@given(points=point_rows, intervals=interval_rows,
+       width=st.sampled_from([60, 3600, 86_400]))
+@settings(**SETTINGS)
+def test_bin_point_interval_join_equals_brute_force(spark, points, intervals, width):
+    import datetime as dt
+
+    from cdc_kafka_project_spark.operators.intervals import (
+        bin_point_interval_join,
+    )
+
+    base = dt.datetime(2023, 11, 14, 22, 13, 20)
+    facts = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(points)],
+        "fact_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+            for j, (s, d) in enumerate(intervals)
+        ],
+        "win_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r.fact_id, r.win_id)
+        for r in bin_point_interval_join(facts, ivs, "ts", bin_width_sec=width)
+        .select("fact_id", "win_id")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (s0, d) in enumerate(intervals)
+        if s0 <= s <= s0 + d
+    )
+    assert got == want
+
+
+@given(intervals=interval_rows, width=st.sampled_from([60, 3600]))
+@settings(**SETTINGS)
+def test_bin_overlap_join_equals_brute_force(spark, intervals, width):
+    import datetime as dt
+
+    from cdc_kafka_project_spark.operators.intervals import (
+        bin_interval_overlap_join,
+    )
+
+    base = dt.datetime(2023, 11, 14, 22, 13, 20)
+    left = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+            for j, (s, d) in enumerate(intervals)
+        ],
+        "win_id long, start_ts timestamp, end_ts timestamp",
+    )
+    right = (
+        left.withColumnRenamed("win_id", "r_win_id")
+        .withColumnRenamed("start_ts", "r_start_ts")
+        .withColumnRenamed("end_ts", "r_end_ts")
+    )
+    got = sorted(
+        (r.win_id, r.r_win_id)
+        for r in bin_interval_overlap_join(left, right, bin_width_sec=width)
+        .select("win_id", "r_win_id")
+        .collect()
+    )
+    want = sorted(
+        (a, b)
+        for a, (sa, da) in enumerate(intervals)
+        for b, (sb, db) in enumerate(intervals)
+        if sa <= sb + db and sb <= sa + da
+    )
+    assert got == want
