@@ -114,6 +114,20 @@ class CdcFileStreamPipeline:
             self.delete_action,
         )
 
+    def scd2_view(self, ts_col: str = "last_updated_at") -> DataFrame:
+        """SCD Type-2 history as a VIEW over the same append-only
+        curated log the replica reads — no second materialization, no
+        per-batch history table rewrite. Because the log is append-only
+        and ``scd2_history`` is deterministic over it, the view after N
+        streaming bursts is identical to the batch operator over the
+        full log (pinned in tests/test_streaming.py), which is the
+        unified-batch/stream guarantee the engine's design stance
+        ("the change-log is a DataFrame; the replica is a view")
+        promises."""
+        return cdc.scd2_history(
+            self.curated_log(), self.key_cols, self.order_cols, ts_col
+        )
+
 
 def streaming_running_totals(
     spark: SparkSession,

@@ -314,3 +314,58 @@ def test_tws_running_totals_parity_and_restart(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_scd2_view_equals_batch_over_merged_log(spark, tmpdirs):
+    """SCD2-over-the-curated-log after two streaming bursts must equal
+    the batch scd2_history over the full valid change-log: version
+    chains survive the batch boundary (an update arriving in burst 2
+    closes the version opened in burst 1) with no history rewrite."""
+    from cdc_kafka_project_spark.operators.cdc import scd2_history
+
+    src, work = tmpdirs
+    rows = golden_rows()
+    first, second = rows[:5], rows[5:]
+
+    spark.createDataFrame(first, EMP_CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p = _pipeline(spark, src, work)
+    p.run_available_now()
+    spark.createDataFrame(second, EMP_CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p2 = _pipeline(spark, src, work)
+    p2.run_available_now()
+
+    def key(df):
+        return sorted(
+            (r.emp_id, r.seq, str(r.valid_to_ts), r.is_current)
+            for r in df.collect()
+        )
+
+    got = key(p2.scd2_view())
+    # batch twin: one-shot validate + scd2 over the SAME raw workload
+    from cdc_kafka_project_spark.operators.cdc import (
+        employee_invalid_predicate,
+        validate_split,
+    )
+
+    valid_log, _ = validate_split(
+        spark.createDataFrame(rows, EMP_CDC_SCHEMA), employee_invalid_predicate()
+    )
+    want = key(
+        scd2_history(valid_log, p2.key_cols, p2.order_cols, "last_updated_at")
+    )
+    assert got == want and got
+    # Alice (emp 1): insert then update then delete — the burst-2
+    # events must CLOSE the versions opened in burst 1 (cross-batch
+    # version chaining), leaving exactly one open row: the delete
+    # tombstone (raw history keeps it; live views filter the action)
+    alice = sorted(
+        (r for r in p2.scd2_view().collect() if r.emp_id == 1),
+        key=lambda r: r.seq,
+    )
+    assert len(alice) >= 2
+    assert all(r.valid_to_ts is not None for r in alice[:-1])
+    assert alice[-1].is_current and alice[-1].action == "delete"
