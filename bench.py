@@ -111,6 +111,7 @@ HEADLINE = [
     "gapfill_daily_revenue",
     "split_leakage_audit",
     "lang_source_pmi",
+    "winsorized_price_stats",
 ]
 
 

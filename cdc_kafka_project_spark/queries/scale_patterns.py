@@ -585,3 +585,71 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("zscore"),
         )
     )
+
+
+@query(
+    "winsorized_price_stats",
+    oracle="""
+    WITH th AS (
+        SELECT o_orderpriority,
+               CAST(floor(quantile_cont(o_totalprice, 0.05) * 1e6 + 0.5) / 1e6
+                    AS DECIMAL(25,6)) AS p05,
+               CAST(floor(quantile_cont(o_totalprice, 0.95) * 1e6 + 0.5) / 1e6
+                    AS DECIMAL(25,6)) AS p95
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(th.p05 AS DOUBLE) AS p05,
+           CAST(th.p95 AS DOUBLE) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           -- CASE, not least/greatest: DuckDB's least() promotes
+           -- DECIMAL args to DOUBLE, which would de-exact the sum
+           CAST(CAST(SUM(CASE
+                    WHEN CAST(o.o_totalprice AS DECIMAL(25,6)) < th.p05 THEN th.p05
+                    WHEN CAST(o.o_totalprice AS DECIMAL(25,6)) > th.p95 THEN th.p95
+                    ELSE CAST(o.o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS winsorized_mean
+    FROM orders o JOIN th USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, th.p05, th.p95
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) mean per group — the robust-stats
+    alternative to trimming that keeps row counts intact: clamp every
+    price into its group's [p05, p95], then average.
+
+    Two-phase like the quantile gate: exact interpolated percentiles
+    per group (tiny agg, |groups| rows) broadcast back over the facts,
+    clamp + exact DECIMAL sum in ONE more pass — no corpus-wide window,
+    no sort. Percentiles floor-round to 6dp (the portable boundary
+    form) and the clamp runs in DECIMAL(25,6) on both engines, so the
+    winsorized sum is bit-exact cross-engine.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    rnd6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    th = orders.groupBy("o_orderpriority").agg(
+        rnd6(F.percentile("o_totalprice", F.lit(0.05)))
+        .cast("decimal(25,6)").alias("p05"),
+        rnd6(F.percentile("o_totalprice", F.lit(0.95)))
+        .cast("decimal(25,6)").alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice").cast("decimal(25,6)"), F.col("p05")),
+        F.col("p95"),
+    )
+    return (
+        orders.join(F.broadcast(th), "o_orderpriority")
+        .groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(clamped).cast("double") / F.count(F.lit(1)))
+            .cast("double").alias("winsorized_mean"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("p05").cast("double").alias("p05"),
+            F.col("p95").cast("double").alias("p95"),
+            "n_orders",
+            "winsorized_mean",
+        )
+    )

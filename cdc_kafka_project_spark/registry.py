@@ -81,6 +81,7 @@ _GATE_PRIORITY: list[str] = [
     #    under the new code path). --
     "bpe_merge_ranks",
     "doc_bpe_token_counts",
+    "winsorized_price_stats",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",
