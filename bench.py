@@ -112,6 +112,8 @@ HEADLINE = [
     "split_leakage_audit",
     "lang_source_pmi",
     "winsorized_price_stats",
+    "shard_assignment_by_bytes",
+    "corpus_source_report",
 ]
 
 

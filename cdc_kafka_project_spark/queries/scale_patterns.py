@@ -653,3 +653,47 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean",
         )
     )
+
+
+@query(
+    "shard_assignment_by_bytes",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(floor((cum - n_chars) / 4000.0) AS BIGINT) AS shard_id
+    FROM (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+        FROM documents
+    )
+    """,
+)
+def shard_assignment_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side shard planning: assign documents to ~4 KB output
+    shards per source by cumulative size — the deterministic manifest a
+    100 TB export job computes BEFORE writing, so every shard lands
+    near the target size regardless of task boundaries (vs
+    maxRecordsPerFile, which balances row counts, not bytes).
+
+    shard_id = floor(bytes_before_me / target): a document starts the
+    next shard exactly when the running total crosses the boundary.
+    The window partitions by source — shards never span sources (the
+    usual manifest contract) and the plan parallelizes across them; a
+    single giant source would instead pre-bucket on a hash prefix and
+    plan shards per bucket.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_chars").over(w) - F.col("n_chars")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.floor(cum_before / F.lit(4000.0)).alias("shard_id"),
+    )

@@ -945,3 +945,57 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(docs, n_merges=16)
     vocab = bpe_vocab_table(docs, merges)
     return bpe_token_counts(docs, vocab)
+
+
+@query(
+    "corpus_source_report",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT source, lang,
+               md5(trim(text)) AS fp,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+               n_chars
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS en_share
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source data card: doc/word/char volume, exact duplicate
+    rate (content fingerprints), english share — the one-scan summary a
+    corpus release ships and a mixing plan starts from.
+
+    One pass over the corpus, one groupBy on the low-cardinality
+    source key; COUNT(DISTINCT fp) rides the same shuffle via
+    Catalyst's Expand rewrite over a fixed-width 16-byte key. The
+    ratios are integer-count divisions (< 2^53 — exact IEEE, no
+    rounding gymnastics needed)."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5(F.trim("text")).alias("fp"),
+        n_words.cast("long").alias("n_words"),
+        "n_chars",
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.lit(1.0) - F.countDistinct("fp") / n.cast("double")).alias("dup_rate"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / n.cast("double")
+        ).alias("en_share"),
+    )

@@ -82,6 +82,8 @@ _GATE_PRIORITY: list[str] = [
     "bpe_merge_ranks",
     "doc_bpe_token_counts",
     "winsorized_price_stats",
+    "shard_assignment_by_bytes",
+    "corpus_source_report",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",
