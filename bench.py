@@ -114,6 +114,7 @@ HEADLINE = [
     "winsorized_price_stats",
     "shard_assignment_by_bytes",
     "corpus_source_report",
+    "embedding_index_pipeline",
 ]
 
 

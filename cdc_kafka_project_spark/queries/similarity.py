@@ -388,3 +388,48 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {r.vec_id for r in probe().collect()}
         rows.append((method, TOP_K, len(got & truth) / float(TOP_K)))
     return spark.createDataFrame(rows, "method string, k int, recall double")
+
+
+@query("embedding_index_pipeline")  # rows-only: PCA + k-means engine-side
+def embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side flagship composition (the twin of
+    curation_pipeline for the vector stack): PCA-compress the corpus
+    8x (64 -> 8 dims), build the IVF index IN THE COMPRESSED SPACE,
+    probe it with the PCA-projected query, and report the probe's
+    top-k with its recall against the full-dimension exact top-k.
+
+    Why this shape at 100 TB: the IVF lists store 8 doubles per vector
+    instead of 64 floats, the k-means trainer and every probe scan run
+    at 1/8 width, and the only full-width passes left are the one
+    projection scan and (optionally) a final exact re-rank of the
+    short candidate list. Each stage is individually pinned
+    (tests/test_similarity.py PCA + IVF suites); this query pins the
+    COMPOSITION end to end with a self-measuring recall column."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    model = sim.pca_train(emb, n_components=8, max_train=512)
+    proj = sim.pca_project(emb, model).select(
+        "vec_id", F.col("pca").alias("embedding")
+    )
+    qv_full = sim.query_vector(emb, QUERY_VEC_ID)
+    q_pca = (
+        (np.asarray(qv_full, dtype=np.float64)
+         - np.asarray(model["mean"], dtype=np.float64))
+        @ np.asarray(model["components"], dtype=np.float64).T
+    ).tolist()
+    path = _index_dir(sf_dir, "ivf_pca8_k16")
+    sim.ensure_ivf_index(proj, path, k_centroids=16, iters=2, max_train=512)
+    probe = sim.probe_ivf_index(spark, path, q_pca, k=TOP_K, nprobe=4)
+    truth = {
+        r.vec_id
+        for r in sim.brute_force_topk(
+            emb, qv_full, k=TOP_K, round_to=None
+        ).collect()
+    }
+    got = probe.collect()  # k rows — bounded driver read for the metric
+    recall = len({r.vec_id for r in got} & truth) / float(TOP_K)
+    return spark.createDataFrame(
+        [(r.vec_id, float(r.cos_sim), recall) for r in got],
+        "vec_id long, cos_pca double, recall_at_k double",
+    )

@@ -84,6 +84,7 @@ _GATE_PRIORITY: list[str] = [
     "winsorized_price_stats",
     "shard_assignment_by_bytes",
     "corpus_source_report",
+    "embedding_index_pipeline",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",

@@ -564,3 +564,29 @@ def test_matryoshka_full_dim_is_exact_on_query_vector(spark):
     assert row.cos_full == 1.0
     assert row.cos_trunc16 == 1.0       # prefix of itself
     assert row.fidelity_gap == 0.0
+
+
+def test_embedding_index_pipeline_recall_and_determinism(spark):
+    """The PCA->IVF composition must return k rows, a recall in (0,1]
+    (8-dim compression of near-orthogonal vectors keeps the top
+    neighborhood imperfect but non-empty), and repeat identically
+    (materialized index + deterministic models)."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.similarity import (
+        TOP_K,
+        embedding_index_pipeline,
+    )
+
+    a = sorted(
+        (r.vec_id, r.cos_pca, r.recall_at_k)
+        for r in embedding_index_pipeline(spark, SF_SMOKE).collect()
+    )
+    assert len(a) == TOP_K
+    recalls = {r[2] for r in a}
+    assert len(recalls) == 1
+    assert 0.0 < a[0][2] <= 1.0
+    b = sorted(
+        (r.vec_id, r.cos_pca, r.recall_at_k)
+        for r in embedding_index_pipeline(spark, SF_SMOKE).collect()
+    )
+    assert a == b
