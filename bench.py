@@ -115,6 +115,7 @@ HEADLINE = [
     "shard_assignment_by_bytes",
     "corpus_source_report",
     "embedding_index_pipeline",
+    "denormalized_order_lines",
 ]
 
 

@@ -697,3 +697,68 @@ def shard_assignment_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(cum_before / F.lit(4000.0)).alias("shard_id"),
     )
+
+
+@query(
+    "denormalized_order_lines",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority,
+           c.c_mktsegment,
+           n.n_name AS cust_nation,
+           p.p_brand,
+           s.s_name AS supp_name,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(25,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(25,6))) AS DOUBLE)
+               AS net_price
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def denormalized_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature denormalization for export (the 'one wide table' every
+    training job asks for): fact rows joined to FOUR dimension tables
+    in a single pass.
+
+    The scale shape this pins: the fact table shuffles AT MOST once
+    (lineitem ⋈ orders on the orderkey — two big sides), and every
+    dimension attaches via broadcast-hash join, so adding dims never
+    re-exchanges the fact stream. That is the difference between an
+    export that scans 100 TB once and one that shuffles it four times
+    — pinned in tests/test_plans.py. customer is deliberately
+    unhinted (broadcastable at test SF via AQE, shuffled at 1.5 B
+    customers — the same adaptive edge q5 documents); nation/part/
+    supplier are true dimensions and hinted."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    net = (
+        F.col("l_extendedprice").cast("decimal(25,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(25,6)"))
+    ).cast("double")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "c_mktsegment",
+            F.col("n_name").alias("cust_nation"),
+            "p_brand",
+            F.col("s_name").alias("supp_name"),
+            net.alias("net_price"),
+        )
+    )

@@ -85,6 +85,7 @@ _GATE_PRIORITY: list[str] = [
     "shard_assignment_by_bytes",
     "corpus_source_report",
     "embedding_index_pipeline",
+    "denormalized_order_lines",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",

@@ -223,3 +223,15 @@ def test_source_quality_gate_broadcasts_thresholds(spark, queries):
     df = _q(queries, spark, "doc_source_quality_gate")
     assert has_broadcast_join(df)
     assert not has_cartesian(df)
+
+
+def test_denormalize_fact_shuffles_at_most_once(spark, queries):
+    """Four dimensions must attach via broadcast joins; the only
+    exchanges belong to the lineitem<->orders big-big join. Adding a
+    dim must never re-shuffle the fact stream."""
+    df = _q(queries, spark, "denormalized_order_lines")
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 3, s
+    assert not s["cartesian"]
+    # big-big join: <= 2 exchanges (one per side); broadcasts add none
+    assert count_exchanges(df) <= 2, s
