@@ -30,7 +30,9 @@ difference between a web-scale vocabulary and a few thousand rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
 
@@ -85,3 +87,45 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return exact.orderBy(F.col("n").desc(), item_col).limit(k)
+
+
+def hll_state_table(
+    df: DataFrame,
+    bucket_col: Column | str,
+    value_col: str,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Per-bucket mergeable HLL state: (bucket, sketch binary, exact n).
+
+    The sketch-state-table pattern: distinct-count state that MERGES —
+    persist one DataSketches HLL per bucket (day/source/shard) and any
+    later question ("distinct over this month", "distinct across these
+    sources", "distinct after today's delta") is a union of the
+    relevant sketches, never a rescan of history. At 100 TB the state
+    table is |buckets| rows of ~KB binaries vs re-shuffling every raw
+    value; this is exactly how merge_agg_states maintains SUM/COUNT,
+    extended to the one aggregate that is NOT naively additive.
+
+    The exact count rides along for test-SF error pinning; production
+    drops it (computing it is the rescan the sketch avoids).
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    return df.groupBy(b.alias(bucket_name)).agg(
+        F.hll_sketch_agg(value_col).alias("sketch"),
+        F.countDistinct(value_col).alias("exact_distinct"),
+    )
+
+
+def hll_union_estimate(
+    states: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge sketch states (optionally per group) and estimate: the
+    read side of the state table. Union is associative and
+    order-independent, so replays/backfills can merge in any order."""
+    agg = [
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
+        F.sum("exact_distinct").alias("sum_bucket_exact"),
+    ]
+    if group_cols:
+        return states.groupBy(*group_cols).agg(*agg)
+    return states.agg(*agg)

@@ -762,3 +762,31 @@ def denormalized_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             net.alias("net_price"),
         )
     )
+
+
+@query("sketch_incremental_distinct")  # rows-only: DataSketches binary state
+def sketch_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count state (operators/sketches.py::
+    hll_state_table): one HLL sketch per day of events, then the
+    month's total distinct users as a UNION OF SKETCHES — the pattern
+    that answers any-range distinct questions from |buckets| KB-sized
+    states instead of rescanning history. Estimate error vs exact and
+    parquet state-table round-trip (persist sketches, read back, merge
+    with a delta) are pinned in tests/test_sketches.py. Rows-only:
+    the sketch estimate is DataSketches-impl-defined; the per-day
+    exact column rides along so the driver row stays interpretable."""
+    from cdc_kafka_project_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    states = sk.hll_state_table(ev, F.to_date("ts"), "user_id", "day")
+    daily = states.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("sketch").cast("long").alias("est_distinct"),
+        "exact_distinct",
+    )
+    total = sk.hll_union_estimate(states).select(
+        F.lit("ALL").alias("day"),
+        F.col("est_distinct").cast("long"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return daily.unionByName(total)

@@ -86,6 +86,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_source_report",
     "embedding_index_pipeline",
     "denormalized_order_lines",
+    "sketch_incremental_distinct",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",
