@@ -116,6 +116,9 @@ HEADLINE = [
     "corpus_source_report",
     "embedding_index_pipeline",
     "denormalized_order_lines",
+    "feature_quantile_buckets",
+    "feature_label_index",
+    "doc_bigram_logprob",
 ]
 
 

@@ -790,3 +790,66 @@ def sketch_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_distinct"),
     )
     return daily.unionByName(total)
+
+
+@query(
+    "feature_quantile_buckets",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS price_decile
+    FROM orders
+    """,
+)
+def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning (quantile bucketing, the standard numeric
+    feature transform): per-group price deciles via ntile. The
+    orderkey tiebreak makes the assignment total and deterministic —
+    without it, equal prices straddling a decile boundary would land
+    engine-dependently. One keyed window; the per-group sort spills,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return od.select(
+        "o_orderkey",
+        F.ntile(10).over(w).cast("long").alias("price_decile"),
+    )
+
+
+@query(
+    "feature_label_index",
+    oracle="""
+    WITH idx AS (
+        SELECT c_mktsegment,
+               CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT)
+                   AS segment_idx
+        FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT c.c_custkey, c.c_mktsegment, idx.segment_idx
+    FROM customer c JOIN idx USING (c_mktsegment)
+    """,
+)
+def feature_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical label indexing (StringIndexer without the ML
+    wrapper, reproducible by construction): the vocabulary is the
+    DISTINCT value set ranked lexicographically — stable across runs,
+    partitionings, and engines, unlike frequency-ordered indexers that
+    tie-break arbitrarily. The index table is |vocab| rows, built with
+    a window over the distinct set (tiny) and broadcast-joined back —
+    the facts never shuffle."""
+    from pyspark.sql import Window
+
+    cu = _t(spark, sf_dir, "customer")
+    idx = (
+        cu.select("c_mktsegment").distinct()
+        .withColumn(
+            "segment_idx",
+            (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1).cast("long"),
+        )
+    )
+    return cu.join(F.broadcast(idx), "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "segment_idx"
+    )

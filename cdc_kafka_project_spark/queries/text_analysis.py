@@ -999,3 +999,95 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n.cast("double")
         ).alias("en_share"),
     )
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    doc_bg AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bg GROUP BY doc_id, w1, w2
+    ),
+    bigram_c AS (
+        SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM doc_bg GROUP BY w1, w2
+    ),
+    unigram_c AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigram_c GROUP BY w1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bigram_c
+    ),
+    scored AS (
+        SELECT d.doc_id, d.tf,
+               CAST(ROUND(ln((bigram_c.c12 + 1.0) / (unigram_c.c1 + vocab.v)), 6)
+                    AS DECIMAL(25,6)) AS logp
+        FROM doc_bg d
+        JOIN bigram_c USING (w1, w2) JOIN unigram_c USING (w1)
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           floor(CAST(SUM(logp * tf) AS DOUBLE) / SUM(tf) * 1e6 + 0.5) / 1e6
+               AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document (the
+    CCNet-style fluency signal one order up from doc_unigram_logprob):
+    add-1-smoothed P(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+|V|), averaged
+    per doc in log space.
+
+    Same portable-arithmetic contract as the unigram tier: each
+    bigram's log-probability is a log of exact integer counts, rounded
+    to 6dp into DECIMAL so the tf-weighted dot product re-sums exactly
+    in any partition order; only the final average leaves decimals
+    (floor form). Plan shape: one bigram explode feeding BOTH the
+    model counts and the per-doc tf relation, then two model joins —
+    the bigram table is the corpus's distinct bigram set (vocab-sized,
+    not token-sized)."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    ws = F.split(F.lower(F.trim("text")), r"\s+")
+    # guard: 1-word docs produce no bigrams (sequence(1,0) is
+    # descending) — filter on array size BEFORE the transform
+    bg = (
+        docs.select("doc_id", ws.alias("__ws"))
+        .filter(F.size("__ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1),"
+                    " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bigram_c = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    unigram_c = bigram_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bigram_c.agg(F.countDistinct("w2").alias("v"))
+    logp = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+    ).cast("decimal(25,6)")
+    scored = (
+        doc_bg.join(bigram_c, ["w1", "w2"])
+        .join(F.broadcast(unigram_c), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "tf", logp.alias("logp"))
+    )
+    avg = F.sum(F.col("logp") * F.col("tf")).cast("double") / F.sum("tf")
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_bigram_logprob"),
+    )

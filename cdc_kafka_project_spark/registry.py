@@ -87,6 +87,9 @@ _GATE_PRIORITY: list[str] = [
     "embedding_index_pipeline",
     "denormalized_order_lines",
     "sketch_incremental_distinct",
+    "feature_quantile_buckets",
+    "feature_label_index",
+    "doc_bigram_logprob",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",
