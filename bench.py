@@ -119,6 +119,8 @@ HEADLINE = [
     "feature_quantile_buckets",
     "feature_label_index",
     "doc_bigram_logprob",
+    "fk_integrity_audit",
+    "event_value_drift_kl",
 ]
 
 

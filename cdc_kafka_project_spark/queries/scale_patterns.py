@@ -853,3 +853,158 @@ def feature_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.join(F.broadcast(idx), "c_mktsegment").select(
         "c_custkey", "c_mktsegment", "segment_idx"
     )
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for each declared FK
+    edge — the constraint check a lakehouse must run itself (parquet
+    enforces nothing). Each edge is a left-anti join + count; the
+    dimension sides broadcast, the fact sides stream by — auditing a
+    100 TB fact table costs one scan per edge and no fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(fact, dim, fk, pk, name):
+        n = (
+            fact.join(
+                F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()),
+                fk,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+        return n
+
+    return (
+        orphans(li, od, "l_orderkey", "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(
+            orphans(od, cu, "o_custkey", "c_custkey", "orders.o_custkey->customer")
+        )
+        .unionByName(
+            orphans(cu, na, "c_nationkey", "n_nationkey",
+                    "customer.c_nationkey->nation")
+        )
+    )
+
+
+@query(
+    "event_value_drift_kl",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS half,
+               least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, half, bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM binned GROUP BY event_type, half, bin
+    ),
+    tot AS (
+        SELECT event_type, half, CAST(SUM(n) AS BIGINT) AS tn
+        FROM cells GROUP BY event_type, half
+    ),
+    probs AS (
+        SELECT c.event_type, c.bin,
+               MAX(CASE WHEN c.half = 'ref'
+                        THEN (c.n + 1.0) / (t.tn + 10.0) END) AS p_ref,
+               MAX(CASE WHEN c.half = 'cur'
+                        THEN (c.n + 1.0) / (t.tn + 10.0) END) AS p_cur,
+               MAX(CASE WHEN c.half = 'ref' THEN t.tn END) AS tn_ref,
+               MAX(CASE WHEN c.half = 'cur' THEN t.tn END) AS tn_cur
+        FROM cells c JOIN tot t ON c.event_type = t.event_type
+                                AND c.half = t.half
+        GROUP BY c.event_type, c.bin
+    )
+    SELECT event_type,
+           floor(CAST(SUM(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl_cur_vs_ref
+    FROM (
+        SELECT event_type,
+               CAST(ROUND(pc * ln(pc / pr), 12) AS DECIMAL(30,12)) AS term
+        FROM (
+            SELECT event_type,
+                   COALESCE(p_cur, 1.0 / (max_tn_cur + 10.0)) AS pc,
+                   COALESCE(p_ref, 1.0 / (max_tn_ref + 10.0)) AS pr
+            FROM (
+                SELECT p.*,
+                       MAX(tn_ref) OVER (PARTITION BY event_type) AS max_tn_ref,
+                       MAX(tn_cur) OVER (PARTITION BY event_type) AS max_tn_cur
+                FROM probs p
+            )
+        )
+    )
+    GROUP BY event_type
+    """,
+)
+def event_value_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: KL(cur || ref) of the event-value
+    histogram per event type, reference = first half of the month,
+    current = second half. Add-1-smoothed probabilities over 10 fixed
+    equi-width bins, so bins absent from one half contribute through
+    the smoothing floor instead of dividing by zero.
+
+    Plan: one scan bins every event, one shuffle to (type, half, bin)
+    cells (30 x 2 x 10 rows max), everything after runs on the cell
+    table. The KL sum is over <= 10 cells per type — the floor-rounded
+    ln is the only float boundary (portable form shared with the LM
+    scores)."""
+    ev = _t(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "ref"
+    ).otherwise("cur")
+    bin_ = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    cells = (
+        ev.select("event_type", half.alias("half"), bin_.alias("bin"))
+        .groupBy("event_type", "half", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.groupBy("event_type", "half").agg(F.sum("n").alias("tn"))
+    j = cells.join(tot, ["event_type", "half"])
+    p = (F.col("n") + F.lit(1.0)) / (F.col("tn") + F.lit(10.0))
+    probs = j.groupBy("event_type", "bin").agg(
+        F.max(F.when(F.col("half") == "ref", p)).alias("p_ref"),
+        F.max(F.when(F.col("half") == "cur", p)).alias("p_cur"),
+        F.max(F.when(F.col("half") == "ref", F.col("tn"))).alias("tn_ref"),
+        F.max(F.when(F.col("half") == "cur", F.col("tn"))).alias("tn_cur"),
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    probs = probs.withColumn("max_tn_ref", F.max("tn_ref").over(wt)).withColumn(
+        "max_tn_cur", F.max("tn_cur").over(wt)
+    )
+    p_cur = F.coalesce(F.col("p_cur"), F.lit(1.0) / (F.col("max_tn_cur") + 10.0))
+    p_ref = F.coalesce(F.col("p_ref"), F.lit(1.0) / (F.col("max_tn_ref") + 10.0))
+    # per-cell KL terms round into DECIMAL before the sum so the
+    # ~10-term addition is order-independent (float sums are not)
+    term = F.round(p_cur * F.log(p_cur / p_ref), 12).cast("decimal(30,12)")
+    kl = F.sum(term).cast("double")
+    return probs.groupBy("event_type").agg(
+        (F.floor(kl * 1e6 + F.lit(0.5)) / 1e6).alias("kl_cur_vs_ref")
+    )

@@ -90,6 +90,8 @@ _GATE_PRIORITY: list[str] = [
     "feature_quantile_buckets",
     "feature_label_index",
     "doc_bigram_logprob",
+    "fk_integrity_audit",
+    "event_value_drift_kl",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",
