@@ -121,6 +121,9 @@ HEADLINE = [
     "doc_bigram_logprob",
     "fk_integrity_audit",
     "event_value_drift_kl",
+    "event_props_variant",
+    "session_window_native",
+    "unpivot_lineitem_measures",
 ]
 
 

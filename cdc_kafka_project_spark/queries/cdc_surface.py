@@ -440,3 +440,36 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_action"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "event_props_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VariantType: parse the
+    JSON once into the binary Variant encoding, then every field
+    access is a typed variant_get — the engine's answer to
+    get_json_object re-parsing the string per extraction (ops #7/#11
+    modernized). At 100 TB the parse happens once per row at ingest
+    (or is already Variant in the lake); downstream predicates and
+    projections touch the binary encoding only.
+
+    The oracle reaches the same numbers through DuckDB's JSON path —
+    two engines, two semi-structured stacks, one answer."""
+    ev = _events(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )

@@ -887,3 +887,82 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("wow_change"),
     )
+
+
+@query(
+    "session_window_native",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id))
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE session_window aggregation (the
+    same data-driven 30-min-gap windows Structured Streaming maintains
+    as state) — the one-expression twin of the lag+cumsum `sessionize`
+    query, sharing one oracle definition: a session starts where the
+    gap exceeds the timeout.
+
+    session_window's window START is min(ts) of the session by
+    construction, which is what the gaps-and-islands oracle groups on
+    — so the two formulations must agree row-for-row. One keyed
+    shuffle; merging overlapping proto-windows happens inside the agg."""
+    ev = _t(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the native unpivot (melt) operator —
+    the inverse of pivot_qty. Catalyst plans one Expand over the scan
+    (each row fans out to |measures| rows map-side), NOT |measures|
+    self-unions re-reading the table — the reason this form survives a
+    100 TB input where the UNION ALL oracle would scan it three
+    times."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )

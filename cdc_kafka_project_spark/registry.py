@@ -92,6 +92,9 @@ _GATE_PRIORITY: list[str] = [
     "doc_bigram_logprob",
     "fk_integrity_audit",
     "event_value_drift_kl",
+    "event_props_variant",
+    "session_window_native",
+    "unpivot_lineitem_measures",
     "split_leakage_audit",
     "lang_source_pmi",
     "interval_incident_event_stats",
