@@ -526,7 +526,11 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("word").agg(F.sum("tf").alias("c"))
+    # model table persisted once: consumed by the score join AND the
+    # scalar totals — without it each branch re-explodes the corpus
+    # (same measured pathology as doc_bigram_logprob; see that
+    # docstring for the scan-count analysis)
+    vocab = tf.groupBy("word").agg(F.sum("tf").alias("c")).persist()
     tot = vocab.agg(
         F.sum("c").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
@@ -1074,7 +1078,16 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "b.w1", "b.w2")
     )
     doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    bigram_c = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    # The LM model table is consumed by three branches (the score join,
+    # the unigram marginal, the vocab count); without materialization
+    # each branch re-derives it from the raw corpus — 4 full explode
+    # scans (measured; Catalyst's exchange reuse doesn't fire because
+    # per-branch column pruning makes the subtrees non-identical).
+    # Persisting the |distinct bigrams|-sized model once cuts the
+    # corpus explosions to 2 — the same materialize-the-model pattern
+    # the ANN index builders use, just session-cached instead of
+    # parquet because the model is query-scoped.
+    bigram_c = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).persist()
     unigram_c = bigram_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = bigram_c.agg(F.countDistinct("w2").alias("v"))
     logp = F.round(
