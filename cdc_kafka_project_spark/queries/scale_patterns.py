@@ -979,10 +979,14 @@ def event_value_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "ref"
     ).otherwise("cur")
     bin_ = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    # cell table persisted: consumed by the totals AND the probs join
+    # — without it each branch re-scans the events (the re-scan
+    # pathology doc_bigram_logprob documents)
     cells = (
         ev.select("event_type", half.alias("half"), bin_.alias("bin"))
         .groupBy("event_type", "half", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     tot = cells.groupBy("event_type", "half").agg(F.sum("n").alias("tn"))
     j = cells.join(tot, ["event_type", "half"])

@@ -180,18 +180,24 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     day = F.to_date("o_orderdate").alias("day")
-    agg = orders.groupBy("o_orderpriority", day).agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        dsum("o_totalprice").alias("rev_raw"),
+    # the spine's bounds and priority list derive from the AGGREGATE,
+    # not the raw table, so the fact scan happens exactly once (the
+    # agg branch is persisted — three consumers would otherwise each
+    # re-scan orders; see doc_bigram_logprob for the measured version
+    # of this pathology)
+    agg = (
+        orders.groupBy("o_orderpriority", day)
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            dsum("o_totalprice").alias("rev_raw"),
+        )
+        .persist()
     )
-    bounds = orders.agg(
-        F.to_date(F.min("o_orderdate")).alias("lo"),
-        F.to_date(F.max("o_orderdate")).alias("hi"),
-    )
+    bounds = agg.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
     )
-    prios = orders.select("o_orderpriority").distinct()
+    prios = agg.select("o_orderpriority").distinct()
     spine = prios.crossJoin(F.broadcast(days))
     joined = spine.join(agg, ["o_orderpriority", "day"], "left")
     w = (

@@ -890,7 +890,14 @@ def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single ln goes through the floor(x*1e6 + 0.5) portable
     rounding both engines share (same policy as doc_unigram_logprob)."""
     docs = _docs(spark, sf_dir)
-    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # cell table persisted: four consumers (marginals x2, total, the
+    # final join) would otherwise each re-scan the corpus — the same
+    # measured pathology doc_bigram_logprob documents
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .persist()
+    )
     lang_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_l"))
     src_tot = cells.groupBy("source").agg(F.sum("n_docs").alias("n_s"))
     tot = cells.agg(F.sum("n_docs").alias("n"))
