@@ -1233,3 +1233,104 @@ def pca_project(
         return pd.Series(list(Y))
 
     return embeddings.withColumn(out_col, proj(F.col("embedding")))
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization + Hamming-distance ANN tier
+# ---------------------------------------------------------------------------
+
+BINARY_WORD_BITS = 32
+
+
+def binary_quantize(
+    embeddings: DataFrame, dim: int, out_prefix: str = "bits"
+) -> DataFrame:
+    """Sign-bit binary quantization: each dimension becomes one bit
+    (x >= 0), packed little-endian into 32-bit words stored as longs
+    (``{out_prefix}_w0``, ``{out_prefix}_w1``, ...).
+
+    32x smaller than float32 storage and Hamming distance (XOR +
+    popcount) approximates angular distance — the standard cheap
+    prefilter tier under an exact rerank (cf. the int8 tier at
+    ``quantize_int8_stats``, which keeps 8 bits/dim). Words stay at 32
+    bits so every value is exact in any engine's signed 64-bit space —
+    no sign-bit edge case at bit 63.
+
+    One codegen'd projection, zero shuffle; reference parity note: the
+    reference engine has no vector surface at all (SURVEY.md §1.2 —
+    north-star extension).
+    """
+    if dim % BINARY_WORD_BITS != 0:
+        raise ValueError(f"dim {dim} must be a multiple of {BINARY_WORD_BITS}")
+    arr = F.col("embedding")
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(BINARY_WORD_BITS)]
+    )
+    out = embeddings
+    for w in range(dim // BINARY_WORD_BITS):
+        word = F.aggregate(
+            F.zip_with(
+                F.slice(arr, w * BINARY_WORD_BITS + 1, BINARY_WORD_BITS),
+                powers,
+                lambda e, p: F.when(e >= F.lit(0.0), p).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        out = out.withColumn(f"{out_prefix}_w{w}", word)
+    return out
+
+
+def binary_quantize_vec(vec: list[float]) -> list[int]:
+    """Driver-side twin of :func:`binary_quantize` for a query vector."""
+    words = []
+    for w in range(0, len(vec), BINARY_WORD_BITS):
+        acc = 0
+        for i, x in enumerate(vec[w : w + BINARY_WORD_BITS]):
+            if x >= 0.0:
+                acc |= 1 << i
+        words.append(acc)
+    return words
+
+
+def hamming_rerank_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    n_candidates: int = 64,
+    k: int = 10,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Two-tier ANN: Hamming-distance shortlist over the packed sign
+    bits, exact-cosine rerank of the shortlist only.
+
+    Tier 1 is XOR + popcount over ``dim/32`` longs per row — pure
+    codegen, and TakeOrderedAndProject keeps ``n_candidates`` rows per
+    partition (no corpus shuffle). Tier 2 runs the Arrow cosine kernel
+    on ``n_candidates`` rows, not the corpus. At 100 TB the bit table
+    is the only thing scanned hot (32x smaller than the vectors), and
+    the float vectors are fetched for the shortlist alone.
+    """
+    qbits = binary_quantize_vec(query_vec)
+    bits = binary_quantize(spread(embeddings), dim)
+    ham = None
+    for w, qw in enumerate(qbits):
+        term = F.bit_count(
+            F.col(f"bits_w{w}").bitwiseXOR(F.lit(qw).cast("long"))
+        )
+        ham = term if ham is None else ham + term
+    cand = (
+        bits.select("vec_id", "embedding", ham.cast("int").alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(n_candidates)
+    )
+    cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        cand.select("vec_id", "hamming", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )

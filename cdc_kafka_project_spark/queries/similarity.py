@@ -433,3 +433,82 @@ def embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.vec_id, float(r.cos_sim), recall) for r in got],
         "vec_id long, cos_pca double, recall_at_k double",
     )
+
+
+def _duck_bits(lo: int, hi: int) -> str:
+    """DuckDB expression for one packed 32-bit sign word (1-based
+    inclusive slice [lo:hi]), mirroring operators.similarity.binary_quantize."""
+    return (
+        f"CAST(list_sum(list_transform(embedding[{lo}:{hi}], "
+        "(e,i) -> CASE WHEN e >= 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) "
+        "AS BIGINT)"
+    )
+
+
+@query(
+    "embedding_binary_quantize",
+    oracle=f"""
+    SELECT vec_id,
+           {_duck_bits(1, 32)} AS bits_w0,
+           {_duck_bits(33, 64)} AS bits_w1,
+           CAST(len(list_filter(embedding, e -> e >= 0)) AS INT) AS n_positive
+    FROM embeddings
+    """,
+)
+def embedding_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign quantization: 64 dims -> two packed 32-bit words
+    (32x smaller than float32). Zero shuffle, one codegen'd projection;
+    the storage tier under the Hamming ANN prefilter."""
+    bits = sim.binary_quantize(_emb(spark, sf_dir), dim=64)
+    n_pos = (F.bit_count("bits_w0") + F.bit_count("bits_w1")).cast("int")
+    return bits.select(
+        "vec_id", "bits_w0", "bits_w1", n_pos.alias("n_positive")
+    )
+
+
+@query(
+    "similarity_hamming_rerank",
+    oracle=f"""
+    WITH bits AS (
+        SELECT vec_id, embedding,
+               {_duck_bits(1, 32)} AS w0,
+               {_duck_bits(33, 64)} AS w1
+        FROM embeddings
+    ),
+    q AS (SELECT w0, w1, embedding AS qe FROM bits WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT b.vec_id, b.embedding, q.qe,
+               CAST(bit_count(xor(b.w0, q.w0))
+                    + bit_count(xor(b.w1, q.w1)) AS INT) AS hamming
+        FROM bits b, q
+        ORDER BY hamming, b.vec_id
+        LIMIT 64
+    ),
+    pairs AS (
+        SELECT vec_id, hamming,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(unnest(qe) AS DOUBLE) AS y
+        FROM cand
+    ),
+    dots AS (
+        SELECT vec_id, hamming, SUM(x * y) AS dp,
+               SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+        FROM pairs GROUP BY vec_id, hamming
+    )
+    SELECT vec_id, hamming, ROUND(dp / (na * nb), 4) AS cos_sim
+    FROM dots
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier ANN: XOR+popcount Hamming shortlist over the packed
+    sign bits (64 candidates, TakeOrdered — no corpus shuffle), exact
+    Arrow-cosine rerank of the shortlist only. The oracle recomputes
+    both tiers end to end, so the row is a real hash check (unlike the
+    seeded-model LSH/IVF/PQ tiers, which are rows-only)."""
+    emb = _emb(spark, sf_dir)
+    qv = sim.query_vector(emb, QUERY_VEC_ID)
+    return sim.hamming_rerank_topk(
+        emb, qv, dim=64, n_candidates=64, k=10, round_to=4
+    )

@@ -79,6 +79,8 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "embedding_binary_quantize",
+    "similarity_hamming_rerank",
     "bpe_merge_ranks",
     "doc_bpe_token_counts",
     "winsorized_price_stats",

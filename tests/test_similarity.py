@@ -590,3 +590,56 @@ def test_embedding_index_pipeline_recall_and_determinism(spark):
         for r in embedding_index_pipeline(spark, SF_SMOKE).collect()
     )
     assert a == b
+
+
+class TestBinaryQuantize:
+    DIM32 = 32
+
+    @pytest.fixture(scope="class")
+    def corpus32(self, spark):
+        rng = random.Random(11)
+
+        def unit():
+            v = [rng.gauss(0, 1) for _ in range(self.DIM32)]
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        def perturb(v, eps=0.04):
+            out = [x + rng.gauss(0, eps) for x in v]
+            n = math.sqrt(sum(x * x for x in out))
+            return [x / n for x in out]
+
+        q = unit()
+        rows = [(0, q)] + [(i, perturb(q)) for i in range(1, 9)]
+        rows += [(i, unit()) for i in range(9, 150)]
+        return spark.createDataFrame(rows, EMB_SCHEMA), q
+
+    def test_packed_bits_match_driver_twin(self, spark, corpus32):
+        df, _ = corpus32
+        got = {
+            r["vec_id"]: [r["bits_w0"]]
+            for r in sim.binary_quantize(df, dim=self.DIM32).collect()
+        }
+        for row in df.collect():
+            assert got[row["vec_id"]] == sim.binary_quantize_vec(
+                row["embedding"]
+            ), f"packed bits diverge for vec {row['vec_id']}"
+
+    def test_rerank_query_is_top1_and_neighbors_dominate(self, spark, corpus32):
+        df, q = corpus32
+        out = sim.hamming_rerank_topk(
+            df, q, dim=self.DIM32, n_candidates=32, k=5
+        ).collect()
+        assert out[0]["vec_id"] == 0
+        assert out[0]["hamming"] == 0
+        assert out[0]["cos_sim"] == pytest.approx(1.0, abs=1e-4)
+        # cosine rerank is descending and the shortlist keeps the planted
+        # near-neighbors (ids 1..8) ahead of random distractors
+        sims = [r["cos_sim"] for r in out]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] <= 8 for r in out), out
+
+    def test_dim_must_be_word_aligned(self, spark, corpus32):
+        df, _ = corpus32
+        with pytest.raises(ValueError, match="multiple of 32"):
+            sim.binary_quantize(df, dim=17)
