@@ -473,3 +473,113 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+@query(
+    "cdc_debezium_roundtrip",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ops AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'error' THEN 'd'
+                    WHEN rn = 1 THEN 'c' ELSE 'u' END AS op,
+               event_type, value,
+               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+        FROM tagged
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts_ms DESC, event_id DESC) AS rn2
+        FROM ops
+    )
+    SELECT user_id, op AS last_op, event_type AS last_type,
+           value AS last_value, ts_ms AS last_ts_ms
+    FROM latest WHERE rn2 = 1 AND op <> 'd'
+    """,
+)
+def cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope encode -> decode -> apply, as one plan.
+
+    The reference ships its own ad-hoc JSON row format
+    (employee.py:19-20, producer.py:62-65); the industry-standard CDC
+    wire format is the Debezium envelope — ``{before, after, op,
+    ts_ms, source}`` with op in {c,u,d}, before=null on create,
+    after=null on delete. This query synthesizes the envelope from the
+    change-log (lag() supplies the before-image, first-event rank
+    supplies 'c'), serializes with to_json, parses it back with a typed
+    from_json schema, and applies latest-per-key to the DECODED rows.
+
+    The oracle recomputes the replica straight from the change-log —
+    hash equality therefore proves the envelope codec is lossless
+    (keys, op codes, double values, and millisecond timestamps all
+    survive the string round trip). One key-partitioned window +
+    one latest-per-key shuffle; the codec itself is map-only codegen.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = ev.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("rn") == 1, "c")
+        .otherwise("u")
+    )
+    before = F.when(
+        F.col("rn") > 1,
+        F.struct(
+            F.col("user_id"),
+            F.col("prev_type").alias("event_type"),
+            F.col("prev_value").alias("value"),
+        ),
+    )
+    after = F.when(
+        op != "d",
+        F.struct("user_id", "event_type", "value"),
+    )
+    envelope = F.to_json(
+        F.struct(
+            before.alias("before"),
+            after.alias("after"),
+            op.alias("op"),
+            F.unix_millis("ts").alias("ts_ms"),
+            F.struct(
+                F.lit("events").alias("table"), F.col("event_id").alias("seq")
+            ).alias("source"),
+        )
+    )
+    img = "struct<user_id:bigint,event_type:string,value:double>"
+    schema = (
+        f"struct<before:{img},after:{img},op:string,ts_ms:bigint,"
+        "source:struct<table:string,seq:bigint>>"
+    )
+    decoded = tagged.select(
+        F.from_json(envelope, schema).alias("e")
+    ).select(
+        F.coalesce(F.col("e.after.user_id"), F.col("e.before.user_id")).alias(
+            "user_id"
+        ),
+        F.col("e.op").alias("op"),
+        F.col("e.after.event_type").alias("event_type"),
+        F.col("e.after.value").alias("value"),
+        F.col("e.ts_ms").alias("ts_ms"),
+        F.col("e.source.seq").alias("seq"),
+    )
+    replica = cdc.latest_per_key(decoded, ["user_id"], ["ts_ms", "seq"])
+    return replica.filter(F.col("op") != "d").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts_ms").alias("last_ts_ms"),
+    )

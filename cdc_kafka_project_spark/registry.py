@@ -79,6 +79,7 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "cdc_debezium_roundtrip",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",

@@ -244,3 +244,35 @@ def test_merge_agg_states_equals_full_recompute(spark):
     }
     want = {r.k: (r.n, r.s) for r in agg(full).collect()}
     assert merged == want
+
+
+def test_debezium_roundtrip_op_codes_and_delete_exclusion(spark):
+    """The Debezium envelope query: op codes derive from rank/action,
+    deleted keys drop out, and the JSON round trip is lossless on a
+    frame whose exact expected replica is enumerable by hand."""
+    from cdc_kafka_project_spark.queries.cdc_surface import (
+        cdc_debezium_roundtrip,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = {r["user_id"]: r for r in cdc_debezium_roundtrip(spark, SF_SMOKE).collect()}
+    from cdc_kafka_project_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rows in by_user.items():
+        last = rows[-1]
+        if last["event_type"] == "error":
+            assert uid not in out, f"deleted key {uid} survived"
+            continue
+        got = out[uid]
+        assert got["last_op"] == ("c" if len(rows) == 1 else "u")
+        assert got["last_type"] == last["event_type"]
+        assert got["last_value"] == last["value"], "double not lossless"
+    assert set(out) == {
+        uid
+        for uid, rows in by_user.items()
+        if rows[-1]["event_type"] != "error"
+    }
