@@ -1012,3 +1012,51 @@ def event_value_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probs.groupBy("event_type").agg(
         (F.floor(kl * 1e6 + F.lit(0.5)) / 1e6).alias("kl_cur_vs_ref")
     )
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH freq AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+           ROUND(MAX(cnt) / SUM(cnt), 6) AS top1_share,
+           ROUND(quantile_cont(cnt, 0.50), 4) AS p50_key_rows,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_key_rows,
+           ROUND(MAX(cnt) / quantile_cont(cnt, 0.50), 4) AS skew_ratio
+    FROM freq
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: the per-key frequency distribution of a
+    prospective join/groupBy key, as one summary row.
+
+    This is the planning query you run BEFORE a 100 TB join to decide
+    between a plain hash join, AQE skew handling, or explicit salting
+    (``salted_join_segment_revenue``): ``skew_ratio`` (hottest key vs
+    median key) and ``top1_share`` are the decision inputs. Cost is one
+    partial-agg shuffle to key counts (|keys| rows), then a single-row
+    global agg over the tiny counts relation — the facts are scanned
+    once and never sorted. percentile() interpolates linearly, matching
+    DuckDB's quantile_cont.
+    """
+    freq = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    p50 = F.expr("percentile(cnt, 0.50)")
+    p99 = F.expr("percentile(cnt, 0.99)")
+    return freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+        F.round(p50, 4).alias("p50_key_rows"),
+        F.round(p99, 4).alias("p99_key_rows"),
+        F.round(F.max("cnt") / p50, 4).alias("skew_ratio"),
+    )

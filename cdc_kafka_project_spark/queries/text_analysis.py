@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.catalog import load_table, register_views
 from cdc_kafka_project_spark.operators import text as text_ops
 from cdc_kafka_project_spark.registry import query
 
@@ -1110,4 +1110,47 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.sum("tf").alias("n_bigrams"),
         (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_bigram_logprob"),
+    )
+
+
+@query(
+    "doc_sliding_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sized AS (
+        SELECT doc_id, tok,
+               CAST(1 + greatest(0, ceil((len(tok) - 32) / 24.0)) AS BIGINT)
+                   AS n_chunks
+        FROM toks
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+           array_to_string(tok[(i-1)*24 + 1 : (i-1)*24 + 32], ' ') AS chunk,
+           CAST(len(tok[(i-1)*24 + 1 : (i-1)*24 + 32]) AS INT) AS n_tokens
+    FROM sized, unnest(generate_series(1, n_chunks)) AS t(i)
+    """,
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (RAG retrieval prep) via a
+    registered Python UDTF invoked with LATERAL — the Spark 3.5+/4
+    table-valued-function surface the reference lacks entirely.
+
+    32-token windows, stride 24 (8-token overlap): window i covers
+    tokens [i*24, i*24+32). The UDTF is row-at-a-time Python (the
+    deliberate API-surface demo; `doc_chunks` is the codegen hot-path
+    form) but the plan is still fully distributed — the UDTF runs
+    inside each task, no collect, no shuffle.
+    """
+    from cdc_kafka_project_spark.functions.udtfs import register_udtfs
+
+    register_views(spark, sf_dir, "documents")
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM documents d, LATERAL sliding_chunks(d.text) c
+        WHERE trim(d.text) <> ''
+        """
     )

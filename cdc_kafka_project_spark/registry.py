@@ -80,6 +80,8 @@ _GATE_PRIORITY: list[str] = [
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
     "cdc_debezium_roundtrip",
+    "key_skew_report",
+    "doc_sliding_chunks",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",

@@ -413,3 +413,40 @@ def test_lang_source_pmi_marginal_identity(spark):
     n_s = sum(x.n_docs for x in rows if x.source == r.source)
     want = math.log((r.n_docs * n) / (n_l * n_s))
     assert abs(r.pmi - want) < 1e-6
+
+
+def test_sliding_chunks_udtf_overlap_and_coverage(spark):
+    """UDTF sliding windows: stride-24/size-32, consecutive windows
+    overlap by exactly 8 tokens, all tokens covered, short docs give
+    one window."""
+    from cdc_kafka_project_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    doc_long = " ".join(f"t{i}" for i in range(60))
+    doc_short = "a b c"
+    spark.createDataFrame(
+        [(1, doc_long), (2, doc_short), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM udtf_docs d, LATERAL sliding_chunks(d.text) c
+        """
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}  # blank/null docs emit nothing
+    # 60 tokens -> 1 + ceil(28/24) = 3 windows
+    w = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in w] == [0, 1, 2]
+    assert [r["n_tokens"] for r in w] == [32, 32, 12]
+    c0, c1 = w[0]["chunk"].split(), w[1]["chunk"].split()
+    assert c0[24:] == c1[:8]  # 8-token overlap
+    covered = set()
+    for r in w:
+        covered.update(r["chunk"].split())
+    assert covered == {f"t{i}" for i in range(60)}
+    assert by_doc[2][0]["chunk"] == "a b c"
+    assert by_doc[2][0]["n_tokens"] == 3
