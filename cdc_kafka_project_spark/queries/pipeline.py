@@ -102,23 +102,52 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan feeds the gate+dedup leg, one more the shingle leg — nothing
     quadratic, nothing driver-side.
     """
+    df, _ = build_curation_pipeline(spark, sf_dir)
+    return df
+
+
+def build_curation_pipeline(
+    spark: SparkSession, sf_dir: str, observed: bool = False
+):
+    """Build the pipeline plan; with ``observed=True`` attach an
+    ``Observation`` after each stage (rows flowing through that point),
+    returning ``(df, {stage: Observation})``.
+
+    observe() rides the existing plan — per-stage row counts cost ZERO
+    extra scans or actions, which is the only monitoring discipline
+    that survives 100 TB (re-running ``.count()`` per stage would
+    quadruple the I/O). Metrics materialize when the caller's one
+    action runs.
+    """
+    from pyspark.sql import Observation
+
+    obs: dict[str, Observation] = {}
+
+    def tap(df: DataFrame, stage: str) -> DataFrame:
+        if not observed:
+            return df
+        obs[stage] = Observation(stage)
+        return df.observe(obs[stage], F.count(F.lit(1)).alias("rows"))
+
     docs = _t(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 97 != 0)
+    train = tap(docs.filter(F.col("doc_id") % 97 != 0), "input")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
 
     keep_ids = text_ops.quality_filter(train).filter(F.col("keep")).select("doc_id")
-    q = train.join(keep_ids, "doc_id")
+    q = tap(train.join(keep_ids, "doc_id"), "quality_gate")
 
     w = Window.partitionBy(
         F.md5(dd.normalize_for_dedup(F.col("text")))
     ).orderBy("doc_id")
-    k = (
+    k = tap(
         q.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn"),
+        "dedup",
     )
 
-    clean = dd.decontaminate(k, ev, n=_DECON_N)
-    return text_ops.hash_split_portable(
+    clean = tap(dd.decontaminate(k, ev, n=_DECON_N), "decontaminate")
+    out = text_ops.hash_split_portable(
         clean, "doc_id", {"train": 8, "val": 1, "test": 1}
     ).select("doc_id", "source", "split")
+    return out, obs

@@ -123,3 +123,20 @@ def test_incremental_dedup_stream_unbounded_horizon(spark, tmp_path):
     assert uniq() == [1, 2, 11, 20]
     n_digests = spark.read.parquet(f"{work}/digests").count()
     assert n_digests == 4            # alpha, beta, gamma, delta — no dups
+
+
+def test_observed_pipeline_metrics_ride_the_single_action(spark):
+    """observe() instrumentation: per-stage row counts arrive with the
+    one action (no extra scans) and their arithmetic is consistent."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.pipeline import (
+        build_curation_pipeline,
+    )
+
+    df, obs = build_curation_pipeline(spark, SF_SMOKE, observed=True)
+    n_out = df.count()  # the single action
+    m = {k: o.get["rows"] for k, o in obs.items()}
+    assert set(m) == {"input", "quality_gate", "dedup", "decontaminate"}
+    assert m["input"] >= m["quality_gate"] >= m["dedup"] >= m["decontaminate"]
+    assert m["decontaminate"] == n_out  # split assignment is 1:1
+    assert m["input"] > 0
