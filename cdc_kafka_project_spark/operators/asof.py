@@ -236,3 +236,74 @@ def _asof_nearest(
         *[_pick(c).alias(f"{c}{suffix}") for c in rvals],
         _pick("__rts").alias(f"{right_ts}{suffix}"),
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    right_value_cols: Sequence[str] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join via ``groupBy().cogroup().applyInPandas`` — the
+    grouped-Pandas twin of :func:`asof_join` (backward direction,
+    inclusive ties), built on ``pandas.merge_asof`` per key group.
+
+    Same contract as :func:`asof_join`: left rows all survive
+    (left-outer), the matched right row's ``ts`` and value columns are
+    appended with ``suffix``, and the right side must be unique per
+    (keys, ts).
+
+    When to use which: the tag-union-window operator is the hot path —
+    ONE exchange over the union, pure JVM. Cogroup shuffles BOTH sides
+    by key and crosses into Python per group, so it costs more for the
+    same semantics; its value is the shape — when per-key alignment
+    logic outgrows SQL (model scoring against a per-key state, custom
+    matching rules), this is the idiomatic Spark surface for it, and
+    groups parallelize across executors with Arrow-batched transfer.
+    """
+    import pandas as pd
+
+    keys = list(keys)
+    rvals = list(right_value_cols)
+    # Self-join hygiene: when left and right derive from the same source
+    # DataFrame, their columns carry identical Catalyst attribute ids and
+    # the cogroup plan deduplicates them — the Python worker then receives
+    # a right frame missing the shared-name columns. Re-aliasing mints
+    # fresh attribute ids (a no-op projection otherwise).
+    right = right.select([F.col(c).alias(c) for c in right.columns])
+    out_schema = StructType(list(left.schema.fields))
+    out_schema = out_schema.add(
+        f"{ts_col}{suffix}", right.schema[ts_col].dataType
+    )
+    for c in rvals:
+        out_schema = out_schema.add(f"{c}{suffix}", right.schema[c].dataType)
+    int_like = {
+        f.name
+        for f in out_schema.fields
+        if f.name.endswith(suffix) and f.dataType.simpleString() in ("bigint", "int")
+    }
+    left_cols = [f.name for f in left.schema.fields]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(ts_col, kind="mergesort")[left_cols]
+        if l.empty or r.empty:
+            out = l.copy()
+            out[f"{ts_col}{suffix}"] = pd.NaT
+            for c in rvals:
+                out[f"{c}{suffix}"] = None
+        else:
+            r2 = r.sort_values(ts_col, kind="mergesort")[[ts_col, *rvals]]
+            r2 = r2.rename(columns={c: f"{c}{suffix}" for c in rvals})
+            r2[f"{ts_col}{suffix}"] = r2[ts_col]
+            out = pd.merge_asof(l, r2, on=ts_col, direction="backward")
+        for c in int_like:
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(merge, out_schema)
+    )

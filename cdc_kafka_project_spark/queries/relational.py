@@ -966,3 +966,60 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+@query(
+    "asof_join_cogrouped",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, ts, value, event_id
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) = 1
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_time,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_time,
+           p.value AS purchase_value,
+           p.event_id AS purchase_event_id
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_cogrouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogroup/applyInPandas as-of form (pandas merge_asof per key
+    group) against the SAME DuckDB native-ASOF oracle as
+    `asof_join_purchases` — three independent implementations of one
+    semantic (tag-union-window, pandas merge_asof, DuckDB ASOF) now
+    cross-check each other. This is also the registry's
+    `cogroup().applyInPandas` API-surface row."""
+    from cdc_kafka_project_spark.operators.asof import asof_join_cogrouped
+    from cdc_kafka_project_spark.operators.cdc import latest_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+    )
+    out = asof_join_cogrouped(
+        clicks,
+        purchases,
+        ["user_id"],
+        right_value_cols=["value", "event_id"],
+        suffix="_p",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("click_time"),
+        F.date_format("ts_p", TS_FMT_SPARK).alias("purchase_time"),
+        F.col("value_p").alias("purchase_value"),
+        F.col("event_id_p").alias("purchase_event_id"),
+    )

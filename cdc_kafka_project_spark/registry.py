@@ -80,6 +80,7 @@ _GATE_PRIORITY: list[str] = [
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
     "cdc_debezium_roundtrip",
+    "asof_join_cogrouped",
     "key_skew_report",
     "doc_sliding_chunks",
     "embedding_binary_quantize",

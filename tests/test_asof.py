@@ -187,3 +187,68 @@ def test_asof_nearest_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_cogrouped_asof_matches_window_form_incl_empty_sides(spark):
+    """The cogroup/merge_asof form agrees row-for-row with the
+    tag-union-window operator, including keys present on only one
+    side (left-outer survival, no phantom rows) and inclusive ties."""
+    from cdc_kafka_project_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, _t(10), "a"),
+            (1, _t(20), "b"),
+            (2, _t(5), "c"),   # key with no right rows at all
+            (3, _t(30), "d"),
+        ],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t(10), 1.0),   # exact tie with left (inclusive)
+            (1, _t(15), 2.0),
+            (3, _t(40), 9.0),   # only AFTER the left row -> no match
+            (4, _t(1), 7.0),    # right-only key -> must not appear
+        ],
+        R_SCHEMA,
+    )
+    want = sorted(
+        asof_join(
+            left, right, ["k"], right_value_cols=["rv"], suffix="_r"
+        ).collect(),
+        key=lambda r: (r["k"], r["ts"]),
+    )
+    got = sorted(
+        asof_join_cogrouped(
+            left, right, ["k"], right_value_cols=["rv"], suffix="_r"
+        ).collect(),
+        key=lambda r: (r["k"], r["ts"]),
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_cogrouped_asof_survives_same_source_self_join(spark):
+    """Left and right carved from ONE DataFrame (identical attribute
+    ids) — the case where cogroup deduplicates shared columns unless
+    the operator re-aliases the right side."""
+    from cdc_kafka_project_spark.operators.asof import asof_join_cogrouped
+
+    ev = spark.createDataFrame(
+        [
+            (1, _t(10), "click", 0.0),
+            (1, _t(5), "purchase", 3.5),
+            (1, _t(20), "purchase", 4.5),
+        ],
+        "k long, ts timestamp, kind string, v double",
+    )
+    left = ev.filter("kind = 'click'").select("k", "ts")
+    right = ev.filter("kind = 'purchase'").select("k", "ts", "v")
+    out = asof_join_cogrouped(
+        left, right, ["k"], right_value_cols=["v"], suffix="_r"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v_r"] == 3.5 and out[0]["ts_r"] == _t(5)
