@@ -1060,3 +1060,189 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p99, 4).alias("p99_key_rows"),
         F.round(F.max("cnt") / p50, 4).alias("skew_ratio"),
     )
+
+
+@query(
+    "join_size_estimate",
+    oracle="""
+    WITH lf AS (
+        SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    of AS (
+        SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_orderkey
+    ),
+    prod AS (
+        SELECT lf.k, lf.cnt * of.cnt AS out_rows
+        FROM lf JOIN of ON lf.k = of.k
+    )
+    SELECT CAST(SUM(out_rows) AS BIGINT) AS est_join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+           CAST(MAX(out_rows) AS BIGINT) AS hottest_key_rows,
+           ROUND(MAX(out_rows) / SUM(out_rows), 6) AS hottest_share
+    FROM prod
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality planning: the EXACT output size of
+    ``lineitem ⋈ orders`` computed from per-key frequency histograms —
+    sum over matching keys of cnt_left × cnt_right — plus the hottest
+    key's contribution.
+
+    At 100 TB you run this (or its sketch approximation) before
+    committing to a join order: the histogram join touches |keys|
+    rows per side instead of materializing the join, detects
+    many-to-many blowup (est_join_rows >> max(|L|,|R|)) and tells you
+    whether one skewed key dominates (hottest_share -> salt it).
+    Two partial-agg shuffles to key counts + one tiny key join —
+    never the fact-to-fact join itself.
+    """
+    lf = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("cnt_l"))
+    )
+    of = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("cnt_r"))
+    )
+    prod = lf.join(of, "k").select(
+        (F.col("cnt_l") * F.col("cnt_r")).alias("out_rows")
+    )
+    return prod.agg(
+        F.sum("out_rows").alias("est_join_rows"),
+        F.count("*").alias("n_matching_keys"),
+        F.max("out_rows").alias("hottest_key_rows"),
+        F.round(F.max("out_rows") / F.sum("out_rows"), 6).alias(
+            "hottest_share"
+        ),
+    )
+
+
+@query(
+    "event_value_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN ROUND(d.absdev - 4.4478 * m.mad, 6) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    values with |v - median| > 3σ-equivalent (4.4478 = 3 x 1.4826
+    consistency constant) per event type. Unlike the z-score tier
+    (`event_value_anomalies`), a few extreme values cannot drag the
+    threshold — median and MAD have a 50% breakdown point.
+
+    Plan: two small per-type quantile aggs broadcast back over the
+    stream, one counting agg. percentile() interpolates linearly like
+    quantile_cont; the threshold comparison is rounded identically on
+    both engines so boundary floats cannot flip. At 100 TB swap the
+    exact percentile for approx_percentile (the GK sketch) — the plan
+    shape is unchanged.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.any_value("med"), 6).alias("med"),
+        F.round(F.any_value("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(
+                F.round(
+                    F.col("absdev") - F.lit(4.4478) * F.col("mad"), 6
+                )
+                > 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+@query("sketch_user_overlap")  # rows-only: HLL estimates are impl-defined
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between two behaviors ('view' vs
+    'purchase') by HLL inclusion-exclusion: |A∩B| ≈ est(A) + est(B) -
+    est(A∪B), where est(A∪B) is a SKETCH UNION — no rescan of either
+    side. This is the audience-overlap question every segmentation
+    system asks; with per-day/per-source sketch state tables
+    (`sketch_incremental_distinct`) any pairwise overlap is computable
+    from KB-sized summaries alone.
+
+    The exact intersection rides along for error pinning (computed the
+    expensive way: a user-keyed distinct shuffle — exactly the cost
+    the sketch path avoids at 100 TB). Rows-only check: estimates are
+    engine-implementation-defined; the error bound is pytest-pinned.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pair = ev.filter(F.col("event_type").isin("view", "purchase"))
+    st = pair.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    est = st.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("est"),
+        "exact",
+        "sketch",
+    )
+    combined = est.agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("est"))).alias(
+            "est_view"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("est"))
+        ).alias("est_purchase"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_union"),
+    )
+    exact_both = (
+        pair.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    return combined.crossJoin(exact_both).select(
+        F.col("est_view").cast("long").alias("est_view"),
+        F.col("est_purchase").cast("long").alias("est_purchase"),
+        F.col("est_union").cast("long").alias("est_union"),
+        F.greatest(
+            F.lit(0),
+            (
+                F.col("est_view")
+                + F.col("est_purchase")
+                - F.col("est_union")
+            ).cast("long"),
+        ).alias("est_intersection"),
+        "exact_intersection",
+    )

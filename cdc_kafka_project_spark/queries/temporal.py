@@ -212,3 +212,111 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("rev_raw", F.lit(0.0)).alias("revenue"),
         F.last("rev_raw", ignorenulls=True).over(w).alias("ffill_revenue"),
     )
+
+
+@query(
+    "gapfill_linear_interp",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM agg),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    spine AS (
+        SELECT p.o_orderpriority, d.day
+        FROM (SELECT DISTINCT o_orderpriority FROM agg) p CROSS JOIN days d
+    ),
+    j AS (
+        SELECT s.o_orderpriority, s.day, a.rev,
+               last_value(a.rev IGNORE NULLS) OVER w_back AS pv,
+               last_value(CASE WHEN a.rev IS NOT NULL THEN s.day END
+                          IGNORE NULLS) OVER w_back AS pd,
+               first_value(a.rev IGNORE NULLS) OVER w_fwd AS nv,
+               first_value(CASE WHEN a.rev IS NOT NULL THEN s.day END
+                           IGNORE NULLS) OVER w_fwd AS nd
+        FROM spine s
+        LEFT JOIN agg a ON s.o_orderpriority = a.o_orderpriority
+                       AND s.day = a.day
+        WINDOW
+        w_back AS (PARTITION BY s.o_orderpriority ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY s.o_orderpriority ORDER BY s.day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
+           floor(rev * 100 + 0.5) / 100 AS observed,
+           floor((CASE
+               WHEN rev IS NOT NULL THEN rev
+               WHEN pv IS NULL OR nv IS NULL THEN NULL
+               ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                      / CAST(nd - pd AS DOUBLE))
+           END) * 100 + 0.5) / 100 AS interp_revenue
+    FROM j
+    """,
+)
+def gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation on the dense day spine — the numeric twin
+    of `gapfill_daily_revenue`'s LOCF: a missing day's revenue is
+    interpolated between the nearest observed days on each side
+    (NULL outside the observed range, where one anchor is missing).
+
+    Same scale shape as the LOCF query: facts collapse to the
+    aggregate once, and the two anchor windows (backward
+    last-observed, forward first-observed) run over the tiny
+    |priorities| x |days| series, never the facts. Interpolation
+    arithmetic is ordered identically on both engines and rounded to
+    2 decimals.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate").alias("day")
+    agg = (
+        orders.groupBy("o_orderpriority", day)
+        .agg(dsum("o_totalprice").alias("rev"))
+        .persist()
+    )
+    bounds = agg.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    prios = agg.select("o_orderpriority").distinct()
+    spine = prios.crossJoin(F.broadcast(days))
+    j = spine.join(agg, ["o_orderpriority", "day"], "left")
+    w_back = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    j = j.select(
+        "o_orderpriority",
+        "day",
+        "rev",
+        F.last("rev", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("pd"),
+        F.first("rev", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("nd"),
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    ).cast("double")
+    interp = (
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return j.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.floor(F.col("rev") * 100 + F.lit(0.5)) / 100).alias("observed"),
+        (F.floor(interp * 100 + F.lit(0.5)) / 100).alias("interp_revenue"),
+    )

@@ -83,6 +83,10 @@ _GATE_PRIORITY: list[str] = [
     "asof_join_cogrouped",
     "key_skew_report",
     "doc_sliding_chunks",
+    "join_size_estimate",
+    "event_value_mad_outliers",
+    "sketch_user_overlap",
+    "gapfill_linear_interp",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",

@@ -39,3 +39,21 @@ def test_hll_state_table_parquet_roundtrip_merge(spark, tmp_path):
     )
     est = sk.hll_union_estimate(merged).collect()[0].est_distinct
     assert abs(est - 9000) / 9000 < 0.03
+
+
+def test_hll_overlap_inclusion_exclusion_error_bound(spark):
+    """est_intersection within 10% of the exact overlap on a corpus
+    with known 50% overlap structure."""
+    from cdc_kafka_project_spark.queries.scale_patterns import (
+        sketch_user_overlap,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = sketch_user_overlap(spark, SF_SMOKE).collect()[0]
+    exact = r["exact_intersection"]
+    assert exact > 0
+    err = abs(r["est_intersection"] - exact) / exact
+    assert err <= 0.10, (r["est_intersection"], exact)
+    # sanity: union <= a + b, intersection <= min(a, b)
+    assert r["est_union"] <= r["est_view"] + r["est_purchase"]
+    assert r["est_intersection"] <= min(r["est_view"], r["est_purchase"]) * 1.02
