@@ -1154,3 +1154,138 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE trim(d.text) <> ''
         """
     )
+
+
+@query(
+    "doc_nb_quality_score",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               length(text) - length(regexp_replace(text, '[^ ]', '', 'g'))
+                   AS nonspace,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(
+                        list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> lower(x)),
+                        x -> x IN ({_STOPS_SQL}))) END AS stop_hits
+        FROM documents
+    ),
+    lab AS (
+        SELECT doc_id, text,
+               (CASE WHEN n_tok < 5 THEN 'too_few_tokens'
+                     WHEN alpha / greatest(n_chars, 1) < 0.5 THEN 'low_alpha_ratio'
+                     WHEN nonspace / CAST(n_tok AS DOUBLE) > 15.0 THEN 'long_tokens'
+                     WHEN stop_hits / CAST(n_tok AS DOUBLE) < 0.02
+                         THEN 'low_stopword_ratio'
+                END) IS NULL AS keep
+        FROM t
+    ),
+    dtok AS (
+        SELECT DISTINCT doc_id, keep, word FROM (
+            SELECT doc_id, keep,
+                   lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+            FROM lab WHERE trim(text) <> ''
+        )
+    ),
+    n AS (
+        SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_drop
+        FROM lab
+    ),
+    model AS (
+        SELECT word,
+               CAST(ROUND(ln((SUM(CASE WHEN keep THEN 1 ELSE 0 END) + 1.0)
+                             / (ANY_VALUE(n.n_keep) + 2.0))
+                          - ln((SUM(CASE WHEN keep THEN 0 ELSE 1 END) + 1.0)
+                               / (ANY_VALUE(n.n_drop) + 2.0)), 6)
+                    AS DECIMAL(25,6)) AS llr
+        FROM dtok CROSS JOIN n GROUP BY word
+    )
+    SELECT dtok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(model.llr)
+                + ANY_VALUE(CAST(ROUND(ln((n.n_keep + 1.0) / (n.n_drop + 1.0)), 6)
+                                 AS DECIMAL(25,6))) AS DOUBLE) AS nb_score,
+           (SUM(model.llr)
+            + ANY_VALUE(CAST(ROUND(ln((n.n_keep + 1.0) / (n.n_drop + 1.0)), 6)
+                             AS DECIMAL(25,6)))) > 0 AS pred_keep,
+           ANY_VALUE(dtok.keep) AS teacher_keep
+    FROM dtok JOIN model USING (word) CROSS JOIN n
+    GROUP BY dtok.doc_id
+    """,
+)
+def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli Naive-Bayes quality scorer DISTILLED from the
+    heuristic gate — the classic recipe behind fastText-style quality
+    classifiers (train a cheap statistical model on rule-based labels,
+    then score at scale with the model alone). Training is closed-form
+    (document-frequency counts per class + Laplace smoothing), so the
+    whole train-then-score pipeline is ONE deterministic plan with an
+    exact SQL oracle — no SGD, no seed.
+
+    score(d) = ln(P(keep)/P(drop)) + Σ_{{w ∈ distinct(d)}}
+               [ln((df_keep(w)+1)/(n_keep+2)) - ln((df_drop(w)+1)/(n_drop+2))]
+
+    Scale shape: labels are a pure projection (quality_reason_expr, no
+    join); per-doc DISTINCT is absorbed map-side by array_distinct
+    before the explode; the model is one |vocab|-row agg (persisted);
+    scoring shuffles (doc,word) pairs once on word and once on doc_id
+    — the TF-IDF cost profile. Cross-engine: rounded-ln terms summed
+    as exact DECIMAL (order-independent), the unigram-LM discipline.
+    """
+    docs = _docs(spark, sf_dir)
+    reason, _ = text_ops.quality_reason_expr("text")
+    from cdc_kafka_project_spark.functions import tokens
+
+    lab = docs.select("doc_id", "text", reason.isNull().alias("keep"))
+    dtok = lab.filter(F.trim("text") != "").select(
+        "doc_id",
+        "keep",
+        F.explode(
+            F.array_distinct(F.transform(tokens("text"), F.lower))
+        ).alias("word"),
+    )
+    n = lab.agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.sum((~F.col("keep")).cast("int")).alias("n_drop"),
+    )
+    counts = dtok.groupBy("word").agg(
+        F.sum(F.col("keep").cast("int")).alias("df_keep"),
+        F.sum((~F.col("keep")).cast("int")).alias("df_drop"),
+    )
+    llr = F.round(
+        F.log((F.col("df_keep") + F.lit(1.0)) / (F.col("n_keep") + F.lit(2.0)))
+        - F.log(
+            (F.col("df_drop") + F.lit(1.0)) / (F.col("n_drop") + F.lit(2.0))
+        ),
+        6,
+    ).cast("decimal(25,6)")
+    model = (
+        counts.join(F.broadcast(n))
+        .select("word", llr.alias("llr"))
+        .persist()
+    )
+    prior = F.round(
+        F.log((F.col("n_keep") + F.lit(1.0)) / (F.col("n_drop") + F.lit(1.0))),
+        6,
+    ).cast("decimal(25,6)")
+    scored = (
+        dtok.join(model, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("llr").alias("__s"),
+            F.any_value("keep").alias("teacher_keep"),
+        )
+    )
+    return scored.join(F.broadcast(n.select(prior.alias("__prior")))).select(
+        "doc_id",
+        "n_terms",
+        (F.col("__s") + F.col("__prior")).cast("double").alias("nb_score"),
+        ((F.col("__s") + F.col("__prior")) > 0).alias("pred_keep"),
+        "teacher_keep",
+    )

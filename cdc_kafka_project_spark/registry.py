@@ -87,6 +87,7 @@ _GATE_PRIORITY: list[str] = [
     "event_value_mad_outliers",
     "sketch_user_overlap",
     "gapfill_linear_interp",
+    "doc_nb_quality_score",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",

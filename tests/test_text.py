@@ -450,3 +450,23 @@ def test_sliding_chunks_udtf_overlap_and_coverage(spark):
     assert covered == {f"t{i}" for i in range(60)}
     assert by_doc[2][0]["chunk"] == "a b c"
     assert by_doc[2][0]["n_tokens"] == 3
+
+
+def test_nb_quality_score_distills_the_teacher_gate(spark):
+    """The closed-form NB scorer learns the heuristic gate it was
+    trained on: distillation accuracy on the training corpus is high,
+    and scores separate the classes in the right direction."""
+    from cdc_kafka_project_spark.queries.text_analysis import (
+        doc_nb_quality_score,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = doc_nb_quality_score(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    agree = sum(1 for r in rows if r["pred_keep"] == r["teacher_keep"])
+    assert agree / len(rows) >= 0.8, f"distillation accuracy {agree}/{len(rows)}"
+    keep_scores = [r["nb_score"] for r in rows if r["teacher_keep"]]
+    drop_scores = [r["nb_score"] for r in rows if not r["teacher_keep"]]
+    if keep_scores and drop_scores:
+        assert (sum(keep_scores) / len(keep_scores)
+                > sum(drop_scores) / len(drop_scores))
