@@ -1289,3 +1289,66 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("__s") + F.col("__prior")) > 0).alias("pred_keep"),
         "teacher_keep",
     )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    first_seen AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM sh GROUP BY gram
+    ),
+    by_bucket AS (
+        SELECT CAST(first_doc // 100 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY 1
+    )
+    SELECT bucket,
+           new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS vocab_size
+    FROM by_bucket
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-growth (Heaps-law) curve over word 3-gram types: distinct
+    3-grams first seen per 100-document bucket, with the running type
+    inventory. A flattening curve says the corpus is saturating (more
+    data adds few new constructions - duplication or narrow domain); a
+    near-linear one says coverage is still growing. Standard
+    corpus-health panel input; 3-gram types rather than unigrams
+    because type growth at the phrase level keeps discriminating long
+    after a small closed vocabulary saturates (the synthetic corpus
+    saturates its 31-word vocabulary by doc 8).
+
+    Shape: the shingle explode is absorbed by the (gram -> min doc_id)
+    partial agg (one shuffle of |types| rows); bucketing + the
+    cumulative window run on |types|/100-row aggregates. The window is
+    a single partition by construction, but over bucket rows only,
+    never the corpus.
+    """
+    from cdc_kafka_project_spark.operators.dedup import word_shingles
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    sh = word_shingles(docs, n=3)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    by_bucket = first_seen.groupBy(
+        (F.col("first_doc") / 100).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return by_bucket.select(
+        "bucket", "new_types", F.sum("new_types").over(w).alias("vocab_size")
+    )

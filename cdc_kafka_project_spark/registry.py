@@ -88,6 +88,7 @@ _GATE_PRIORITY: list[str] = [
     "sketch_user_overlap",
     "gapfill_linear_interp",
     "doc_nb_quality_score",
+    "vocab_growth_curve",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",
