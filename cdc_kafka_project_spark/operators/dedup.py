@@ -641,3 +641,161 @@ def span_dedup(
             " ",
         ).alias("text_dedup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized MinHash-LSH index: incremental near-dup state
+# ---------------------------------------------------------------------------
+
+
+def _band_hash_array(bands: int, rows: int, sig_col: str = "sig"):
+    """array<long> of per-band hashes over a signature column — the
+    single definition both the batch self-join and the materialized
+    index use, so stored band hashes and probe-side band hashes can
+    never drift."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(sig_col)[i].cast("string")
+                        for i in range(b * rows, (b + 1) * rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_band_table(
+    signatures: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) from (doc_id, sig)."""
+    return signatures.select(
+        "doc_id",
+        F.posexplode(_band_hash_array(bands, rows)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+
+
+def est_jaccard_expr(sig_a, sig_b):
+    """Fraction of agreeing signature slots — the MinHash Jaccard
+    estimator (shared by the self-join and index-probe verify tiers)."""
+    eq = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return eq / F.size(sig_a)
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> None:
+    """Materialize the near-dup index: signatures + band table on disk.
+
+    Layout: ``sigs/`` (doc_id, sig) and ``bands/`` (band_hash bucket
+    rows) parquet, parameters in the JSON sidecar. The arriving-batch
+    dedup story (`probe_minhash_index` / `append_to_minhash_index`)
+    then never recomputes anything for the standing corpus — the
+    FAISS add-vs-train distinction applied to text: signatures are
+    incremental per doc, so unlike IVF there is no quantizer to drift
+    and the index never needs a periodic retrain.
+    """
+    import os
+
+    from cdc_kafka_project_spark.operators.similarity import _write_model
+
+    sigs = minhash_signatures(docs, n=n, num_perm=num_perm).localCheckpoint(
+        eager=True
+    )
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    minhash_band_table(sigs, bands=bands, rows=rows).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "bands"))
+    _write_model(
+        path, {"kind": "minhash", "n": n, "num_perm": num_perm,
+               "bands": bands, "rows": rows}
+    )
+
+
+def append_to_minhash_index(new_docs: DataFrame, path: str) -> None:
+    """O(delta) incremental maintenance: sign ONLY the arriving docs
+    with the index's stored parameters and append — standing sigs and
+    band rows are untouched."""
+    import os
+
+    from cdc_kafka_project_spark.operators.similarity import read_model
+
+    m = read_model(path)
+    sigs = minhash_signatures(
+        new_docs, n=m["n"], num_perm=m["num_perm"]
+    ).localCheckpoint(eager=True)
+    sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+    minhash_band_table(sigs, bands=m["bands"], rows=m["rows"]).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "bands"))
+
+
+def probe_minhash_index(
+    spark, new_docs: DataFrame, path: str, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicates of an arriving batch AGAINST the standing index:
+    (new_doc_id, index_doc_id, est_jaccard >= threshold).
+
+    The batch is signed and banded (map-only), then equi-joined with
+    the stored band table on (band_id, band_hash) — the only shuffle,
+    proportional to the batch's band rows plus matching buckets, never
+    the corpus. Candidates verify on full signatures. Self-matches
+    (same doc_id) are excluded so probe-after-append stays usable.
+    """
+    import os
+
+    from cdc_kafka_project_spark.operators.similarity import read_model
+
+    m = read_model(path)
+    sigs = minhash_signatures(
+        new_docs, n=m["n"], num_perm=m["num_perm"]
+    ).localCheckpoint(eager=True)
+    probe_bands = minhash_band_table(sigs, bands=m["bands"], rows=m["rows"])
+    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    cand = (
+        probe_bands.alias("p")
+        .join(
+            idx_bands.alias("x"),
+            (F.col("p.band_id") == F.col("x.band_id"))
+            & (F.col("p.band_hash") == F.col("x.band_hash"))
+            & (F.col("p.doc_id") != F.col("x.doc_id")),
+        )
+        .select(
+            F.col("p.doc_id").alias("new_doc_id"),
+            F.col("x.doc_id").alias("index_doc_id"),
+        )
+        .dropDuplicates(["new_doc_id", "index_doc_id"])
+    )
+    verified = (
+        cand.join(sigs.withColumnsRenamed({"doc_id": "new_doc_id", "sig": "__sp"}), "new_doc_id")
+        .join(
+            idx_sigs.withColumnsRenamed(
+                {"doc_id": "index_doc_id", "sig": "__sx"}
+            ),
+            "index_doc_id",
+        )
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            F.round(est_jaccard_expr(F.col("__sp"), F.col("__sx")), 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    return verified.filter(F.col("est_jaccard") >= threshold)

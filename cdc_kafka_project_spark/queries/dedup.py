@@ -438,3 +438,46 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("dedup_minhash_index_probe")  # rows-only: xxhash64 bands engine-side
+def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving-batch near-dedup against the MATERIALIZED MinHash
+    index (the incremental-ingest story): the standing corpus
+    (doc_id % 10 != 0) is indexed once on disk; the arriving batch
+    (doc_id % 10 == 0, plus injected copies of 5 corpus docs under
+    offset ids — the fixture-injection pattern, since the synthetic
+    corpus has no cross-split duplicates) is signed, banded, and
+    equi-joined against the stored band table. Nothing recomputes for
+    the corpus; the only shuffle is proportional to the batch.
+
+    Rows-only (seeded perms + xxhash64 bands are engine-side); the
+    probe/append contract — injected dups found, novel docs clean,
+    index growth visible to later probes — is pinned in
+    tests/test_dedup.py.
+    """
+    import os
+
+    base = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR", "/root/repo/spark-warehouse/indexes"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(base, tag, "minhash")
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    if not os.path.exists(os.path.join(path, "_ann_model.json")):
+        dd.build_minhash_index(corpus, path, n=3, num_perm=64, bands=16, rows=4)
+    injected = (
+        corpus.orderBy("doc_id")
+        .limit(5)
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        )
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(injected)
+    )
+    return dd.probe_minhash_index(spark, batch, path, threshold=0.5)

@@ -89,6 +89,7 @@ _GATE_PRIORITY: list[str] = [
     "gapfill_linear_interp",
     "doc_nb_quality_score",
     "vocab_growth_curve",
+    "dedup_minhash_index_probe",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",

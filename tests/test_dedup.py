@@ -310,3 +310,50 @@ def test_span_dedup_within_doc_repetition(spark):
     )
     got = span_dedup(df, span_tokens=10).collect()[0]
     assert (got.n_spans_kept, got.text_dedup) == (1, s)
+
+
+def test_minhash_index_probe_append_cycle(spark, tmp_path):
+    """Materialized MinHash index: injected dups found on probe, novel
+    docs clean, appended batch visible to later probes, standing files
+    never rewritten."""
+    import os
+    from cdc_kafka_project_spark.operators import dedup as dd
+
+    base = " ".join(f"w{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(i, f"{base} tail{i} tail{i} extra{i}") for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh")
+    dd.build_minhash_index(corpus, path, n=3, num_perm=64, bands=16, rows=4)
+    files_before = sorted(os.listdir(os.path.join(path, "sigs")))
+
+    batch = spark.createDataFrame(
+        [
+            (101, f"{base} tail1 tail1 extra1"),        # exact copy of doc 1
+            (102, f"{base} tail1 tail1 CHANGED"),       # near-dup of doc 1
+            (103, " ".join(f"z{i}" for i in range(20))),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r["new_doc_id"], r["index_doc_id"]): r["est_jaccard"]
+        for r in dd.probe_minhash_index(spark, batch, path, 0.5).collect()
+    }
+    assert hits[(101, 1)] == 1.0
+    assert (102, 1) in hits and hits[(102, 1)] >= 0.5
+    assert not any(n == 103 for n, _ in hits)
+
+    dd.append_to_minhash_index(batch, path)
+    # append must not rewrite standing files
+    assert set(files_before) <= set(os.listdir(os.path.join(path, "sigs")))
+
+    later = spark.createDataFrame(
+        [(201, f"{base} tail1 tail1 extra1")], "doc_id long, text string"
+    )
+    later_hits = {
+        (r["new_doc_id"], r["index_doc_id"])
+        for r in dd.probe_minhash_index(spark, later, path, 0.5).collect()
+    }
+    assert (201, 101) in later_hits  # sees the APPENDED doc
+    assert (201, 1) in later_hits    # and the original corpus
