@@ -181,3 +181,104 @@ def write_keyed_stream(
         .writeStream.format("kafka")
         .options(**broker_sink_options(bootstrap_servers, topic, checkpoint_dir))
     )
+
+
+# ---------------------------------------------------------------------------
+# Debezium envelope (industry-standard CDC wire format)
+# ---------------------------------------------------------------------------
+
+
+def debezium_envelope_schema(row_schema: StructType) -> StructType:
+    """``{before, after, op, ts_ms, source{table, seq}}`` around a row
+    image — the Debezium/Kafka-Connect change-event shape. The
+    reference ships an ad-hoc flat JSON (employee.py:19-20); accepting
+    the standard envelope means any Debezium-fed topic can drive this
+    engine's apply path unchanged."""
+    from pyspark.sql.types import LongType
+
+    return StructType(
+        [
+            StructField("before", row_schema),
+            StructField("after", row_schema),
+            StructField("op", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField(
+                "source",
+                StructType(
+                    [
+                        StructField("table", StringType()),
+                        StructField("seq", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def decode_debezium(raw: DataFrame, row_schema: StructType) -> DataFrame:
+    """Kafka record -> typed Debezium change event.
+
+    Same corrupt-payload contract as :func:`decode_envelope`: a
+    malformed value yields NULL ``op`` (and NULL row images), which
+    callers route to the DLQ via ``op IS NULL`` — never swallowed.
+    ``row`` is the effective image (after, else before — i.e. the
+    deleted row's last state), so downstream apply code reads one
+    struct regardless of op. Source metadata (partition, offset) and
+    ``raw_value`` pass through for tiebreaks and DLQ re-publish.
+    """
+    env = debezium_envelope_schema(row_schema)
+    corrupt = StructType(
+        env.fields + [StructField("_corrupt", StringType())]
+    )
+    meta = [c for c in ("partition", "offset") if c in raw.columns]
+    parsed = raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(
+            F.col("value").cast("string"),
+            corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("__p"),
+        F.col("value").cast("string").alias("raw_value"),
+        *meta,
+    )
+    ok = F.col("__p").isNotNull() & F.col("__p._corrupt").isNull()
+    return parsed.select(
+        "key",
+        F.when(ok, F.lower("__p.op")).alias("op"),
+        F.when(ok, F.col("__p.before")).alias("before"),
+        F.when(ok, F.col("__p.after")).alias("after"),
+        F.when(ok, F.coalesce("__p.after", "__p.before")).alias("row"),
+        F.when(ok, F.col("__p.ts_ms")).alias("ts_ms"),
+        F.when(ok, F.col("__p.source.seq")).alias("seq"),
+        "raw_value",
+        *meta,
+    )
+
+
+def encode_debezium(
+    df: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+    before_col: str = "before",
+    after_col: str = "after",
+    ts_ms_col: str = "ts_ms",
+    table: str = "unknown",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Typed change columns -> Debezium-enveloped Kafka record (the
+    synthesis side, used by tests and by re-publishing pipelines)."""
+    seq = F.col(seq_col) if seq_col else F.lit(None).cast("long")
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col(before_col).alias("before"),
+                F.col(after_col).alias("after"),
+                F.col(op_col).alias("op"),
+                F.col(ts_ms_col).alias("ts_ms"),
+                F.struct(
+                    F.lit(table).alias("table"), seq.alias("seq")
+                ).alias("source"),
+            )
+        ).alias("value"),
+    )

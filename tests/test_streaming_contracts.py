@@ -151,3 +151,67 @@ def test_watermark_bounds_streaming_state(spark, tmp_path):
     # eviction emitted the closed windows downstream
     emitted = spark.table("state_bound").count()
     assert emitted >= total_windows_touched - 40
+
+
+class TestDebeziumWire:
+    ROW = "emp_id long, name string, salary long"
+
+    def test_roundtrip_and_effective_row(self, spark):
+        """encode -> transport frame -> decode: op codes, row images,
+        and the effective-row coalesce (after, else before) survive."""
+        from pyspark.sql.types import StructType
+        from pyspark.sql import Row, functions as F
+        from cdc_kafka_project_spark.streaming.kafka_io import (
+            decode_debezium,
+            encode_debezium,
+        )
+
+        row_schema = StructType.fromDDL(self.ROW)
+        changes = spark.createDataFrame(
+            [
+                (1, None, Row(emp_id=1, name="A", salary=10), "c", 1000, 1),
+                (
+                    1,
+                    Row(emp_id=1, name="A", salary=10),
+                    Row(emp_id=1, name="A", salary=12),
+                    "u",
+                    2000,
+                    2,
+                ),
+                (1, Row(emp_id=1, name="A", salary=12), None, "d", 3000, 3),
+            ],
+            StructType.fromDDL(
+                f"k long, before struct<{self.ROW.replace(', ', ',')}>, "
+                f"after struct<{self.ROW.replace(', ', ',')}>, "
+                "op string, ts_ms long, seq long"
+            ),
+        )
+        wire = encode_debezium(
+            changes, "k", table="employees", seq_col="seq"
+        )
+        out = decode_debezium(wire, row_schema).orderBy("ts_ms").collect()
+        assert [r["op"] for r in out] == ["c", "u", "d"]
+        assert out[0]["before"] is None and out[0]["after"]["salary"] == 10
+        assert out[1]["row"]["salary"] == 12  # after wins
+        assert out[2]["after"] is None
+        assert out[2]["row"]["salary"] == 12  # delete: last known image
+        assert [r["seq"] for r in out] == [1, 2, 3]
+
+    def test_corrupt_payload_routes_via_null_op(self, spark):
+        from pyspark.sql.types import StructType
+        from cdc_kafka_project_spark.streaming.kafka_io import (
+            decode_debezium,
+        )
+
+        row_schema = StructType.fromDDL(self.ROW)
+        raw = spark.createDataFrame(
+            [
+                ("1", '{"after": {"emp_id": 1}, "op": "C", "ts_ms": 5}'),
+                ("2", "{this is not json"),
+            ],
+            "key string, value string",
+        )
+        out = {r["key"]: r for r in decode_debezium(raw, row_schema).collect()}
+        assert out["1"]["op"] == "c"  # normalized lower
+        assert out["2"]["op"] is None  # corrupt -> DLQ route
+        assert out["2"]["raw_value"].startswith("{this")  # original bytes kept
