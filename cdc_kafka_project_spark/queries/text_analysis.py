@@ -1352,3 +1352,72 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_bucket.select(
         "bucket", "new_types", F.sum("new_types").over(w).alias("vocab_size")
     )
+
+
+@query(
+    "doc_boilerplate_fraction",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS shingle
+        FROM ws, unnest(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5
+    ),
+    boiler AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT source) >= 3
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           floor(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS boiler_frac
+    FROM sh LEFT JOIN boiler b USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scoring: a word-5-gram that recurs across >= 3
+    distinct SOURCES is boilerplate (navigation chrome, license
+    headers, templated phrasing — the cross-site repetition signature
+    C4/RefinedWeb strip); each document reports the fraction of its
+    distinct 5-grams that are boilerplate. High-fraction docs are
+    template shells; the fraction is also the per-doc input to
+    line-level boilerplate removal.
+
+    Shape: one (doc, shingle) distinct relation feeds BOTH the
+    source-df aggregation (shuffle on shingle, |5-gram types| rows)
+    and the per-doc rollup; the boilerplate list broadcasts back (it
+    is the cross-source REPEATED tail — orders of magnitude smaller
+    than the shingle space). Fraction rounded floor-form.
+    """
+    from cdc_kafka_project_spark.operators.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = (
+        word_shingles(docs, n=5)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") >= 3)
+        .select("shingle", F.lit(1).alias("__b"))
+    )
+    joined = sh.join(F.broadcast(boiler), "shingle", "left")
+    frac = F.sum(F.coalesce("__b", F.lit(0))) / F.count(F.lit(1)).cast(
+        "double"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce("__b", F.lit(0))).alias("n_boiler"),
+        (F.floor(frac * 1e6 + F.lit(0.5)) / 1e6).alias("boiler_frac"),
+    )

@@ -90,6 +90,7 @@ _GATE_PRIORITY: list[str] = [
     "doc_nb_quality_score",
     "vocab_growth_curve",
     "dedup_minhash_index_probe",
+    "doc_boilerplate_fraction",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",
