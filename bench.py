@@ -207,6 +207,8 @@ def main() -> None:
     # keeps the raw all-runs wall clock for capacity planning.
     t_wall0 = time.time()
     timings: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         runs = []
         for _ in range(3):
@@ -216,6 +218,15 @@ def main() -> None:
             ).save()
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        # Release query-scoped state between queries: persisted model
+        # tables and localCheckpoint blocks otherwise accumulate across
+        # ~90 queries x 3 runs in the shared session, and LATE queries
+        # pay the eviction/GC pressure (observed: doc_bigram_logprob
+        # 7.7 s in a full bench vs 1.3 s warm in isolation). clearCache
+        # drops CacheManager entries; gc.collect() lets the
+        # ContextCleaner reap checkpoint RDDs whose Python refs died.
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     record = {
