@@ -512,3 +512,96 @@ def similarity_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.hamming_rerank_topk(
         emb, qv, dim=64, n_candidates=64, k=10, round_to=4
     )
+
+
+SEMANTIC_DECON_THRESHOLD = 0.95
+
+
+@query(
+    "semantic_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    injected AS (
+        SELECT vec_id + {DUP_OFFSET} AS vec_id,
+               list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT))
+                   AS embedding
+        FROM ev ORDER BY vec_id LIMIT 3
+    ),
+    train AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0
+        UNION ALL SELECT vec_id, embedding FROM injected
+    ),
+    pairs AS (
+        SELECT t.vec_id,
+               CAST(unnest(t.embedding) AS DOUBLE) AS x,
+               CAST(unnest(e.embedding) AS DOUBLE) AS y,
+               e.vec_id AS ev_id
+        FROM train t CROSS JOIN ev e
+    ),
+    dots AS (
+        SELECT vec_id, ev_id, SUM(x * y) AS dp,
+               SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+        FROM pairs GROUP BY vec_id, ev_id
+    ),
+    best AS (
+        SELECT vec_id, MAX(ROUND(dp / (na * nb), 4)) AS max_eval_cos
+        FROM dots GROUP BY vec_id
+    )
+    SELECT vec_id, max_eval_cos,
+           max_eval_cos >= {SEMANTIC_DECON_THRESHOLD} AS contaminated
+    FROM best
+    """,
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: flag training vectors whose embedding
+    is near-identical (cosine >= 0.95) to any eval-set vector — the
+    embedding-space sibling of the n-gram `doc_decontaminate` tier,
+    catching paraphrased/reformatted eval leakage that exact shingles
+    miss. Three eval near-copies are fixture-injected into the train
+    side (scaled 1.001 — cosine exactly 1.0) so the flag path is
+    non-vacuous on the near-orthogonal synthetic corpus.
+
+    Shape: the eval set is SMALL by construction (the thing you
+    decontaminate against is a benchmark, not a corpus), so it
+    broadcasts and the train side is scanned once — a broadcast
+    nested-loop over |eval| vectors per row, max-aggregated on the
+    spot. Fully oracle-checked (exact cosine, no model state).
+    """
+    emb = _emb(spark, sf_dir)
+    from cdc_kafka_project_spark.functions import cosine_pd
+
+    ev = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("ev_id"), F.col("embedding").alias("ev_emb")
+    )
+    injected = (
+        ev.orderBy("ev_id")
+        .limit(3)
+        .select(
+            (F.col("ev_id") + F.lit(DUP_OFFSET)).alias("vec_id"),
+            F.transform(
+                "ev_emb", lambda x: (x * F.lit(1.001)).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    train = (
+        emb.filter(F.col("vec_id") % 97 != 0)
+        .select("vec_id", "embedding")
+        .unionByName(injected)
+    )
+    cos = F.round(cosine_pd(F.col("embedding"), F.col("ev_emb")), 4)
+    best = (
+        sim.spread(train)
+        .crossJoin(F.broadcast(ev))
+        .select("vec_id", cos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("max_eval_cos"))
+    )
+    return best.select(
+        "vec_id",
+        "max_eval_cos",
+        (F.col("max_eval_cos") >= F.lit(SEMANTIC_DECON_THRESHOLD)).alias(
+            "contaminated"
+        ),
+    )

@@ -1421,3 +1421,66 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("__b", F.lit(0))).alias("n_boiler"),
         (F.floor(frac * 1e6 + F.lit(0.5)) / 1e6).alias("boiler_frac"),
     )
+
+
+TOKEN_QUOTA_PER_SOURCE = 400
+
+
+@query(
+    "source_token_quota_sample",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_tok
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('tq' || CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tok
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM ranked
+    WHERE cum_tok - n_tok < {TOKEN_QUOTA_PER_SOURCE}
+    """,
+)
+def source_token_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget mixture sampling: each source contributes documents
+    until its token budget fills (the unit pretraining mixtures are
+    actually specified in — doc-count quotas like `source_quota_sample`
+    over-weight sources with long documents). Docs are taken in
+    deterministic salted-md5 order; the doc that crosses the budget
+    boundary is included, so every source yields >= its quota when it
+    has the tokens.
+
+    One corpus scan -> per-source rank window carrying a running token
+    sum; no global sort, no driver state. Reproducible on any
+    md5-capable engine (the auditable-split discipline applied to
+    mixing).
+    """
+    from cdc_kafka_project_spark.functions import token_count
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", "source", token_count("text").alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(
+            F.md5(F.concat(F.lit("tq"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = t.select(
+        "doc_id", "source", "n_tok", F.sum("n_tok").over(w).alias("cum_tok")
+    )
+    return ranked.filter(
+        (F.col("cum_tok") - F.col("n_tok")) < TOKEN_QUOTA_PER_SOURCE
+    )

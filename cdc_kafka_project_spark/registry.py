@@ -91,6 +91,8 @@ _GATE_PRIORITY: list[str] = [
     "vocab_growth_curve",
     "dedup_minhash_index_probe",
     "doc_boilerplate_fraction",
+    "source_token_quota_sample",
+    "semantic_decontaminate",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",
