@@ -109,15 +109,26 @@ def interval_join(
     upper: str = "15 minutes",
     left_watermark: str = "30 minutes",
     right_watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on key + time interval:
+    """Stream-stream join on key + time interval:
     right.ts in [left.ts + lower, left.ts + upper].
 
     Both sides are watermarked so the join state (buffered rows
     awaiting matches) evicts once no future match is possible — the
     textbook watermarked interval join. At scale both streams shuffle
     on the key once; state per key is bounded by the interval width.
+
+    ``how="leftOuter"`` adds the no-match emission semantics: an
+    unmatched left row is held in state and emitted with NULL right
+    columns only once the right watermark passes its match window (the
+    engine can then PROVE no future match exists) — so outer results
+    arrive a watermark-delay later than inner ones, usually in a
+    subsequent micro-batch. That deferral is the correctness price of
+    exactly-once no-match detection on unbounded streams.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     cond = (
@@ -125,7 +136,7 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower}"))
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def run_to_memory(

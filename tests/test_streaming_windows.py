@@ -146,3 +146,72 @@ def test_interval_join_matches_within_bounds(spark, tmp_path):
     W.run_to_memory(joined, str(tmp_path / "cp"), "ij_out", "append")
     got = sorted((r.click_id, r.buy_id) for r in spark.table("ij_out").collect())
     assert got == [(1, 10)]
+
+
+def test_interval_join_left_outer_emits_no_match_after_watermark(
+    spark, tmp_path
+):
+    """leftOuter stream-stream join: the unmatched click emits with a
+    NULL buy only after the right watermark proves no future match can
+    arrive — i.e. in a LATER burst than the inner results."""
+    cdir, bdir = tmp_path / "oc", tmp_path / "ob"
+    out, ckpt = tmp_path / "oout", tmp_path / "ocp"
+    cdir.mkdir(), bdir.mkdir()
+    spark.createDataFrame(
+        [(1, _ts(0), 1, "click"), (3, _ts(0), 3, "click")], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(cdir))
+    spark.createDataFrame(
+        [(10, _ts(10), 1, "purchase")], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(bdir))
+
+    def burst():
+        left = W._file_stream(spark, str(cdir), EVENTS_SCHEMA).select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        right = W._file_stream(spark, str(bdir), EVENTS_SCHEMA).select(
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+            "user_id",
+        )
+        joined = W.interval_join(
+            left, right, "user_id", "click_ts", "buy_ts",
+            lower="0 seconds", upper="15 minutes", how="leftOuter",
+        ).select("click_id", "buy_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.click_id, r.buy_id)
+            for r in spark.read.parquet(str(out)).collect()
+        )
+
+    first = burst()
+    assert (1, 10) in first           # inner match emits immediately
+    assert (3, None) not in first     # outer held: watermark can't prove yet
+
+    # late right-side rows advance the right watermark far past
+    # click_ts + upper; re-burst until the no-data batch flushes state
+    results = first
+    for n in (1, 2, 3):
+        late = dt.datetime(2024, 1, 1, 12 + n, 0)
+        # the GLOBAL watermark is min(left wm, right wm) — both sides
+        # must see late events before outer rows can be proven final
+        spark.createDataFrame(
+            [(90 + n, late, 99, "purchase")], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(bdir))
+        spark.createDataFrame(
+            [(80 + n, late, 98, "click")], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(cdir))
+        results = burst()
+        if (3, None) in results:
+            break
+    assert (3, None) in results, results
+    assert (1, 10) in results and len([r for r in results if r[0] == 1]) == 1
