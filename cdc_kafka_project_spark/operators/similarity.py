@@ -1334,3 +1334,65 @@ def hamming_rerank_topk(
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def quantize_int8_stats_arrow(embeddings: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`quantize_int8_stats` — identical
+    output, different execution surface: RecordBatches stream through
+    the Python worker with NO pandas materialization (pyarrow compute
+    on the raw Arrow buffers), the lowest-overhead Python touchpoint
+    Spark offers. Numerics mirror the JVM expression chain exactly
+    (float64 absmax/127 scale, floor(x/scale + 0.5) clamp), pinned by
+    a cross-implementation parity test — the pattern to follow when a
+    kernel outgrows expression form but must stay bit-compatible.
+    """
+    import pyarrow as pa
+
+    def fn(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            out_scale, out_sum, out_min, out_max, out_nz = [], [], [], [], []
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            flat = emb.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            for i in range(len(emb)):
+                x = flat[offsets[i] : offsets[i + 1]]
+                absmax = float(np.max(np.abs(x))) if x.size else 0.0
+                scale = absmax / 127.0
+                safe = 1.0 if absmax == 0.0 else scale
+                codes = np.clip(
+                    np.floor(x / safe + 0.5), -127.0, 127.0
+                ).astype(np.int64)
+                out_scale.append(round(scale, 8))
+                out_sum.append(int(codes.sum()))
+                out_min.append(int(codes.min()) if codes.size else None)
+                out_max.append(int(codes.max()) if codes.size else None)
+                out_nz.append(int(np.count_nonzero(codes)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(out_scale, pa.float64()),
+                    pa.array(out_sum, pa.int64()),
+                    pa.array(out_min, pa.int64()),
+                    pa.array(out_max, pa.int64()),
+                    pa.array(out_nz, pa.int64()),
+                ],
+                names=[
+                    "vec_id",
+                    "scale",
+                    "code_sum",
+                    "code_min",
+                    "code_max",
+                    "n_nonzero",
+                ],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        fn,
+        "vec_id long, scale double, code_sum long, code_min long, "
+        "code_max long, n_nonzero long",
+    )

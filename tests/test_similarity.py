@@ -643,3 +643,19 @@ class TestBinaryQuantize:
         df, _ = corpus32
         with pytest.raises(ValueError, match="multiple of 32"):
             sim.binary_quantize(df, dim=17)
+
+
+def test_quantize_int8_arrow_twin_bit_parity(spark):
+    """mapInArrow and JVM-expression implementations of int8
+    quantization agree bit-for-bit on real data (incl. rounded scale),
+    so either surface can serve the same contract."""
+    from cdc_kafka_project_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    jvm = {r["vec_id"]: tuple(r)[1:] for r in sim.quantize_int8_stats(emb).collect()}
+    arrow = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in sim.quantize_int8_stats_arrow(emb).collect()
+    }
+    assert jvm == arrow
