@@ -112,3 +112,51 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(bytes / target)`` files (the streaming-sink hygiene job —
+    availableNow micro-batches and foreachBatch appends leave a long
+    tail of KB-sized files whose per-file open/footer cost eventually
+    dominates scans; at 100 TB, metadata pressure on the driver too).
+
+    Safe-rewrite protocol: write the compacted copy NEXT TO the live
+    directory, then swap atomically-enough for a single writer (rename
+    live -> .old, compacted -> live, drop .old). ``sort_within_by``
+    optionally re-sorts rows within each output file so min-max footer
+    stats stay selective after compaction (compaction without a sort
+    erases clustering). Returns {files_before, files_after, bytes}.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    out.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+    }

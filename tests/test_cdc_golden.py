@@ -276,3 +276,37 @@ def test_debezium_roundtrip_op_codes_and_delete_exclusion(spark):
         for uid, rows in by_user.items()
         if rows[-1]["event_type"] != "error"
     }
+
+
+def test_changelog_schema_evolution_merges_and_applies(spark, tmp_path):
+    """The change-log gains a column mid-stream (the Debezium
+    schema-drift case): mergeSchema reads the mixed log as one frame,
+    old events carry NULL for the new column, and latest-per-key apply
+    produces a replica with the evolved schema — no rewrite of old log
+    files."""
+    path = str(tmp_path / "log")
+    v1 = spark.createDataFrame(
+        [(1, "insert", 100, _ts(1), 1), (2, "insert", 200, _ts(2), 2)],
+        "emp_id long, action string, salary long, "
+        "last_updated_at timestamp, seq long",
+    )
+    v1.coalesce(1).write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [(1, "update", 150, _ts(3), 3, "Boston")],
+        "emp_id long, action string, salary long, "
+        "last_updated_at timestamp, seq long, city string",
+    )
+    v2.coalesce(1).write.mode("append").parquet(path)
+
+    log = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "city" in log.columns
+    replica = cdc.apply_changes(
+        log,
+        key_cols=["emp_id"],
+        order_cols=["last_updated_at", "seq"],
+        action_col="action",
+        delete_action="delete",
+    )
+    rows = {r["emp_id"]: r for r in replica.collect()}
+    assert rows[1]["salary"] == 150 and rows[1]["city"] == "Boston"
+    assert rows[2]["salary"] == 200 and rows[2]["city"] is None  # pre-drift

@@ -95,3 +95,28 @@ def test_zorder_value_raises_on_empty_and_all_null(spark):
     )
     with pytest.raises(ValueError, match="all-NULL"):
         zorder_value(all_null, ["a", "b"], bits_per_col=8)
+
+
+def test_compact_small_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    """20 tiny appends -> 1 compacted file; row set identical; footer
+    stats stay selective when a sort column is given."""
+    from cdc_kafka_project_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "log")
+    for i in range(20):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}-{j}") for j in range(10)],
+            "k long, v string",
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = spark.read.parquet(path).collect()
+    stats = compact_small_files(
+        spark, path, target_file_mb=128, sort_within_by=["k"]
+    )
+    after = spark.read.parquet(path).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1
+    import os
+
+    assert not os.path.exists(path + ".compact-tmp")
+    assert not os.path.exists(path + ".compact-old")
