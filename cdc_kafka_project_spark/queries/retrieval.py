@@ -259,3 +259,85 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("q"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "purchase_click_attribution",
+    oracle="""
+    WITH ce AS (
+        SELECT event_id, user_id, ts, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS us
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    feat AS (
+        SELECT event_id, user_id, event_type, ts,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w
+                   AS n_all,
+               MIN(CASE WHEN event_type = 'click' THEN us END) OVER w
+                   AS first_click_us,
+               MAX(CASE WHEN event_type = 'click' THEN us END) OVER w
+                   AS last_click_us
+        FROM ce
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_time,
+           CAST(n_all AS BIGINT) AS n_clicks_7d,
+           first_click_us, last_click_us,
+           n_all > 0 AS attributed
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: for every purchase, the
+    user's click count and first/last click timestamps within the
+    trailing 7 days (ties at the purchase instant included — RANGE
+    frame semantics, identical both engines). The standard multi-touch
+    attribution feature set, computed without a join: clicks and
+    purchases ride ONE user-keyed window as conditional aggregates,
+    and only purchase rows project out.
+
+    One shuffle on user_id; window state is a 7-day frame per user.
+    The join-free conditional-window form beats click⋈purchase
+    interval joins at scale — no pair blowup for heavy clickers.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    is_click = F.col("event_type") == "click"
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.count(F.when(is_click, 1)).over(w).alias("n_clicks_7d"),
+        F.min(F.when(is_click, F.col("us"))).over(w).alias("first_click_us"),
+        F.max(F.when(is_click, F.col("us"))).over(w).alias("last_click_us"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_time"
+        ),
+        "n_clicks_7d",
+        "first_click_us",
+        "last_click_us",
+        (F.col("n_clicks_7d") > 0).alias("attributed"),
+    )

@@ -93,6 +93,7 @@ _GATE_PRIORITY: list[str] = [
     "doc_boilerplate_fraction",
     "source_token_quota_sample",
     "semantic_decontaminate",
+    "purchase_click_attribution",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",
