@@ -1484,3 +1484,160 @@ def source_token_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         (F.col("cum_tok") - F.col("n_tok")) < TOKEN_QUOTA_PER_SOURCE
     )
+
+
+@query(
+    "doc_readability",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_words,
+               greatest(len(list_filter(
+                   regexp_split_to_array(text, '[.!?]+'),
+                   s -> trim(s) <> '')), 1) AS n_sentences,
+               len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+               floor((206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                     * 1e4 + 0.5) / 1e4
+           END AS flesch
+    FROM t
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (very low scores flag legalese/generated sludge;
+    implausibly high ones flag word-salad with tiny sentences).
+    Syllables are approximated by vowel-group runs (the standard
+    dictionary-free proxy; both engines' regex engines agree on the
+    character class). Zero-shuffle projection; identical arithmetic
+    order + floor-form rounding for cross-engine parity.
+    """
+    docs = _docs(spark, sf_dir)
+    from cdc_kafka_project_spark.functions import token_count
+
+    n_words = token_count("text")
+    sentences = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    n_sent = F.greatest(F.size(sentences), F.lit(1))
+    n_syl = F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiouyAEIOUY]+"), F.lit(0)))
+    flesch = F.when(
+        n_words > 0,
+        F.floor(
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (n_words.cast("double") / n_sent)
+                - F.lit(84.6) * (n_syl.cast("double") / n_words)
+            )
+            * 1e4
+            + F.lit(0.5)
+        )
+        / 1e4,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+ZIPF_TOP_N = 200
+
+
+@query(
+    "zipf_slope",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY word
+        ORDER BY c DESC, word LIMIT {ZIPF_TOP_N}
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r FROM freq
+    ),
+    xy AS (
+        SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(25,6)) AS x,
+               CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(25,6)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM xy
+    )
+    SELECT n AS n_terms,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope: least-squares fit of ln(freq) on
+    ln(rank) over the top {ZIPF_TOP_N} tokens. Natural corpora sit
+    near -1; a much flatter slope flags templated/duplicated text, a
+    much steeper one a degenerate vocabulary — the corpus-health
+    sibling of `vocab_growth_curve`.
+
+    Portability: each ln rounds to 6dp DECIMAL, every regression sum
+    is exact decimal arithmetic (order-independent), and exactly one
+    double division happens at the end (floor-form rounded). Explode
+    absorbed by the token partial agg; the fit runs on 200 rows.
+    """
+    from cdc_kafka_project_spark.functions import tokens
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(
+            F.explode(F.transform(tokens("text"), F.lower)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(ZIPF_TOP_N)
+    )
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "word"))
+        .alias("r"),
+    )
+    dec = "decimal(25,6)"
+    xy = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6).cast(dec).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).cast(dec).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("zipf_slope"),
+    )

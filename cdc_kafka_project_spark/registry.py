@@ -94,6 +94,8 @@ _GATE_PRIORITY: list[str] = [
     "source_token_quota_sample",
     "semantic_decontaminate",
     "purchase_click_attribution",
+    "doc_readability",
+    "zipf_slope",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",
