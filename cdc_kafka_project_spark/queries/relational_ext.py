@@ -1080,3 +1080,90 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+MIN_COPURCHASE_SUPPORT = 25
+
+
+@query(
+    "brand_copurchase_lift",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+    cb AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY brand
+    ),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, c_ab,
+           floor(CAST(c_ab AS DOUBLE) * n.n_orders
+                 / (ca.c * cb2.c) * 1e6 + 0.5) / 1e6 AS lift
+    FROM pairs
+    JOIN cb ca ON ca.brand = pairs.brand_a
+    JOIN cb cb2 ON cb2.brand = pairs.brand_b
+    CROSS JOIN n
+    WHERE c_ab >= {MIN_COPURCHASE_SUPPORT}
+    """,
+)
+def brand_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: for brand pairs co-occurring in an
+    order, lift = P(a,b) / (P(a)·P(b)) — >1 means the brands travel
+    together more than independence predicts (cross-sell signal,
+    also the co-occurrence statistic behind item-item recommenders).
+
+    Scale shape: the pair generation is a self-join WITHIN order
+    groups — fanout bounded by (items per order choose 2), never
+    corpus-quadratic (same discipline as the shingle/band joins).
+    Brand marginals and the order count broadcast; one double
+    division per surviving pair, floor-rounded.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    cb = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_COPURCHASE_SUPPORT)
+    )
+    ca = cb.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb2 = cb.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    lift = (
+        F.col("c_ab").cast("double")
+        * F.col("n_orders")
+        / (F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb2), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            (F.floor(lift * 1e6 + F.lit(0.5)) / 1e6).alias("lift"),
+        )
+    )

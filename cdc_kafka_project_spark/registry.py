@@ -96,6 +96,7 @@ _GATE_PRIORITY: list[str] = [
     "purchase_click_attribution",
     "doc_readability",
     "zipf_slope",
+    "brand_copurchase_lift",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",
