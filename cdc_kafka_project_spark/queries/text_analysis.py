@@ -1641,3 +1641,109 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_terms"),
         (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("zipf_slope"),
     )
+
+
+LOGODDS_A0 = 10.0  # total Dirichlet prior mass
+
+
+@query(
+    "source_distinctive_terms",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source,
+               lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sw AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS y_sw
+        FROM toks GROUP BY source, word
+    ),
+    marg AS (
+        SELECT word, CAST(SUM(y_sw) AS BIGINT) AS y_w FROM sw GROUP BY word
+    ),
+    stot AS (
+        SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s FROM sw GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(y_w) AS BIGINT) AS n FROM marg),
+    scored AS (
+        SELECT sw.source, sw.word, sw.y_sw,
+               floor((
+                   ln((sw.y_sw + (10.0 * marg.y_w / CAST(tot.n AS DOUBLE)))
+                      / (stot.n_s + 10.0 - sw.y_sw
+                         - (10.0 * marg.y_w / CAST(tot.n AS DOUBLE))))
+                   - ln(((marg.y_w - sw.y_sw)
+                         + (10.0 * marg.y_w / CAST(tot.n AS DOUBLE)))
+                        / ((tot.n - stot.n_s) + 10.0
+                           - (marg.y_w - sw.y_sw)
+                           - (10.0 * marg.y_w / CAST(tot.n AS DOUBLE))))
+               ) / sqrt(1.0 / (sw.y_sw
+                               + (10.0 * marg.y_w / CAST(tot.n AS DOUBLE)))
+                        + 1.0 / ((marg.y_w - sw.y_sw)
+                                 + (10.0 * marg.y_w / CAST(tot.n AS DOUBLE))))
+               * 1e4 + 0.5) / 1e4 AS z
+        FROM sw
+        JOIN marg ON marg.word = sw.word
+        JOIN stot ON stot.source = sw.source
+        CROSS JOIN tot
+    )
+    SELECT source, word, y_sw, z FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY z DESC, word) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: weighted log-odds-ratio with
+    an informative Dirichlet prior (Monroe/Colaresi/Quinn's
+    "Fightin' Words" statistic — the standard answer to "which terms
+    characterize this source vs the rest", robust where raw tf-idf
+    over-rewards rare words). Top 3 terms per source by z-score.
+
+    All inputs are integer counts; the prior, log-odds delta, variance
+    and z follow one identical expression order on both engines with a
+    single floor-form rounding at z. Shape: (source x word) partial
+    agg absorbs the explode; marginals re-aggregate from it (the
+    lang_source_pmi pattern); ranking windows run per source on the
+    |sources| x |vocab| grid.
+    """
+    from cdc_kafka_project_spark.functions import tokens
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.trim("text") != "").select(
+        "source",
+        F.explode(F.transform(tokens("text"), F.lower)).alias("word"),
+    )
+    sw = (
+        toks.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("y_sw"))
+        .persist()
+    )
+    marg = sw.groupBy("word").agg(F.sum("y_sw").alias("y_w"))
+    stot = sw.groupBy("source").agg(F.sum("y_sw").alias("n_s"))
+    tot = marg.agg(F.sum("y_w").alias("n"))
+    j = (
+        sw.join(marg, "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    a0 = F.lit(LOGODDS_A0)
+    aw = a0 * F.col("y_w") / F.col("n").cast("double")
+    y_rest = F.col("y_w") - F.col("y_sw")
+    delta = F.log(
+        (F.col("y_sw") + aw)
+        / (F.col("n_s") + a0 - F.col("y_sw") - aw)
+    ) - F.log(
+        (y_rest + aw)
+        / ((F.col("n") - F.col("n_s")) + a0 - y_rest - aw)
+    )
+    var = 1.0 / (F.col("y_sw") + aw) + 1.0 / (y_rest + aw)
+    z = F.floor(delta / F.sqrt(var) * 1e4 + F.lit(0.5)) / 1e4
+    scored = j.select("source", "word", "y_sw", z.alias("z"))
+    w = Window.partitionBy("source").orderBy(F.col("z").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "word", "y_sw", "z")
+    )

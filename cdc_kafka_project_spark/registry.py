@@ -97,6 +97,7 @@ _GATE_PRIORITY: list[str] = [
     "doc_readability",
     "zipf_slope",
     "brand_copurchase_lift",
+    "source_distinctive_terms",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",
