@@ -320,3 +320,70 @@ def gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("rev") * 100 + F.lit(0.5)) / 100).alias("observed"),
         (F.floor(interp * 100 + F.lit(0.5)) / 100).alias("interp_revenue"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "user_spend_ewma",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, value, ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    series AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+        FROM p GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_purchases,
+           floor(list_reduce(xs, (acc, x) ->
+                 acc * {1.0 - EWMA_ALPHA} + x * {EWMA_ALPHA})
+                 * 1e6 + 0.5) / 1e6 AS ewma_spend
+    FROM series
+    """,
+)
+def user_spend_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of purchase
+    value — a RECURSIVE (non-associative) per-key computation:
+    s_0 = x_0, s_i = (1-a)*s_{{i-1}} + a*x_i in strict event order.
+    No window frame or aggregate expresses this, so it is the
+    canonical applyInPandas use case: one key-partitioned shuffle,
+    then an ordered fold per user inside the Arrow batch.
+
+    The oracle folds the same series with DuckDB's list_reduce —
+    identical seed and operation ORDER, so IEEE arithmetic agrees
+    bit-for-bit and only one floor-form rounding is needed. This row
+    pins that the engine's grouped-Python surface computes exactly
+    the declared recursion, not an approximation (pandas ewm's
+    adjust=True default, for instance, is a DIFFERENT formula).
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "value", "ts", "event_id")
+
+    a = EWMA_ALPHA
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        s = None
+        for x in pdf["value"].astype(float):
+            s = x if s is None else (1.0 - a) * s + a * x
+        import math
+
+        ewma = math.floor(s * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_purchases": [len(pdf)],
+                "ewma_spend": [ewma],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold, "user_id long, n_purchases long, ewma_spend double"
+    )

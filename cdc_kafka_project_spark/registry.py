@@ -98,6 +98,7 @@ _GATE_PRIORITY: list[str] = [
     "zipf_slope",
     "brand_copurchase_lift",
     "source_distinctive_terms",
+    "user_spend_ewma",
     "embedding_binary_quantize",
     "similarity_hamming_rerank",
     "bpe_merge_ranks",
