@@ -235,3 +235,47 @@ def test_denormalize_fact_shuffles_at_most_once(spark, queries):
     assert not s["cartesian"]
     # big-big join: <= 2 exchanges (one per side); broadcasts add none
     assert count_exchanges(df) <= 2, s
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark, queries):
+    """The eval set must broadcast (it's a benchmark, not a corpus):
+    no sort-merge join, no corpus-wide key exchange for the scoring."""
+    df = _q(queries, spark, "semantic_decontaminate")
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
+    # one exchange for the final per-vector max agg is allowed;
+    # anything more means the eval side stopped broadcasting
+    assert s["exchanges"] <= 2, s
+
+
+def test_hamming_rerank_no_corpus_shuffle(spark, queries):
+    """Tier 1 keeps candidates via TakeOrdered per partition — the
+    corpus is never exchanged on a key."""
+    from cdc_kafka_project_spark.plans import formatted_plan
+
+    df = _q(queries, spark, "similarity_hamming_rerank")
+    p = formatted_plan(df)
+    assert "TakeOrderedAndProject" in p
+    s = plan_summary(df)
+    assert s["sort_merge_joins"] == 0 and not s["cartesian"]
+
+
+def test_attribution_single_user_exchange(spark, queries):
+    """Clicks and purchases ride ONE user-keyed window: exactly one
+    key exchange, no join in the plan at all."""
+    df = _q(queries, spark, "purchase_click_attribution")
+    s = plan_summary(df)
+    assert s["exchanges"] == 1, s
+    assert s["broadcast_joins"] == 0 and s["sort_merge_joins"] == 0
+
+
+def test_binary_quantize_zero_shuffle(spark, queries):
+    df = _q(queries, spark, "embedding_binary_quantize")
+    assert count_exchanges(df) == 0
+
+
+def test_token_quota_sample_single_source_exchange(spark, queries):
+    df = _q(queries, spark, "source_token_quota_sample")
+    s = plan_summary(df)
+    assert s["exchanges"] == 1, s
