@@ -477,3 +477,46 @@ def test_bin_overlap_join_equals_brute_force(spark, intervals, width):
         if sa <= sb + db and sb <= sa + da
     )
     assert got == want
+
+
+@given(
+    payloads=st.lists(
+        st.one_of(
+            st.text(max_size=60),
+            st.text(max_size=40).map(lambda s: "{" + s),
+            st.sampled_from(
+                [
+                    "null",
+                    "[]",
+                    '{"op": 7}',
+                    '{"after": "notastruct", "op": "c"}',
+                    '{"before": {}, "after": {}, "op": "U", "ts_ms": "x"}',
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_debezium_decode_never_crashes_and_routes_corruption(spark, payloads):
+    """Fuzz the Debezium decoder: ANY value bytes either decode to a
+    typed event or come out with op IS NULL (the DLQ route) — never an
+    exception, never a silently fabricated op code."""
+    from pyspark.sql.types import StructType
+
+    from cdc_kafka_project_spark.streaming.kafka_io import decode_debezium
+
+    row_schema = StructType.fromDDL("emp_id long, salary long")
+    raw = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(payloads)],
+        "key string, value string",
+    )
+    out = decode_debezium(raw, row_schema).collect()
+    assert len(out) == len(payloads)
+    for r in out:
+        assert r["op"] is None or isinstance(r["op"], str)
+        if r["op"] is None:
+            # corrupt: entire event nulled, original bytes preserved
+            assert r["row"] is None and r["ts_ms"] is None
+            assert r["raw_value"] is not None
