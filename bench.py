@@ -124,6 +124,12 @@ HEADLINE = [
     "event_props_variant",
     "session_window_native",
     "unpivot_lineitem_measures",
+    # round-5 statistics batch
+    "price_qty_regression",
+    "customer_rfm_segments",
+    "event_transition_matrix",
+    "hopping_event_counts",
+    "bloom_semi_join_revenue",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Broadcast Bloom-filter semi-join prefilter.
+
+The 100 TB problem: a semi-join ``fact WHERE key IN (SELECT key FROM
+dim WHERE ...)`` shuffles the *entire* fact table on the join key even
+when the qualifying dim keys would reject 95% of fact rows. Spark's
+own runtime row-level filtering (``spark.sql.optimizer.runtime.
+bloomFilter.enabled``) injects exactly this prefilter for JVM plans;
+this module is the explicit, plannable DataFrame form — useful when
+you want the filter *guaranteed* (the runtime injection is
+cost-based) or want to persist/reuse the filter across queries.
+
+Shape: the dim side collapses to ONE row holding a bit-packed
+``map<long, long>`` (word index -> 64-bit word; at most
+``num_bits/64`` entries, independent of dim cardinality).  That row
+broadcasts, and membership is a pure JVM expression (xxhash64 + array
+lookup + bitwise AND) evaluated scan-side — before any exchange.
+Bloom "maybe" hits then flow into the exact semi-join, so the final
+result is exact; the filter only shrinks what reaches the shuffle.
+
+No counterpart in the reference (it joins nothing —
+``consumer.py:42-58`` processes rows one at a time); this is the
+scale-path operator a Spark re-architecture adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: default filter geometry: 2^16 bits / 3 hashes ≈ 1.5% false-positive
+#: rate at ~5k keys (m/n ≈ 13 bits per key). Size up with the dim.
+NUM_BITS = 1 << 16
+SEEDS = (11, 23, 47)
+
+def _powers() -> Column:
+    """element_at(_powers(), bit+1) == 1 << bit for bit in 0..63, without
+    needing a column-valued shiftleft. 1<<63 wraps to LONG_MIN (the sign
+    bit) — that is the correct 64th mask for signed-long bitwise AND.
+    Built lazily: F.lit needs an active SparkContext."""
+    return F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+
+
+def _positions(key: Column, num_bits: int, seeds: tuple[int, ...]) -> list[Column]:
+    """The k bit positions for a key (one xxhash64 per seed)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(s)), F.lit(num_bits)).cast("long")
+        for s in seeds
+    ]
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = NUM_BITS,
+    seeds: tuple[int, ...] = SEEDS,
+) -> DataFrame:
+    """Aggregate a key column into a one-row bloom bitmap.
+
+    Returns a single-row DataFrame with column ``bloom_bits:
+    map<long,long>`` — word index -> OR of set-bit masks. The build is
+    one hash-aggregate over the (already filtered) dim keys: explode
+    k positions per key, group by word index, ``bit_or`` the masks.
+    At most ``num_bits/64`` groups exist, so the final collect into a
+    map is O(filter size), never O(dim rows).
+    """
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_positions(key, num_bits, seeds))).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word_idx"),
+            F.element_at(
+                _powers(), (F.col("pos") % 64).cast("int") + F.lit(1)
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return words.agg(
+        F.map_from_arrays(
+            F.collect_list("word_idx"), F.collect_list("word")
+        ).alias("bloom_bits")
+    )
+
+
+def might_contain(
+    bloom_bits: Column,
+    key: Column,
+    num_bits: int = NUM_BITS,
+    seeds: tuple[int, ...] = SEEDS,
+) -> Column:
+    """Membership test: true iff every seed's bit is set.
+
+    No false negatives by construction (same hash family as
+    ``build_bloom``); false positives at the filter's design rate —
+    callers needing exactness follow with the exact semi-join on the
+    survivors.
+    """
+    test = F.lit(True)
+    for p in _positions(key, num_bits, seeds):
+        word = F.coalesce(
+            F.element_at(bloom_bits, F.shiftright(p, 6)), F.lit(0).cast("long")
+        )
+        mask = F.element_at(_powers(), (p % 64).cast("int") + F.lit(1))
+        test = test & (word.bitwiseAND(mask) != 0)
+    return test
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = NUM_BITS,
+    seeds: tuple[int, ...] = SEEDS,
+) -> DataFrame:
+    """Exact semi-join with a broadcast bloom prefilter on the fact side.
+
+    Plan shape: dim keys -> one-row bitmap -> broadcast nested-loop
+    (1 row, i.e. free) -> scan-side ``might_contain`` filter -> exact
+    ``left_semi`` join over the ~FPR-sized remainder. The fact rows
+    that reach the semi-join exchange are the true matches plus the
+    false-positive trickle, not the whole table.
+    """
+    bloom = F.broadcast(build_bloom(dim_keys, dim_key, num_bits, seeds))
+    prefiltered = fact.join(bloom, how="cross").filter(
+        might_contain(F.col("bloom_bits"), F.col(fact_key), num_bits, seeds)
+    ).drop("bloom_bits")
+    return prefiltered.join(
+        dim_keys.select(F.col(dim_key)),
+        on=prefiltered[fact_key] == F.col(dim_key),
+        how="left_semi",
+    )

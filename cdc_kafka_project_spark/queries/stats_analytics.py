@@ -1,0 +1,610 @@
+"""Statistical analytics: regression aggregates, RFM segmentation,
+Markov transitions, Benford audit, chi-square independence,
+autocorrelation, hopping windows, and the bloom-prefiltered semi-join.
+
+The reference engine has no statistics surface at all (its only
+aggregate is the per-department running SUM, ``pdf p.4-6`` /
+SURVEY.md §2 #26); these are the queries an analytics re-architecture
+adds once the engine speaks full SQL. Every float result follows the
+repo's determinism recipe: exact DECIMAL sums (order-independent under
+any partitioning), then ONE closed-form double expression written with
+the identical operation tree on both the Spark and DuckDB sides, then
+floor-form rounding — so hashes match bit-for-bit regardless of
+parallelism.
+
+Scale notes are per-query; the common theme is that every global sort
+or single-partition window here runs on an *aggregate* (days, digits,
+customer rollups, contingency cells), never on the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import dsum
+from cdc_kafka_project_spark.operators.bloom import bloom_semi_join
+from cdc_kafka_project_spark.registry import query
+
+
+def _round6(col: F.Column) -> F.Column:
+    """Portable half-up rounding to 6dp (floor-form, both engines)."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+_ROUND6 = "floor({} * 1e6 + 0.5) / 1e6"
+
+
+# ---------------------------------------------------------------------------
+# OLS regression aggregate (closed form from exact sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "price_qty_regression",
+    oracle="""
+    WITH xy AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(19,6)) AS x,
+               CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM xy GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+               AS slope,
+           floor((sy * sxx - sx * sxy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+               AS intercept,
+           floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6
+               AS r2
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit of extended price on quantity: slope,
+    intercept, R² from the closed-form normal equations.
+
+    This is the scalable form of a regression aggregate: six exact
+    decimal sums with full map-side partial aggregation (one shuffle of
+    |groups| rows carrying six numbers each — the same cost as a plain
+    SUM), then the fit happens per group in closed form. Spark's own
+    ``regr_slope`` family computes the identical algebra but in
+    streaming float64 (order-dependent); the decimal-sums form is what
+    survives a 1000-executor repartition bit-identically. DECIMAL(19,6)
+    operands keep the x*y product at width 38 — exact in both
+    engines, no 38-digit overflow truncation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    xy = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(19,6)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(19,6)").alias("y"),
+    )
+    s = xy.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        _round6(num / den).alias("slope"),
+        _round6((sy * sxx - sx * sxy) / den).alias("intercept"),
+        _round6(num * num / (den * (n * syy - sy * sy))).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH ca AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                              (SELECT MAX(CAST(o_orderdate AS DATE))
+                               FROM orders)) AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days ASC, custkey)
+                    AS INTEGER) AS r_score,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey)
+                    AS INTEGER) AS f_score,
+               CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey)
+                    AS INTEGER) AS m_score
+        FROM ca
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+               || '-' || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    vs the corpus max date), frequency (order count), monetary (exact
+    total spend), each quartile-scored with ntile(4), concatenated into
+    a '1-4-2'-style segment label.
+
+    Ties break on custkey so every ntile is a total order — the same
+    rows land in the same quartile on any engine. Scale: the ntile
+    windows run on the CUSTOMER AGGREGATE (orders collapse first, one
+    map-side-combined shuffle); the global sort is |customers| rows of
+    four columns. At extreme customer counts the drop-in replacement is
+    approx-quantile boundaries + a broadcast range join, trading exact
+    quartile boundaries for no global sort — same output schema.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ca = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    ca = ca.join(F.broadcast(gmax), how="cross").select(
+        "custkey",
+        F.datediff("gmax", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    scored = ca.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), "custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over the event stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           {_ROUND6.format(
+               "CAST(n_transitions AS DOUBLE) / CAST(SUM(n_transitions) "
+               "OVER (PARTITION BY from_type) AS DOUBLE)"
+           )} AS prob
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    sequence: P(next event type | current event type).
+
+    The lead() window partitions by user_id — a plain hash shuffle, no
+    global sort, no skew beyond the busiest user. Pair counting is a
+    map-side-combined groupBy over |types|² keys; the probability
+    normalization window runs on the tiny transition matrix itself.
+    Sequence order ties break on event_id so simultaneous events
+    linearize identically everywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        _round6(
+            F.col("n_transitions").cast("double") / total.cast("double")
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "benford_price_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    w AS (
+        SELECT digit, n, CAST(SUM(n) OVER () AS DOUBLE) AS total,
+               {_ROUND6.format("ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)")}
+                   AS expected_p
+        FROM counts
+    )
+    SELECT digit, n,
+           {_ROUND6.format("CAST(n AS DOUBLE) / total")} AS observed_p,
+           expected_p,
+           {_ROUND6.format(
+               "(CAST(n AS DOUBLE) - expected_p * total)"
+               " * (CAST(n AS DOUBLE) - expected_p * total)"
+               " / (expected_p * total)"
+           )} AS chi2_term
+    FROM w
+    ORDER BY digit
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: leading-digit distribution
+    vs log10(1+1/d), with per-digit chi-square contributions. Synthetic
+    or fabricated monetary columns show up as a flat digit histogram
+    with huge chi2 terms — a one-scan data-quality tripwire.
+
+    The digit extraction goes through exact integer cents (floor-form
+    half-up, then the first character of the decimal rendering) so no
+    engine-specific float formatting or log10-on-a-boundary is
+    involved. One map-side-combined groupBy over 9 keys; the window
+    total runs on 9 rows. expected_p is ln-based and rounded to 6dp
+    BEFORE the chi2 arithmetic, keeping every downstream double op on
+    identical inputs in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.select(
+        "digit",
+        "n",
+        F.sum("n").over(Window.partitionBy()).cast("double").alias("total"),
+        _round6(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            / F.log(F.lit(10.0))
+        ).alias("expected_p"),
+    )
+    nd = F.col("n").cast("double")
+    e_cnt = F.col("expected_p") * F.col("total")
+    return w.select(
+        "digit",
+        "n",
+        _round6(nd / F.col("total")).alias("observed_p"),
+        "expected_p",
+        _round6((nd - e_cnt) * (nd - e_cnt) / e_cnt).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (contingency table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_chi2",
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT priority, status, n,
+               CAST(SUM(n) OVER (PARTITION BY priority) AS DOUBLE) AS row_tot,
+               CAST(SUM(n) OVER (PARTITION BY status) AS DOUBLE) AS col_tot,
+               CAST(SUM(n) OVER () AS DOUBLE) AS grand_tot
+        FROM cells
+    ),
+    e AS (
+        SELECT priority, status, n,
+               {_ROUND6.format("row_tot * col_tot / grand_tot")} AS expected
+        FROM tot
+    )
+    SELECT priority, status, n, expected,
+           {_ROUND6.format(
+               "(CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)"
+               " / expected"
+           )} AS chi2_term
+    FROM e
+    ORDER BY priority, status
+    """,
+)
+def order_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for order priority × status:
+    observed count, expected count under independence, and the per-cell
+    chi2 contribution (sum them for the test statistic).
+
+    One fact-table groupBy over |priority|×|status| keys (map-side
+    combined); the three marginal windows run on the contingency table
+    itself (≤ a few dozen rows), so marginals cost nothing at any
+    scale. Expected counts round to 6dp before the chi2 arithmetic —
+    the same two-step determinism as the Benford audit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.select(
+        "priority",
+        "status",
+        "n",
+        F.sum("n").over(Window.partitionBy("priority")).cast("double").alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("status")).cast("double").alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).cast("double").alias("grand_tot"),
+    )
+    e = tot.select(
+        "priority",
+        "status",
+        "n",
+        _round6(F.col("row_tot") * F.col("col_tot") / F.col("grand_tot")).alias(
+            "expected"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    return e.select(
+        "priority",
+        "status",
+        "n",
+        "expected",
+        _round6((nd - F.col("expected")) * (nd - F.col("expected")) / F.col("expected")).alias(
+            "chi2_term"
+        ),
+    ).orderBy("priority", "status")
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "daily_revenue_acf",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS DECIMAL(19,2))
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    led AS (
+        SELECT rev AS x,
+               lead(rev, 1) OVER (ORDER BY d) AS y1,
+               lead(rev, 2) OVER (ORDER BY d) AS y2,
+               lead(rev, 3) OVER (ORDER BY d) AS y3
+        FROM daily
+    ),
+    pairs AS (
+        SELECT 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT 2 AS lag, x, y2 AS y FROM led WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT 3 AS lag, x, y3 AS y FROM led WHERE y3 IS NOT NULL
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1e6 + 0.5) / 1e6 AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1–3:
+    Pearson correlation between the series and its k-step lead, over
+    the date-ordered sequence of observed days.
+
+    Scale shape: 100 TB of orders collapses to |days| exact-decimal
+    aggregate rows FIRST (one map-side-combined shuffle); the lead
+    window and the correlation sums run on that tiny series (the same
+    aggregate-then-window contract as ``gapfill_daily_revenue``).
+    DECIMAL(19,2) keeps x*y at width 38 (int128 internally) — exact in both engines —
+    and sqrt is IEEE-correctly-rounded everywhere, so one final double
+    expression rounds identically.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(19,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("d")
+    led = daily.select(
+        F.col("rev").alias("x"),
+        F.lead("rev", 1).over(w).alias("y1"),
+        F.lead("rev", 2).over(w).alias("y2"),
+        F.lead("rev", 3).over(w).alias("y3"),
+    )
+    pairs = led.selectExpr(
+        "stack(3, 1, x, y1, 2, x, y2, 3, x, y3) AS (lag, x, y)"
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "lag",
+        "n_pairs",
+        _round6(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hopping_event_counts",
+    oracle="""
+    WITH occ AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws,
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM occ GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation: 2-hour windows sliding every hour
+    (each event lands in exactly size/hop = 2 windows), via Spark's
+    native ``window()`` generator — the batch twin of the streaming
+    sliding-window agg.
+
+    The oracle proves the semantics from first principles: a 2h/1h hop
+    assigns an event at t to window starts {trunc_hour(t),
+    trunc_hour(t)-1h} — two shifted tumbling aggregations unioned.
+    Spark's generator does the same expansion before the hash
+    aggregate, so cost is size/hop × the tumbling agg, map-side
+    combined, no window function and no sort at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (scale pattern; exact result)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bloom_semi_join_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from line items of urgent orders, via the broadcast
+    bloom-prefiltered semi-join (``operators/bloom.py``): the urgent
+    orderkeys collapse to a one-row bit-packed bitmap, broadcast, and
+    tested scan-side with pure JVM expressions (xxhash64 + bitwise AND)
+    BEFORE the exchange — so the exact left-semi join only shuffles the
+    true matches plus the ~1.5% false-positive trickle, not the whole
+    fact table. The oracle is the plain IN-subquery semi-join: the
+    bloom tier must be invisible in the result (no false negatives by
+    construction, false positives removed by the exact join).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    matched = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )

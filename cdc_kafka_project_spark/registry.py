@@ -59,6 +59,7 @@ def load_all() -> None:
         pipeline,
         retrieval,
         temporal,
+        stats_analytics,
     )
 
 
@@ -79,6 +80,14 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "price_qty_regression",
+    "customer_rfm_segments",
+    "event_transition_matrix",
+    "benford_price_audit",
+    "order_priority_chi2",
+    "daily_revenue_acf",
+    "hopping_event_counts",
+    "bloom_semi_join_revenue",
     "cdc_debezium_roundtrip",
     "asof_join_cogrouped",
     "key_skew_report",

