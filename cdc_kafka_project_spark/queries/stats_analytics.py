@@ -608,3 +608,117 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM scale twin: quantile boundaries instead of a global ntile sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_rfm_quantile_scores",
+    oracle="""
+    WITH ca AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                              (SELECT MAX(CAST(o_orderdate AS DATE))
+                               FROM orders)) AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT
+          floor(quantile_cont(recency_days, 0.25) * 1e6 + 0.5) / 1e6 AS rq1,
+          floor(quantile_cont(recency_days, 0.50) * 1e6 + 0.5) / 1e6 AS rq2,
+          floor(quantile_cont(recency_days, 0.75) * 1e6 + 0.5) / 1e6 AS rq3,
+          floor(quantile_cont(frequency, 0.25) * 1e6 + 0.5) / 1e6 AS fq1,
+          floor(quantile_cont(frequency, 0.50) * 1e6 + 0.5) / 1e6 AS fq2,
+          floor(quantile_cont(frequency, 0.75) * 1e6 + 0.5) / 1e6 AS fq3,
+          floor(quantile_cont(monetary, 0.25) * 1e6 + 0.5) / 1e6 AS mq1,
+          floor(quantile_cont(monetary, 0.50) * 1e6 + 0.5) / 1e6 AS mq2,
+          floor(quantile_cont(monetary, 0.75) * 1e6 + 0.5) / 1e6 AS mq3
+        FROM ca
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(1 + CAST(recency_days > rq1 AS INTEGER)
+                  + CAST(recency_days > rq2 AS INTEGER)
+                  + CAST(recency_days > rq3 AS INTEGER) AS INTEGER) AS r_score,
+           CAST(1 + CAST(frequency < fq3 AS INTEGER)
+                  + CAST(frequency < fq2 AS INTEGER)
+                  + CAST(frequency < fq1 AS INTEGER) AS INTEGER) AS f_score,
+           CAST(1 + CAST(monetary < mq3 AS INTEGER)
+                  + CAST(monetary < mq2 AS INTEGER)
+                  + CAST(monetary < mq1 AS INTEGER) AS INTEGER) AS m_score
+    FROM ca CROSS JOIN q
+    """,
+)
+def customer_rfm_quantile_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for RFM scoring: quartile BOUNDARIES (one tiny
+    percentile aggregate, broadcast back) instead of ``ntile(4)``'s
+    global single-partition sort.
+
+    ``customer_rfm_segments`` is the exact-quartile form; its ntile
+    windows move every customer row through one partition. This twin
+    computes the three cut points per metric in a regular (fully
+    combinable) aggregate and scores each customer with three
+    comparisons against the broadcast boundaries — no WindowExec
+    anywhere in the plan (pinned in tests), so it scales to any
+    customer count. Semantic difference, documented: equal metric
+    values always land in the same bucket (ties never straddle a
+    boundary), so bucket sizes are only approximately N/4 under heavy
+    ties — the standard trade for sort-free segmentation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ca = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    ca = ca.join(F.broadcast(gmax), how="cross").select(
+        "custkey",
+        F.datediff("gmax", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    q = ca.agg(
+        *[
+            _round6(F.expr(f"percentile({col}, {p})")).alias(f"{pre}q{i}")
+            for col, pre in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    scored = ca.join(F.broadcast(q), how="cross")
+    one = F.lit(1)
+
+    def up(col, q1, q2, q3):  # score 1 = smallest values
+        return (
+            one
+            + (F.col(col) > F.col(q1)).cast("int")
+            + (F.col(col) > F.col(q2)).cast("int")
+            + (F.col(col) > F.col(q3)).cast("int")
+        ).cast("int")
+
+    def down(col, q1, q2, q3):  # score 1 = largest values
+        return (
+            one
+            + (F.col(col) < F.col(q3)).cast("int")
+            + (F.col(col) < F.col(q2)).cast("int")
+            + (F.col(col) < F.col(q1)).cast("int")
+        ).cast("int")
+
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        up("recency_days", "rq1", "rq2", "rq3").alias("r_score"),
+        down("frequency", "fq1", "fq2", "fq3").alias("f_score"),
+        down("monetary", "mq1", "mq2", "mq3").alias("m_score"),
+    )

@@ -60,6 +60,7 @@ def load_all() -> None:
         retrieval,
         temporal,
         stats_analytics,
+        graph,
     )
 
 
@@ -80,6 +81,8 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "pagerank_brand_copurchase",
+    "customer_rfm_quantile_scores",
     "price_qty_regression",
     "customer_rfm_segments",
     "event_transition_matrix",

@@ -230,3 +230,56 @@ def test_regression_partition_invariant(spark):
     assert re  # smoke: partial path executes
     again = price_qty_regression(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_rfm_quantile_twin_has_no_window(spark):
+    """Plan pin for the scale claim: boundary scoring needs no
+    WindowExec (the ntile twin's single-partition sort is gone)."""
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        customer_rfm_quantile_scores,
+    )
+
+    df = customer_rfm_quantile_scores(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = df.collect()
+    assert rows and all(
+        1 <= r[c] <= 4 for r in rows for c in ("r_score", "f_score", "m_score")
+    )
+    # the biggest spender is in the top monetary bucket
+    top = max(rows, key=lambda r: r["monetary"])
+    assert top["m_score"] == 1
+
+
+def test_rfm_twins_agree_up_to_tie_handling(spark):
+    """The ntile and boundary forms may only disagree on tied metric
+    values (ties can straddle an ntile cut but never a boundary)."""
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        customer_rfm_quantile_scores,
+        customer_rfm_segments,
+    )
+
+    exact = {
+        r["custkey"]: r
+        for r in customer_rfm_segments(spark, SF_SMOKE).collect()
+    }
+    fast = customer_rfm_quantile_scores(spark, SF_SMOKE).collect()
+    # monetary is continuous (essentially tie-free): scores must agree
+    # for all but a boundary-adjacent handful
+    diff = sum(
+        1 for r in fast if r["m_score"] != exact[r["custkey"]]["m_score"]
+    )
+    assert diff <= max(3, len(fast) // 100)
+
+
+def test_pagerank_mass_and_order(spark):
+    from cdc_kafka_project_spark.queries.graph import (
+        pagerank_brand_copurchase,
+    )
+
+    rows = pagerank_brand_copurchase(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["pagerank"] for r in rows)
+    # damped rank mass stays near 1 (small leak from rounding/dangling)
+    assert abs(total - 1.0) < 0.05
+    assert all(r["pagerank"] > 0 for r in rows)
