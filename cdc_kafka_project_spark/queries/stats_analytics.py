@@ -722,3 +722,109 @@ def customer_rfm_quantile_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         down("frequency", "fq1", "fq2", "fq3").alias("f_score"),
         down("monetary", "mq1", "mq2", "mq3").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality decomposition (trend / day-of-week seasonal / residual)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_seasonality_decomp",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                    AS DECIMAL(19,2)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, rev,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN floor(CAST(SUM(rev) OVER w AS DOUBLE) / 7.0
+                               * 1e6 + 0.5) / 1e6
+               END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT d, rev, trend, CAST(isodow(d) AS INTEGER) AS dow,
+               CAST(rev AS DOUBLE) - trend AS detrended
+        FROM tr
+    ),
+    seas AS (
+        SELECT dow,
+               floor(CAST(SUM(CAST(detrended AS DECIMAL(25,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS seasonal
+        FROM det WHERE detrended IS NOT NULL GROUP BY dow
+    )
+    SELECT strftime(det.d, '%Y-%m-%d') AS day,
+           CAST(det.rev AS DOUBLE) AS revenue,
+           det.trend,
+           det.dow,
+           seas.seasonal,
+           floor((det.detrended - seas.seasonal) * 1e6 + 0.5) / 1e6
+               AS residual
+    FROM det JOIN seas ON det.dow = seas.dow
+    ORDER BY day
+    """,
+)
+def revenue_seasonality_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily-revenue series:
+    trend = 7-day centered moving average (full windows only), seasonal
+    = mean detrended value per ISO day-of-week, residual = what's left.
+    Flat residuals + a strong weekly seasonal is healthy retail; a
+    residual spike is an anomaly candidate (feed to the MAD tier).
+
+    Scale: the fact table collapses to |days| exact-decimal rows before
+    any window — the moving average, the per-dow means, and the final
+    join all run on the aggregated series (the `gapfill`/`acf`
+    contract). Determinism: the MA divides an exact decimal window sum;
+    detrended values re-enter decimal before the per-dow mean; every
+    emitted double is floor-rounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(19,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "rev",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            _round6(F.sum("rev").over(w).cast("double") / F.lit(7.0)),
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "d",
+        "rev",
+        "trend",
+        (F.weekday("d") + F.lit(1)).cast("int").alias("dow"),
+        (F.col("rev").cast("double") - F.col("trend")).alias("detrended"),
+    )
+    seas = (
+        det.filter(F.col("detrended").isNotNull())
+        .groupBy("dow")
+        .agg(
+            _round6(
+                F.sum(F.col("detrended").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), on="dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("rev").cast("double").alias("revenue"),
+            "trend",
+            "dow",
+            "seasonal",
+            _round6(F.col("detrended") - F.col("seasonal")).alias("residual"),
+        )
+        .orderBy("day")
+    )

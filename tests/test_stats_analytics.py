@@ -283,3 +283,26 @@ def test_pagerank_mass_and_order(spark):
     # damped rank mass stays near 1 (small leak from rounding/dangling)
     assert abs(total - 1.0) < 0.05
     assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_seasonality_decomposition_reconstructs(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        revenue_seasonality_decomp,
+    )
+
+    rows = revenue_seasonality_decomp(spark, SF_SMOKE).collect()
+    assert rows
+    # first/last 3 days have no full centered window
+    assert rows[0]["trend"] is None and rows[-1]["trend"] is None
+    inner = [r for r in rows if r["trend"] is not None]
+    assert inner
+    for r in inner:
+        # decomposition identity up to the rounding grain
+        recon = r["trend"] + r["seasonal"] + r["residual"]
+        assert abs(recon - r["revenue"]) < 1e-4
+        assert 1 <= r["dow"] <= 7
+    # residuals average out near zero per construction
+    mean_resid = sum(r["residual"] for r in inner) / len(inner)
+    assert abs(mean_resid) < max(
+        1.0, 0.05 * max(abs(r["revenue"]) for r in inner)
+    )
