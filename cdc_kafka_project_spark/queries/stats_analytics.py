@@ -828,3 +828,130 @@ def revenue_seasonality_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling windowed median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_median_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                         AS DECIMAL(19,2)) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, rev,
+           floor(quantile_cont(rev, 0.5) OVER
+                     (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 * 1e6 + 0.5) / 1e6 AS med7,
+           CAST(COUNT(*) OVER
+                    (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_in_window
+    FROM daily ORDER BY day
+    """,
+)
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-observation rolling MEDIAN of daily revenue — the
+    robust twin of the moving average in `revenue_seasonality_decomp`
+    (a single spike day shifts the mean for a week but barely moves the
+    median). Exact linear-interpolation percentile evaluated as a
+    window aggregate.
+
+    Scale: same aggregate-series contract as the ACF/gap-fill family —
+    the fact table collapses to |days| rows first; the windowed sort is
+    over ≤7 values per row of a tiny series. Revenue enters the median
+    as an exact-decimal-derived double, so interpolation midpoints are
+    bit-identical across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(19,2)"))
+        .cast("decimal(19,2)")
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "rev",
+        _round6(F.expr("percentile(rev, 0.5)").over(w)).alias("med7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline via windows, not a quadratic self-join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_pareto_frontier",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+               floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS avg_price
+        FROM lineitem GROUP BY l_partkey
+    ),
+    dom AS (
+        SELECT partkey, total_qty, avg_price,
+               MIN(avg_price) OVER (ORDER BY total_qty
+                                    RANGE BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING)
+                   AS best_price_higher_qty,
+               MIN(avg_price) OVER (PARTITION BY total_qty)
+                   AS best_price_same_qty
+        FROM pa
+    )
+    SELECT partkey, total_qty, avg_price,
+           NOT (COALESCE(best_price_higher_qty <= avg_price, FALSE)
+                OR best_price_same_qty < avg_price) AS on_frontier
+    FROM dom
+    """,
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on
+    (maximize total quantity sold, minimize average price). A part is
+    dominated iff some part has ≥ quantity and ≤ price with one strict.
+
+    The naive skyline is a quadratic θ-self-join (BroadcastNestedLoop —
+    a cartesian stall at any scale). The window form is the scalable
+    rewrite: dominance collapses to two aggregates — the best price
+    among STRICTLY-higher-qty parts (one RANGE window over the
+    qty-sorted part aggregate) and the best price at the SAME qty (one
+    hash-partitioned window) — O(n log n) total, no pair blowup.
+    Correctness vs literal pairwise dominance is pinned brute-force in
+    tests; the oracle cross-checks the window algebra on a second
+    engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        _round6(
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_price"),
+    )
+    w_higher = Window.orderBy("total_qty").rangeBetween(
+        1, Window.unboundedFollowing
+    )
+    w_same = Window.partitionBy("total_qty")
+    dom = pa.select(
+        "partkey",
+        "total_qty",
+        "avg_price",
+        F.min("avg_price").over(w_higher).alias("best_price_higher_qty"),
+        F.min("avg_price").over(w_same).alias("best_price_same_qty"),
+    )
+    dominated = F.coalesce(
+        F.col("best_price_higher_qty") <= F.col("avg_price"), F.lit(False)
+    ) | (F.col("best_price_same_qty") < F.col("avg_price"))
+    return dom.select(
+        "partkey", "total_qty", "avg_price", (~dominated).alias("on_frontier")
+    )

@@ -81,6 +81,8 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "rolling_median_revenue",
+    "part_pareto_frontier",
     "revenue_seasonality_decomp",
     "pagerank_brand_copurchase",
     "customer_rfm_quantile_scores",

@@ -306,3 +306,35 @@ def test_seasonality_decomposition_reconstructs(spark):
     assert abs(mean_resid) < max(
         1.0, 0.05 * max(abs(r["revenue"]) for r in inner)
     )
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The window-algebra skyline equals literal pairwise dominance."""
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        part_pareto_frontier,
+    )
+
+    rows = part_pareto_frontier(spark, SF_SMOKE).collect()
+    pts = [(r["partkey"], r["total_qty"], r["avg_price"]) for r in rows]
+    got = {r["partkey"]: r["on_frontier"] for r in rows}
+    for k, q, p in pts:
+        dominated = any(
+            (q2 >= q and p2 <= p and (q2 > q or p2 < p))
+            for k2, q2, p2 in pts
+            if k2 != k
+        )
+        assert got[k] == (not dominated), (k, q, p)
+    assert any(got.values()) and not all(got.values())
+
+
+def test_rolling_median_window_sizes(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        rolling_median_revenue,
+    )
+
+    rows = rolling_median_revenue(spark, SF_SMOKE).collect()
+    assert rows[0]["n_in_window"] == 1
+    assert all(r["n_in_window"] <= 7 for r in rows)
+    assert rows[-1]["n_in_window"] == 7
+    # single-observation window: median == the value
+    assert abs(rows[0]["med7"] - rows[0]["rev"]) < 1e-4
