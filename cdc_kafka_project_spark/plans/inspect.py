@@ -46,11 +46,48 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in simple_plan(df)
 
 
+def dedup_cached_subtrees(p: str) -> str:
+    """Collapse repeated InMemoryRelation bodies in a plan string.
+
+    ``toString`` reprints a cached relation's ENTIRE build plan at every
+    InMemoryTableScan that reads it, so a persisted subtree consumed N
+    times inflates text-based exchange counts by N× even though the
+    build executes once. Keep the first print of each distinct cached
+    relation, drop the repeats (the scan line itself stays)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    skip_indent: int | None = None
+    for line in p.splitlines():
+        indent = len(re.match(r"^[\s:+|-]*", line).group(0))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            # key on the relation text only (tree-glyph prefixes differ
+            # per occurrence); expression ids (#123) are re-numbered per
+            # print of the same cached relation — strip both. Distinct
+            # relations with identical schema+storage conflate, which
+            # only under-counts — fine for a red-flag heuristic.
+            key = re.sub(
+                r"#\d+L?", "#", line[line.index("InMemoryRelation"):]
+            )
+            out.append(line)
+            if key in seen:
+                skip_indent = indent
+            else:
+                seen.add(key)
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges (broadcast exchanges excluded).
     Each one is a full materialize-and-repartition of its input — the
-    unit of cost to minimize at 100 TB."""
-    p = simple_plan(df)
+    unit of cost to minimize at 100 TB. A persisted subtree's
+    exchanges count once (its build runs once), not once per reuse."""
+    p = dedup_cached_subtrees(simple_plan(df))
     return len(re.findall(r"\bExchange (?:hash|range|RoundRobin|Single)", p))
 
 
@@ -59,7 +96,7 @@ def count_key_exchanges(df: DataFrame) -> int:
     exchanges whose cost scales with key cardinality and skew.
     Round-robin re-splits (functions.spread on an under-partitioned
     local file; a no-op on pre-split cluster inputs) are excluded."""
-    p = simple_plan(df)
+    p = dedup_cached_subtrees(simple_plan(df))
     return len(re.findall(r"\bExchange (?:hash|range)partitioning", p))
 
 

@@ -96,13 +96,20 @@ def pagerank_brand_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = ob.select("brand").distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     a, b = ob.alias("a"), ob.alias("b")
+    # edge aggregate persisted once: every iteration re-reads it, and
+    # without the persist the whole fact-table lineage (scan + distinct
+    # + pair join) replays per iteration — the plan audit showed 49
+    # exchanges unpersisted vs a handful with the materialized edges.
+    # At cluster scale this is "checkpoint the edge list, iterate on it".
     e = (
         a.join(b, (F.col("a.okey") == F.col("b.okey"))
                & (F.col("a.brand") != F.col("b.brand")))
         .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
     )
-    wout = e.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    wout = e.groupBy("src").agg(F.sum("w").cast("long").alias("wout")).persist()
+    nodes = nodes.persist()
 
     def round6(c):
         return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
@@ -128,7 +135,7 @@ def pagerank_brand_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         r = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(s, nodes.brand == s.dst, "left")
+            .join(F.broadcast(s), nodes.brand == s.dst, "left")
             .select(
                 "brand",
                 round6(

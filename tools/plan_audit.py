@@ -52,12 +52,29 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep
             failures.append((name, str(e).splitlines()[0][:160]))
 
+    # Iterative algorithms legitimately exceed the chatty-plan bar:
+    # their per-iteration exchanges run on small aggregates (ranks,
+    # frontier sets), not the fact table. Listed here WITH the scale
+    # argument so the exemption is auditable, not silent.
+    ITERATIVE_EXEMPT = {
+        "pagerank_brand_copurchase": (
+            "3 damped iterations x (broadcast rank join + |brands|-row "
+            "agg) over the persisted edge aggregate; the one fact-table "
+            "shuffle builds the edges"
+        ),
+    }
+
     flags = []
+    noted = []
     for s in rows:
         if s["cartesian"]:
             flags.append((s["name"], "cartesian product"))
         if s["exchanges"] > 8:
-            flags.append((s["name"], f"{s['exchanges']} exchanges"))
+            if s["name"] in ITERATIVE_EXEMPT:
+                noted.append((s["name"], s["exchanges"],
+                              ITERATIVE_EXEMPT[s["name"]]))
+            else:
+                flags.append((s["name"], f"{s['exchanges']} exchanges"))
 
     with open(out_path, "w") as f:
         f.write(
@@ -69,6 +86,11 @@ def main() -> int:
             f.write("## Red flags\n\n")
             for n, why in flags:
                 f.write(f"- **{n}**: {why}\n")
+            f.write("\n")
+        if noted:
+            f.write("## Exempt (iterative; rationale recorded)\n\n")
+            for n, ex, why in noted:
+                f.write(f"- **{n}** ({ex} exchanges): {why}\n")
             f.write("\n")
         if failures:
             f.write("## Build failures\n\n")
