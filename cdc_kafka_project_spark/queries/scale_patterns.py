@@ -1246,3 +1246,116 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_intersection"),
         "exact_intersection",
     )
+
+
+@query(
+    "lateral_topk_per_customer",
+    oracle="""
+    SELECT c.c_custkey AS custkey, l.o_orderkey AS orderkey,
+           l.o_totalprice AS totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) l
+    """,
+)
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    SQL:1999 form of top-k-per-group; Spark 4 and DuckDB both speak
+    it). Catalyst DECORRELATES the subquery — the executed plan is the
+    same rank-window-over-join shape as `window_topn_per_group`, not
+    |customers| subquery executions, so the SQL surface costs nothing
+    extra at scale. Customers with no orders drop (CROSS JOIN LATERAL
+    semantics on an empty correlated result)."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, l.o_orderkey AS orderkey,
+               l.o_totalprice AS totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) l
+        """
+    )
+
+
+#: sparsification threshold for the recursive-reachability edge set:
+#: keep co-purchase edges seen in at least this many orders
+REACH_MIN_W = 2
+REACH_MAX_HOPS = 3
+
+
+@query(
+    "recursive_brand_reachability",
+    oracle=f"""
+    WITH RECURSIVE reach(brand, hop) AS (
+        SELECT MIN(p_brand), 0 FROM part
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN (
+            SELECT a.brand AS src, b.brand AS dst
+            FROM (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) a
+                 JOIN
+                 (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) b
+                 ON a.okey = b.okey AND a.brand <> b.brand
+            GROUP BY a.brand, b.brand
+            HAVING COUNT(*) >= {REACH_MIN_W}
+        ) e ON e.src = r.brand
+        WHERE r.hop < {REACH_MAX_HOPS}
+    )
+    SELECT brand, CAST(MIN(hop) AS INTEGER) AS min_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY brand ORDER BY brand
+    """,
+)
+def recursive_brand_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) doing a bounded BFS:
+    minimum hop count and path count from the lexicographically first
+    brand over the sparsified co-purchase graph (edges seen in ≥
+    {REACH_MIN_W} orders), paths capped at {REACH_MAX_HOPS} hops.
+
+    The edge set is materialized to a temp view FIRST (one fact-table
+    aggregation) so each recursive step joins the frontier against the
+    tiny edge table — the same persist-then-iterate contract as
+    `pagerank_brand_copurchase`; the recursion itself is driven by the
+    engine (Catalyst's recursive-CTE execution), not a Python loop.
+    Hop-bounded UNION ALL recursion terminates deterministically on
+    cyclic graphs; path counts are exact multiset counts, identical in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    edges = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey"))
+               & (F.col("a.brand") != F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= REACH_MIN_W)
+        .select("src", "dst")
+    )
+    edges.createOrReplaceTempView("reach_edges")
+    part.createOrReplaceTempView("part_v")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(brand, hop) AS (
+            SELECT MIN(p_brand), 0 FROM part_v
+            UNION ALL
+            SELECT e.dst, r.hop + 1
+            FROM reach r JOIN reach_edges e ON e.src = r.brand
+            WHERE r.hop < {REACH_MAX_HOPS}
+        )
+        SELECT brand, CAST(MIN(hop) AS INT) AS min_hops,
+               COUNT(*) AS n_paths
+        FROM reach GROUP BY brand ORDER BY brand
+        """
+    )

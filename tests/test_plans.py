@@ -279,3 +279,19 @@ def test_token_quota_sample_single_source_exchange(spark, queries):
     df = _q(queries, spark, "source_token_quota_sample")
     s = plan_summary(df)
     assert s["exchanges"] == 1, s
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The correlated LATERAL LIMIT subquery must decorrelate into a
+    rank-window join — not per-row subquery execution."""
+    from cdc_kafka_project_spark.queries.scale_patterns import (
+        lateral_topk_per_customer,
+    )
+
+    plan = (
+        lateral_topk_per_customer(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "row_number" in plan.lower() or "Window" in plan

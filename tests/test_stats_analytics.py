@@ -338,3 +338,18 @@ def test_rolling_median_window_sizes(spark):
     assert rows[-1]["n_in_window"] == 7
     # single-observation window: median == the value
     assert abs(rows[0]["med7"] - rows[0]["rev"]) < 1e-4
+
+
+def test_recursive_reachability_bfs_invariants(spark):
+    from cdc_kafka_project_spark.queries.scale_patterns import (
+        recursive_brand_reachability,
+    )
+
+    rows = recursive_brand_reachability(spark, SF_SMOKE).collect()
+    by_brand = {r["brand"]: r for r in rows}
+    seed = min(by_brand)  # seed is the lexicographic min of REACHED set
+    assert by_brand[seed]["min_hops"] == 0
+    assert all(0 <= r["min_hops"] <= 3 for r in rows)
+    assert all(r["n_paths"] >= 1 for r in rows)
+    # someone other than the seed is reachable on smoke data
+    assert len(rows) > 1
