@@ -130,6 +130,7 @@ HEADLINE = [
     "event_transition_matrix",
     "hopping_event_counts",
     "bloom_semi_join_revenue",
+    "pagerank_brand_copurchase",
 ]
 
 

@@ -583,3 +583,76 @@ def cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("ts_ms").alias("last_ts_ms"),
     )
+
+
+#: last-refresh watermark for the simulated MV — a LITERAL, exactly as
+#: a real refresh job reads it from checkpoint state. A literal (unlike
+#: a data-derived cutoff) reaches the parquet scan as a pushed filter,
+#: so the delta branch's I/O is bounded by the fresh tranche.
+IVM_WATERMARK = "2001-10-01 00:00:00"
+
+
+@query(
+    "ivm_join_delta_revenue",
+    oracle="""
+    SELECT l_orderkey AS orderkey, o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def ivm_join_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an AGG-OVER-JOIN materialized view
+    (per-order line count + revenue with order priority): the join
+    sibling of `cdc_incremental_agg`'s delta rule. For an insert-only
+    delta on the fact side, ΔMV = agg(Δlineitem) ⋈ orders, merged into
+    the stored MV by exact-decimal partial-state addition — history is
+    never rejoined or rescanned.
+
+    Here the "stored" MV is simulated by splitting lineitem at the
+    literal refresh watermark: the old tranche plays the persisted MV,
+    the recent tranche the arriving delta. The oracle is the full
+    recompute, so the driver hash proves merge(MV, ΔMV) ≡ recompute
+    bit-for-bit (decimal partials are associative). At scale the delta
+    branch shuffles |Δ| rows and its orders probe prunes to Δ's key
+    range — the full recompute shuffles the 100 TB fact every refresh.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderpriority").alias("priority")
+    )
+    li2 = li
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+
+    def agg_join(df: DataFrame) -> DataFrame:
+        part = df.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).alias("rev_dec"),
+        )
+        return part.join(
+            orders, part.orderkey == orders.o_orderkey
+        ).drop("o_orderkey")
+
+    is_delta = F.col("l_shipdate") >= F.lit(IVM_WATERMARK).cast("timestamp")
+    mv = agg_join(li2.filter(~is_delta)).alias("mv")
+    delta = agg_join(li2.filter(is_delta)).alias("d")
+    merged = mv.join(
+        delta, F.col("mv.orderkey") == F.col("d.orderkey"), "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    return merged.select(
+        F.coalesce(F.col("mv.orderkey"), F.col("d.orderkey")).alias("orderkey"),
+        F.coalesce(F.col("mv.priority"), F.col("d.priority")).alias("priority"),
+        (
+            F.coalesce(F.col("mv.n_lines"), F.lit(0))
+            + F.coalesce(F.col("d.n_lines"), F.lit(0))
+        ).cast("long").alias("n_lines"),
+        (
+            F.coalesce(F.col("mv.rev_dec"), zero)
+            + F.coalesce(F.col("d.rev_dec"), zero)
+        ).cast("double").alias("revenue"),
+    )

@@ -81,6 +81,7 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "ivm_join_delta_revenue",
     "lateral_topk_per_customer",
     "recursive_brand_reachability",
     "rolling_median_revenue",

@@ -353,3 +353,16 @@ def test_recursive_reachability_bfs_invariants(spark):
     assert all(r["n_paths"] >= 1 for r in rows)
     # someone other than the seed is reachable on smoke data
     assert len(rows) > 1
+
+
+def test_ivm_delta_branch_prunes_on_shipdate(spark):
+    """The delta branch's parquet scan must carry the shipdate pushdown
+    (at scale: only the fresh tranche is read/shuffled)."""
+    from cdc_kafka_project_spark.queries.cdc_surface import (
+        ivm_join_delta_revenue,
+    )
+    from cdc_kafka_project_spark.plans.inspect import pushed_filters
+
+    df = ivm_join_delta_revenue(spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf
