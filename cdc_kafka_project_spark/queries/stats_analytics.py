@@ -955,3 +955,71 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom.select(
         "partkey", "total_qty", "avg_price", (~dominated).alias("on_frontier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (weekly new / returning / cumulative users)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_growth_accounting",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS week, user_id
+        FROM events
+    ),
+    first_wk AS (
+        SELECT user_id, MIN(week) AS fw FROM wk GROUP BY user_id
+    ),
+    per AS (
+        SELECT wk.week,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CAST(wk.week = first_wk.fw AS INTEGER)) AS BIGINT)
+                   AS n_new
+        FROM wk JOIN first_wk ON wk.user_id = first_wk.user_id
+        GROUP BY wk.week
+    )
+    SELECT strftime(week, '%Y-%m-%d') AS week_start,
+           n_active, n_new,
+           n_active - n_new AS n_returning,
+           CAST(SUM(n_new) OVER (ORDER BY week) AS BIGINT)
+               AS cumulative_users
+    FROM per ORDER BY week_start
+    """,
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: active users split into new (first
+    week of activity) vs returning, plus the cumulative user curve —
+    the standard DAU/WAU decomposition every product warehouse runs.
+
+    One distinct (week, user) projection off the fact table (map-side
+    combined), one per-user MIN to date first activity, one
+    |weeks|-row running sum. The events table never moves twice; the
+    only all-data shuffle is the distinct. Integer arithmetic
+    end-to-end — no float parity concerns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+        "user_id",
+    ).distinct()
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("fw"))
+    per = (
+        wk.join(first_wk, on="user_id")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("week") == F.col("fw")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("week")
+    return per.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("week_start")

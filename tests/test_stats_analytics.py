@@ -366,3 +366,20 @@ def test_ivm_delta_branch_prunes_on_shipdate(spark):
     df = ivm_join_delta_revenue(spark, SF_SMOKE)
     pf = " ".join(pushed_filters(df))
     assert "l_shipdate" in pf
+
+
+def test_growth_accounting_invariants(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        user_growth_accounting,
+    )
+
+    rows = user_growth_accounting(spark, SF_SMOKE).collect()
+    assert rows
+    # first week: everyone is new
+    assert rows[0]["n_new"] == rows[0]["n_active"]
+    cum = 0
+    for r in rows:
+        assert r["n_active"] == r["n_new"] + r["n_returning"]
+        assert r["n_returning"] >= 0
+        cum += r["n_new"]
+        assert r["cumulative_users"] == cum
