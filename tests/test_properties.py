@@ -520,3 +520,33 @@ def test_debezium_decode_never_crashes_and_routes_corruption(spark, payloads):
             # corrupt: entire event nulled, original bytes preserved
             assert r["row"] is None and r["ts_ms"] is None
             assert r["raw_value"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join prefilter (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+bloom_fact_keys = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40
+)
+bloom_dim_keys = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=15
+)
+
+
+@given(fact=bloom_fact_keys, dim=bloom_dim_keys)
+@settings(**SETTINGS)
+def test_bloom_semi_join_equals_plain_semi_join(spark, fact, dim):
+    """Exactness property over arbitrary long keys (incl. negatives and
+    values near the 64-bit edge): the bloom tier must be invisible."""
+    from cdc_kafka_project_spark.operators.bloom import bloom_semi_join
+
+    f = spark.createDataFrame([(k,) for k in fact], "fk long")
+    d = spark.createDataFrame([(k,) for k in dim], "dk long") if dim else (
+        spark.createDataFrame([], "dk long")
+    )
+    got = sorted(
+        r["fk"] for r in bloom_semi_join(f, d, "fk", "dk").collect()
+    )
+    want = sorted(k for k in fact if k in set(dim))
+    assert got == want
