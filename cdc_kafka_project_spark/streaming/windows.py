@@ -157,3 +157,40 @@ def run_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def stream_static_enriched_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_attr: str = "segment",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-static dimension enrichment: each micro-batch inner-joins
+    the (broadcast) static dim, then aggregates per (window, dim
+    attribute) — the standard fact-stream x dimension-table topology.
+
+    Stream-static joins are STATELESS (the static side re-broadcasts
+    per micro-batch, no join state accumulates), so the only state is
+    the windowed aggregate — bounded by (attrs × windows inside the
+    watermark), the same contract as every operator in this module.
+    Events with no dim row drop (inner semantics); route them to a DLQ
+    with a left join + isnull filter when completeness matters.
+    """
+    enriched = events.withWatermark(ts_col, watermark).join(
+        F.broadcast(dim.select(F.col(key_col), F.col(dim_attr))),
+        on=key_col,
+    )
+    return (
+        enriched.groupBy(
+            F.window(F.col(ts_col), window).alias("win"), dim_attr
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col(dim_attr),
+            "n",
+        )
+    )

@@ -215,3 +215,23 @@ def test_interval_join_left_outer_emits_no_match_after_watermark(
             break
     assert (3, None) in results, results
     assert (1, 10) in results and len([r for r in results if r[0] == 1]) == 1
+
+
+def test_stream_static_join_enriches_and_aggregates(spark, tmp_path, events_dir):
+    """Stream-static broadcast enrichment: per-window counts keyed by
+    the static dim's attribute; users missing from the dim drop."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (3, "bronze")], "user_id long, segment string"
+    )  # user 2 deliberately absent
+    stream = W._file_stream(spark, events_dir, EVENTS_SCHEMA)
+    df = W.stream_static_enriched_counts(
+        stream, dim, window="10 minutes", watermark="30 minutes"
+    )
+    W.run_to_memory(df, str(tmp_path / "cp"), "enriched_counts", "update")
+    got = {
+        (r.win_start.minute, r.segment): r.n
+        for r in spark.table("enriched_counts").collect()
+    }
+    # user 1 clicks at minutes 0,3,12 -> [00,10): 2 gold, [10,20): 1 gold
+    # user 2's views (minutes 7, 1) drop: not in dim
+    assert got == {(0, "gold"): 2, (10, "gold"): 1}
