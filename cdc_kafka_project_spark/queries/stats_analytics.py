@@ -1023,3 +1023,228 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).alias("n_returning"),
         F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("week_start")
+
+
+# ---------------------------------------------------------------------------
+# Conversion curve (click -> purchase within k days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conversion_curve",
+    oracle="""
+    WITH fc AS (
+        SELECT user_id, MIN(ts) AS fc FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT f.user_id, f.fc, MIN(e.ts) AS fp
+        FROM fc f JOIN events e
+             ON e.user_id = f.user_id AND e.event_type = 'purchase'
+                AND e.ts >= f.fc
+        GROUP BY f.user_id, f.fc
+    ),
+    j AS (
+        SELECT fc.user_id, epoch_us(fc.fc) AS fc_us, epoch_us(fp.fp) AS fp_us
+        FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id
+    ),
+    ks AS (SELECT unnest(range(1, 8)) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_clickers,
+           CAST(SUM(CASE WHEN fp_us IS NOT NULL
+                          AND fp_us - fc_us <= ks.k * 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           floor(CAST(SUM(CASE WHEN fp_us IS NOT NULL
+                                AND fp_us - fc_us <= ks.k * 86400000000
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
+    FROM j CROSS JOIN ks
+    GROUP BY ks.k ORDER BY k
+    """,
+)
+def conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion curve: for k = 1..7 days, the share of
+    first-time clickers whose first subsequent purchase lands within k
+    days — the discrete time-to-event (survival) curve marketing and
+    growth teams read before any modeling.
+
+    Time deltas compare exact epoch-MICROSECOND integers (unix_micros /
+    epoch_us), so day-boundary membership is bit-identical — no float
+    epoch, no timezone arithmetic. The per-user reduction happens
+    before the tiny 7-row curve cross join; at scale the heavy ops are
+    two keyed aggregations of the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    fp = (
+        fc.join(
+            p,
+            (F.col("user_id") == F.col("p_user")) & (F.col("pts") >= F.col("fc")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("fp"))
+    )
+    j = fc.join(fp, on="user_id", how="left").select(
+        F.unix_micros("fc").alias("fc_us"), F.unix_micros("fp").alias("fp_us")
+    )
+    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    converted = (
+        F.col("fp_us").isNotNull()
+        & (F.col("fp_us") - F.col("fc_us") <= F.col("k") * F.lit(86400000000))
+    ).cast("int")
+    return (
+        j.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_clickers"),
+            F.sum(converted).cast("long").alias("n_converted"),
+        )
+        .select(
+            "k",
+            "n_clickers",
+            "n_converted",
+            _round6(
+                F.col("n_converted").cast("double")
+                / F.col("n_clickers").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event path mining (top 3-step paths)
+# ---------------------------------------------------------------------------
+
+TOP_PATHS = 20
+
+
+@query(
+    "event_top_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT {TOP_PATHS}
+    """,
+)
+def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {TOP_PATHS} three-step event paths (second-order sequence
+    mining — the path-analysis sibling of `event_transition_matrix`'s
+    first-order view). One user-keyed window (hash shuffle, no global
+    sort), a map-side-combined count over ≤ |types|³ path keys, and a
+    top-k over that tiny aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(TOP_PATHS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue per segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_gini_by_segment",
+    oracle="""
+    WITH cr AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS x
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, x,
+               CAST(row_number() OVER (PARTITION BY segment
+                                       ORDER BY x, custkey) AS DOUBLE) AS i
+        FROM cr
+    ),
+    s AS (
+        SELECT segment,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(i * x AS DECIMAL(25,6))) AS DOUBLE) AS six
+        FROM ranked GROUP BY segment
+    )
+    SELECT segment, n_customers,
+           floor((2.0 * six / (n * sx) - (n + 1.0) / n) * 1e6 + 0.5) / 1e6
+               AS gini
+    FROM s ORDER BY segment
+    """,
+)
+def revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per market
+    segment (0 = spend spread evenly, →1 = whales dominate), via the
+    exact rank formula G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over customers
+    sorted by spend.
+
+    The rank window partitions by segment over the CUSTOMER aggregate
+    (facts collapse first); ties order by custkey so ranks are a total
+    order. i·x re-enters DECIMAL before summing (per-term double
+    product is deterministic, the cast rounds identically, the sum is
+    exact), then one closed-form double expression per segment.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cr = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(dsum("o_totalprice").alias("x"))
+    )
+    ranked = cr.select(
+        "segment",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("x", "custkey"))
+        .cast("double")
+        .alias("i"),
+    )
+    s = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("six"),
+    )
+    return s.select(
+        "segment",
+        "n_customers",
+        _round6(
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n")
+        ).alias("gini"),
+    ).orderBy("segment")

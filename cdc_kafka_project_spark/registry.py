@@ -81,6 +81,9 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "conversion_curve",
+    "event_top_paths",
+    "revenue_gini_by_segment",
     "user_growth_accounting",
     "ivm_join_delta_revenue",
     "lateral_topk_per_customer",

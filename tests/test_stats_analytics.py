@@ -383,3 +383,64 @@ def test_growth_accounting_invariants(spark):
         assert r["n_returning"] >= 0
         cum += r["n_new"]
         assert r["cumulative_users"] == cum
+
+
+def test_conversion_curve_monotone(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        conversion_curve,
+    )
+
+    rows = conversion_curve(spark, SF_SMOKE).collect()
+    assert [r["k"] for r in rows] == list(range(1, 8))
+    clickers = {r["n_clickers"] for r in rows}
+    assert len(clickers) == 1  # same denominator at every k
+    conv = [r["n_converted"] for r in rows]
+    assert conv == sorted(conv)  # widening window only adds converters
+    assert all(0.0 <= r["share"] <= 1.0 for r in rows)
+
+
+def test_top_paths_are_valid_and_sorted(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        event_top_paths,
+    )
+
+    rows = event_top_paths(spark, SF_SMOKE).collect()
+    assert rows
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    types = {
+        r["event_type"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type").distinct().collect()
+    }
+    for r in rows:
+        assert all(part in types for part in r["path"].split(">"))
+
+
+def test_gini_bounds_and_bruteforce(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        revenue_gini_by_segment,
+    )
+
+    rows = revenue_gini_by_segment(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+    # brute-force check for one segment: mean absolute difference form
+    seg = rows[0]["segment"]
+    cr = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMOKE}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment") == seg)
+        .groupBy("c_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .collect()
+    )
+    xs = [r["x"] for r in cr]
+    n, mean = len(xs), sum(xs) / len(xs)
+    mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+    want = mad / (2 * mean)
+    assert abs(rows[0]["gini"] - want) < 0.01
