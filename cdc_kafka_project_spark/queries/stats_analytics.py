@@ -1248,3 +1248,81 @@ def revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + F.lit(1.0)) / F.col("n")
         ).alias("gini"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test (weekend vs weekday daily revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekend_effect_ttest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(isodow(CAST(o_orderdate AS DATE)) >= 6 AS INTEGER)
+                   AS is_weekend,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                    AS DECIMAL(19,2)) AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    s AS (
+        SELECT is_weekend,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rev) AS DOUBLE) AS sx,
+               CAST(SUM(rev * rev) AS DOUBLE) AS sxx
+        FROM daily GROUP BY is_weekend
+    ),
+    w AS (SELECT * FROM s WHERE is_weekend = 1),
+    d AS (SELECT * FROM s WHERE is_weekend = 0)
+    SELECT w.n_days AS n_weekend, d.n_days AS n_weekday,
+           floor(w.sx / w.n * 1e6 + 0.5) / 1e6 AS mean_weekend,
+           floor(d.sx / d.n * 1e6 + 0.5) / 1e6 AS mean_weekday,
+           floor((w.sx / w.n - d.sx / d.n)
+                 / sqrt((w.sxx - w.sx * w.sx / w.n) / (w.n - 1.0) / w.n
+                        + (d.sxx - d.sx * d.sx / d.n) / (d.n - 1.0) / d.n)
+                 * 1e6 + 0.5) / 1e6 AS t_stat
+    FROM w CROSS JOIN d
+    """,
+)
+def weekend_effect_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic for weekend vs weekday daily
+    revenue — the hypothesis-testing member of the statistics family
+    (unequal variances, unequal sample sizes; |t| ≳ 2 flags a real
+    day-of-week effect, feeding the seasonal decomposition).
+
+    All moments come from two exact-decimal sums per group over the
+    |days| aggregate (facts collapse first); the t statistic is one
+    closed-form double expression with an IEEE-exact sqrt, identical on
+    both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(19,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    ).select(
+        ((F.weekday("d") + F.lit(1)) >= 6).cast("int").alias("is_weekend"),
+        "rev",
+    )
+    s = daily.groupBy("is_weekend").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").cast("double").alias("sx"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("sxx"),
+    )
+    w = s.filter(F.col("is_weekend") == 1).alias("w")
+    d = s.filter(F.col("is_weekend") == 0).alias("d")
+    wn, wsx, wsxx = F.col("w.n"), F.col("w.sx"), F.col("w.sxx")
+    dn, dsx, dsxx = F.col("d.n"), F.col("d.sx"), F.col("d.sxx")
+    se = F.sqrt(
+        (wsxx - wsx * wsx / wn) / (wn - F.lit(1.0)) / wn
+        + (dsxx - dsx * dsx / dn) / (dn - F.lit(1.0)) / dn
+    )
+    return w.crossJoin(d).select(
+        F.col("w.n_days").alias("n_weekend"),
+        F.col("d.n_days").alias("n_weekday"),
+        _round6(wsx / wn).alias("mean_weekend"),
+        _round6(dsx / dn).alias("mean_weekday"),
+        _round6((wsx / wn - dsx / dn) / se).alias("t_stat"),
+    )

@@ -444,3 +444,28 @@ def test_gini_bounds_and_bruteforce(spark):
     mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
     want = mad / (2 * mean)
     assert abs(rows[0]["gini"] - want) < 0.01
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        weekend_effect_ttest,
+    )
+
+    r = weekend_effect_ttest(spark, SF_SMOKE).collect()[0]
+    assert r["n_weekend"] > 1 and r["n_weekday"] > 1
+    # recompute Welch t independently in python
+    import pandas as pd
+
+    daily = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .toPandas()
+    )
+    daily["we"] = pd.to_datetime(daily["d"]).dt.dayofweek >= 5
+    g = daily.groupby("we")["rev"]
+    mw, md = g.mean()[True], g.mean()[False]
+    vw, vd = g.var(ddof=1)[True], g.var(ddof=1)[False]
+    nw, nd = g.count()[True], g.count()[False]
+    t = (mw - md) / ((vw / nw + vd / nd) ** 0.5)
+    assert abs(r["t_stat"] - t) < 1e-3 * max(1, abs(t))
