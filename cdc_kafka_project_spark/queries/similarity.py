@@ -605,3 +605,114 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     )
+
+
+OUTLIERS_PER_LABEL = 5
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+    WITH pe AS (
+        SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM pe GROUP BY label, pos
+    ),
+    dots AS (
+        SELECT pe.vec_id, pe.label,
+               CAST(SUM(CAST(pe.v * cent.c AS DECIMAL(25,12))) AS DOUBLE)
+                   AS dp,
+               CAST(SUM(CAST(pe.v * pe.v AS DECIMAL(25,12))) AS DOUBLE)
+                   AS na,
+               CAST(SUM(CAST(cent.c * cent.c AS DECIMAL(25,12))) AS DOUBLE)
+                   AS nb
+        FROM pe JOIN cent ON pe.label = cent.label AND pe.pos = cent.pos
+        GROUP BY pe.vec_id, pe.label
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               floor(dp / (sqrt(na) * sqrt(nb)) * 1e4 + 0.5) / 1e4
+                   AS cos_to_centroid
+        FROM dots
+    )
+    SELECT vec_id, label, cos_to_centroid,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY cos_to_centroid, vec_id)
+               <= {OUTLIERS_PER_LABEL} AS is_outlier
+    FROM scored
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filter: cosine of every vector to its
+    label centroid, flagging the {OUTLIERS_PER_LABEL} least-central
+    vectors per label — the "mislabeled / off-distribution sample"
+    screen run before training on labeled embeddings.
+
+    Scale shape: the centroid is the dim-major partial agg
+    (`label_centroids` — shuffle carries labels × dims partials, never
+    vectors); the score join is posexploded-scalar against the tiny
+    centroid table (broadcastable), and every per-vector reduction is
+    a decimal-exact sum over the 64 dims. The outlier rank runs per
+    label over |vectors| scored rows. Exact-oracle cosine end-to-end —
+    the ANN tiers get their recall measured against exactly this kind
+    of ground truth.
+    """
+    from cdc_kafka_project_spark.functions import to_double_array
+    from cdc_kafka_project_spark.operators.similarity import (
+        label_centroids,
+        spread,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pe = spread(emb).select(
+        "vec_id",
+        "label",
+        F.posexplode(to_double_array("embedding")).alias("pos0", "v"),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v"
+    )
+    cent = label_centroids(emb).select(
+        "label", "pos", F.col("avg_v").alias("c")
+    )
+    dots = (
+        pe.join(F.broadcast(cent), on=["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("v") * F.col("c")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("dp"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("nb"),
+        )
+    )
+    scored = dots.select(
+        "vec_id",
+        "label",
+        (
+            F.floor(
+                F.col("dp") / (F.sqrt("na") * F.sqrt("nb")) * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("cos_to_centroid"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        "cos_to_centroid",
+        (rn <= OUTLIERS_PER_LABEL).alias("is_outlier"),
+    )

@@ -659,3 +659,26 @@ def test_quantize_int8_arrow_twin_bit_parity(spark):
         for r in sim.quantize_int8_stats_arrow(emb).collect()
     }
     assert jvm == arrow
+
+
+def test_label_outliers_flag_bottom_five(spark):
+    from cdc_kafka_project_spark.queries.similarity import (
+        OUTLIERS_PER_LABEL,
+        embedding_label_outliers,
+    )
+
+    rows = embedding_label_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from collections import defaultdict
+
+    by_label = defaultdict(list)
+    for r in rows:
+        assert -1.0001 <= r["cos_to_centroid"] <= 1.0001
+        by_label[r["label"]].append(r)
+    for label, rs in by_label.items():
+        flagged = [r for r in rs if r["is_outlier"]]
+        assert len(flagged) == min(OUTLIERS_PER_LABEL, len(rs))
+        worst = sorted(rs, key=lambda r: (r["cos_to_centroid"], r["vec_id"]))
+        assert {r["vec_id"] for r in flagged} == {
+            r["vec_id"] for r in worst[: len(flagged)]
+        }
