@@ -1326,3 +1326,178 @@ def weekend_effect_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(dsx / dn).alias("mean_weekday"),
         _round6((wsx / wn - dsx / dn) / se).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per customer by cohort age)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH fo AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    sz AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fo
+        GROUP BY cohort
+    ),
+    rev AS (
+        SELECT fo.cohort,
+               CAST((date_part('year', o.o_orderdate)
+                     - date_part('year', fo.cohort)) * 12
+                    + (date_part('month', o.o_orderdate)
+                       - date_part('month', fo.cohort)) AS INTEGER)
+                   AS month_index,
+               SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS m_rev
+        FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT strftime(rev.cohort, '%Y-%m') AS cohort,
+           rev.month_index,
+           sz.cohort_size,
+           floor(CAST(SUM(rev.m_rev) OVER (PARTITION BY rev.cohort
+                                           ORDER BY rev.month_index)
+                      AS DOUBLE)
+                 / CAST(sz.cohort_size AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS cum_ltv_per_customer
+    FROM rev JOIN sz ON rev.cohort = sz.cohort
+    ORDER BY cohort, month_index
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, cumulative revenue per cohort member by months since
+    acquisition — the finance-side twin of `weekly_retention_cohorts`
+    (LTV payback instead of activity retention).
+
+    Facts collapse to (cohort, month_index) exact-decimal cells before
+    the running-sum window (|cohorts| × |months| rows); the per-cohort
+    first-order reduction and the revenue roll-up are the only fact
+    shuffles. The cumulative window sums DECIMALS (exact), with one
+    rounded double division by cohort size at the end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.to_date("o_orderdate")).cast("date"))
+        .alias("cohort")
+    )
+    sz = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    rev = (
+        orders.join(fo, on="o_custkey")
+        .select(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).cast("int").alias("month_index"),
+            F.col("o_totalprice").cast("decimal(25,6)").alias("p_dec"),
+        )
+        .groupBy("cohort", "month_index")
+        .agg(F.sum("p_dec").alias("m_rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("month_index")
+    return (
+        rev.join(F.broadcast(sz), on="cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            "month_index",
+            "cohort_size",
+            (
+                F.floor(
+                    F.sum("m_rev").over(w).cast("double")
+                    / F.col("cohort_size").cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort", "month_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence interval for daily conversion rate
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96
+
+
+@query(
+    "purchase_rate_wilson_ci",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(event_type = 'click' AS INTEGER)) AS BIGINT)
+                   AS clicks,
+               CAST(SUM(CAST(event_type = 'purchase' AS INTEGER)) AS BIGINT)
+                   AS purchases
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT d, clicks, purchases,
+               CAST(purchases AS DOUBLE)
+                   / CAST(clicks + purchases AS DOUBLE) AS p,
+               CAST(clicks + purchases AS DOUBLE) AS n
+        FROM daily WHERE clicks + purchases > 0
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, clicks, purchases,
+           floor(p * 1e6 + 0.5) / 1e6 AS rate,
+           floor((p + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
+                  - {WILSON_Z} * sqrt((p * (1.0 - p)
+                    + {WILSON_Z} * {WILSON_Z} / (4.0 * n)) / n))
+                 / (1.0 + {WILSON_Z} * {WILSON_Z} / n) * 1e6 + 0.5) / 1e6
+               AS ci_lo,
+           floor((p + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
+                  + {WILSON_Z} * sqrt((p * (1.0 - p)
+                    + {WILSON_Z} * {WILSON_Z} / (4.0 * n)) / n))
+                 / (1.0 + {WILSON_Z} * {WILSON_Z} / n) * 1e6 + 0.5) / 1e6
+               AS ci_hi
+    FROM s ORDER BY day
+    """,
+)
+def purchase_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase share of click+purchase traffic with a Wilson
+    95% score interval — the interval-estimation member of the
+    statistics family (Wilson stays inside [0,1] and behaves at small
+    n, unlike the naive Wald interval; this is what an experimentation
+    dashboard should plot).
+
+    One map-side-combined conditional aggregation per day; the
+    interval arithmetic is a closed-form double expression on integer
+    counts — identical operation tree on both engines, IEEE sqrt,
+    floor-form rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("long")
+            .alias("clicks"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("purchases"),
+        )
+        .filter(F.col("clicks") + F.col("purchases") > 0)
+    )
+    z = F.lit(WILSON_Z)
+    n = (F.col("clicks") + F.col("purchases")).cast("double")
+    p = F.col("purchases").cast("double") / n
+    center = p + z * z / (F.lit(2.0) * n)
+    margin = z * F.sqrt(
+        (p * (F.lit(1.0) - p) + z * z / (F.lit(4.0) * n)) / n
+    )
+    denom = F.lit(1.0) + z * z / n
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "clicks",
+        "purchases",
+        _round6(p).alias("rate"),
+        _round6((center - margin) / denom).alias("ci_lo"),
+        _round6((center + margin) / denom).alias("ci_hi"),
+    ).orderBy("day")

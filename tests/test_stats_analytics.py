@@ -469,3 +469,33 @@ def test_welch_ttest_matches_scipy_formula(spark):
     nw, nd = g.count()[True], g.count()[False]
     t = (mw - md) / ((vw / nw + vd / nd) ** 0.5)
     assert abs(r["t_stat"] - t) < 1e-3 * max(1, abs(t))
+
+
+def test_ltv_curve_monotone_within_cohort(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        cohort_ltv_curve,
+    )
+
+    rows = cohort_ltv_curve(spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_c = defaultdict(list)
+    for r in rows:
+        by_c[r["cohort"]].append(r)
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r["month_index"])
+        assert rs[0]["month_index"] == 0  # cohort defined by first order
+        ltv = [r["cum_ltv_per_customer"] for r in rs]
+        assert ltv == sorted(ltv)  # cumulative revenue never decreases
+
+
+def test_wilson_ci_brackets_rate(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        purchase_rate_wilson_ci,
+    )
+
+    rows = purchase_rate_wilson_ci(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
