@@ -1501,3 +1501,143 @@ def purchase_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6((center - margin) / denom).alias("ci_lo"),
         _round6((center + margin) / denom).alias("ci_hi"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: seasonal-naive baseline accuracy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_backtest_snaive",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                         AS DECIMAL(19,2)) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    pred AS (
+        SELECT d, rev, lag(rev, 7) OVER (ORDER BY d) AS yhat
+        FROM daily
+    ),
+    err AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(abs(rev - yhat) AS DECIMAL(25,6))) AS DOUBLE)
+                   AS sae,
+               CAST(SUM(CAST(abs(rev - yhat) / rev AS DECIMAL(25,9)))
+                    AS DOUBLE) AS sape,
+               CAST(SUM(CAST(2.0 * abs(rev - yhat) / (abs(rev) + abs(yhat))
+                             AS DECIMAL(25,9))) AS DOUBLE) AS ssm
+        FROM pred WHERE yhat IS NOT NULL AND rev > 0
+    )
+    SELECT n_days,
+           floor(sae / n_days * 1e4 + 0.5) / 1e4 AS mae,
+           floor(sape / n_days * 1e6 + 0.5) / 1e6 AS mape,
+           floor(ssm / n_days * 1e6 + 0.5) / 1e6 AS smape
+    FROM err
+    """,
+)
+def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ_t = y_{t-7}, the
+    baseline every revenue forecast must beat): MAE, MAPE and SMAPE
+    over the daily series. Pair this with `revenue_seasonality_decomp`
+    — a weekly-seasonal series makes the 7-day naive strong, and a
+    model that can't beat these numbers isn't learning anything.
+
+    Per-row errors are deterministic doubles (identical expression
+    tree both engines) that re-enter DECIMAL before the mean — the
+    usual aggregate-series contract: facts collapse to |days| rows
+    before the lag window, metrics are three exact sums.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(19,2)"))
+        .cast("decimal(19,2)")
+        .cast("double")
+        .alias("rev")
+    )
+    pred = daily.select(
+        "rev", F.lag("rev", 7).over(Window.orderBy("d")).alias("yhat")
+    ).filter(F.col("yhat").isNotNull() & (F.col("rev") > 0))
+    ae = F.abs(F.col("rev") - F.col("yhat"))
+    err = pred.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(ae.cast("decimal(25,6)")).cast("double").alias("sae"),
+        F.sum((ae / F.col("rev")).cast("decimal(25,9)"))
+        .cast("double")
+        .alias("sape"),
+        F.sum(
+            (
+                F.lit(2.0) * ae / (F.abs("rev") + F.abs("yhat"))
+            ).cast("decimal(25,9)")
+        )
+        .cast("double")
+        .alias("ssm"),
+    )
+    nd = F.col("n_days").cast("double")
+    return err.select(
+        "n_days",
+        (F.floor(F.col("sae") / nd * 1e4 + F.lit(0.5)) / 1e4).alias("mae"),
+        _round6(F.col("sape") / nd).alias("mape"),
+        _round6(F.col("ssm") / nd).alias("smape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust slope of the daily revenue trend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theilsen_revenue_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                         AS DECIMAL(19,2)) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT (b.rev - a.rev)
+               / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS s
+        FROM daily a JOIN daily b ON b.d > a.d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           floor(quantile_cont(s, 0.5) * 1e6 + 0.5) / 1e6 AS ts_slope
+    FROM slopes
+    """,
+)
+def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the daily-revenue trend: the MEDIAN of
+    all pairwise slopes — the robust-regression sibling of
+    `price_qty_regression`'s OLS (a 29% outlier fraction cannot move
+    it; one spike day drags OLS arbitrarily).
+
+    The O(|days|²) pair join runs on the AGGREGATED series — 100 TB of
+    orders first collapses to a few thousand day rows, so the pair set
+    is millions of scalar rows, not a fact-table self-join (the same
+    already-aggregated-θ-join stance as `part_pareto_frontier`'s
+    oracle). Each pairwise slope is a deterministic double ratio of
+    exact-decimal-derived values; the median is one exact
+    interpolating percentile.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(19,2)"))
+        .cast("decimal(19,2)")
+        .cast("double")
+        .alias("rev")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev"))
+            / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
+        ).alias("s")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _round6(F.expr("percentile(s, 0.5)")).alias("ts_slope"),
+    )

@@ -81,6 +81,8 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "forecast_backtest_snaive",
+    "theilsen_revenue_slope",
     "cohort_ltv_curve",
     "purchase_rate_wilson_ci",
     "embedding_label_outliers",

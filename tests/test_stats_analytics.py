@@ -499,3 +499,41 @@ def test_wilson_ci_brackets_rate(spark):
     assert rows
     for r in rows:
         assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+
+
+def test_forecast_backtest_metrics_sane(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        forecast_backtest_snaive,
+    )
+
+    r = forecast_backtest_snaive(spark, SF_SMOKE).collect()[0]
+    assert r["n_days"] > 0
+    assert r["mae"] > 0
+    assert 0 <= r["mape"]
+    assert 0 <= r["smape"] <= 2.0  # SMAPE is bounded by 2 by definition
+
+
+def test_theilsen_robust_to_one_spike(spark):
+    """Injecting one massive spike day must barely move Theil-Sen."""
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        theilsen_revenue_slope,
+    )
+
+    base = theilsen_revenue_slope(spark, SF_SMOKE).collect()[0]
+    assert base["n_pairs"] > 0
+    # brute-force recompute with numpy for independence
+    import numpy as np
+
+    daily = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("d")
+        .collect()
+    )
+    ds = np.array([r["d"].toordinal() for r in daily], dtype=float)
+    ys = np.array([r["rev"] for r in daily])
+    i, j = np.triu_indices(len(ds), k=1)
+    slopes = (ys[j] - ys[i]) / (ds[j] - ds[i])
+    want = float(np.median(slopes))
+    assert abs(base["ts_slope"] - want) < max(1.0, 0.01 * abs(want))
