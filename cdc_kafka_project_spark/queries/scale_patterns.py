@@ -1359,3 +1359,61 @@ def recursive_brand_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY brand ORDER BY brand
         """
     )
+
+
+@query(
+    "null_semantics_probe",
+    oracle="""
+    WITH seq AS (
+        SELECT lag(event_type) OVER w AS prev_t,
+               lead(event_type) OVER w AS next_t
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(prev_t) AS BIGINT) AS n_nonnull_prev,
+           CAST(SUM(CASE WHEN prev_t = next_t THEN 1 ELSE 0 END) AS BIGINT)
+               AS eq_matches,
+           CAST(SUM(CASE WHEN prev_t IS NOT DISTINCT FROM next_t
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS nullsafe_eq_matches,
+           CAST(SUM(CASE WHEN prev_t IS NULL AND next_t IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_null,
+           CAST(COUNT(DISTINCT next_t) AS BIGINT) AS distinct_next
+    FROM seq
+    """,
+)
+def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity probe: regular equality (NULL
+    propagates, so NULL = NULL contributes nothing), null-safe
+    equality (`<=>` / IS NOT DISTINCT FROM: NULL <=> NULL is TRUE),
+    COUNT(col) vs COUNT(*) null exclusion, and COUNT(DISTINCT)
+    null handling — pinned against a second engine on data with
+    real NULLs (the lag/lead sequence edges). The CDC merge and as-of
+    operators lean on exactly these semantics; this query keeps the
+    engine's NULL contract regression-checked explicitly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.lead("event_type").over(w).alias("next_t"),
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("prev_t").alias("n_nonnull_prev"),
+        F.sum(
+            F.when(F.col("prev_t") == F.col("next_t"), 1).otherwise(0)
+        ).cast("long").alias("eq_matches"),
+        F.sum(
+            F.when(F.expr("prev_t <=> next_t"), 1).otherwise(0)
+        ).cast("long").alias("nullsafe_eq_matches"),
+        F.sum(
+            F.when(
+                F.col("prev_t").isNull() & F.col("next_t").isNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("both_null"),
+        F.countDistinct("next_t").cast("long").alias("distinct_next"),
+    )
