@@ -1747,3 +1747,85 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "word", "y_sw", "z")
     )
+
+
+_LANGID_PRED_CTES = """
+    lex(cand_lang, word) AS (VALUES {lex_values}),
+    tok AS (
+        SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    hits AS (
+        SELECT doc_id, cand_lang, COUNT(*) AS hits
+        FROM tok JOIN lex USING (word)
+        GROUP BY doc_id, cand_lang
+    ),
+    ranked AS (
+        SELECT doc_id, cand_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, cand_lang ASC) AS rn
+        FROM hits
+    ),
+    pred AS (
+        SELECT d.doc_id, d.lang AS true_lang,
+               COALESCE(r.cand_lang, 'und') AS pred_lang
+        FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+    )
+""".format(
+    lex_values=", ".join(
+        f"('{lang}', '{w}')"
+        for lang, ws in text_ops.STOPWORDS.items()
+        for w in ws
+    )
+)
+
+
+@query(
+    "langid_confusion",
+    oracle=f"""
+    WITH {_LANGID_PRED_CTES}
+    SELECT true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           floor(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY true_lang)
+                        AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share_of_true
+    FROM pred
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation surface: confusion matrix of the stopword
+    lang-id against the corpus's ground-truth ``lang`` column, with
+    per-true-language recall shares (the diagonal is recall). This is
+    the classifier-eval pattern every heuristic gate in the curation
+    pipeline should ship with — `doc_nb_quality_score`'s accuracy pin
+    does it in pytest; this one does it as a first-class query.
+
+    Cost: the lang-id explode+lexicon join runs once; the confusion
+    matrix is a |langs|² aggregate and the recall window runs on it.
+    """
+    preds = text_ops.language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "pred_lang"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("true_lang"))
+    cells = (
+        docs.join(preds, on="doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    tot = F.sum("n").over(W.partitionBy("true_lang"))
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double") / tot.cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("share_of_true"),
+    ).orderBy("true_lang", "pred_lang")
