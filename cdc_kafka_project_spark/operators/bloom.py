@@ -126,6 +126,17 @@ def bloom_semi_join(
     that reach the semi-join exchange are the true matches plus the
     false-positive trickle, not the whole table.
     """
+    # xxhash64 is TYPE-sensitive: hashing an int fact key against a
+    # bigint dim bitmap would silently produce false NEGATIVES (bloom's
+    # one forbidden failure). Refuse mismatched key types outright.
+    ft = fact.schema[fact_key].dataType
+    dt = dim_keys.schema[dim_key].dataType
+    if ft != dt:
+        raise TypeError(
+            f"bloom_semi_join key types must match exactly: "
+            f"{fact_key}:{ft.simpleString()} vs {dim_key}:{dt.simpleString()}"
+            " — cast one side first"
+        )
     bloom = F.broadcast(build_bloom(dim_keys, dim_key, num_bits, seeds))
     prefiltered = fact.join(bloom, how="cross").filter(
         might_contain(F.col("bloom_bits"), F.col(fact_key), num_bits, seeds)

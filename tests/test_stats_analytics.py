@@ -537,3 +537,16 @@ def test_theilsen_robust_to_one_spike(spark):
     slopes = (ys[j] - ys[i]) / (ds[j] - ds[i])
     want = float(np.median(slopes))
     assert abs(base["ts_slope"] - want) < max(1.0, 0.01 * abs(want))
+
+
+def test_bloom_rejects_mismatched_key_types(spark):
+    """xxhash64 is type-sensitive — int-vs-bigint keys would false-
+    negative silently, so the operator must refuse them loudly."""
+    import pytest as _pytest
+
+    from cdc_kafka_project_spark.operators.bloom import bloom_semi_join
+
+    f = spark.createDataFrame([(1,)], "fk int")
+    d = spark.createDataFrame([(1,)], "dk long")
+    with _pytest.raises(TypeError, match="key types must match"):
+        bloom_semi_join(f, d, "fk", "dk")
