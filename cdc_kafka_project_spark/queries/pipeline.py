@@ -151,3 +151,88 @@ def build_curation_pipeline(
         clean, "doc_id", {"train": 8, "val": 1, "test": 1}
     ).select("doc_id", "source", "split")
     return out, obs
+
+
+FUNNEL_MIN_CHARS = 100
+
+
+@query(
+    "curation_funnel_report",
+    oracle=f"""
+    WITH nonempty AS (
+        SELECT doc_id, text, n_chars FROM documents WHERE trim(text) <> ''
+    ),
+    longdocs AS (
+        SELECT * FROM nonempty WHERE n_chars >= {FUNNEL_MIN_CHARS}
+    ),
+    survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM longdocs GROUP BY md5(trim(text))
+    ),
+    funnel AS (
+        SELECT 1 AS stage_idx, 'raw' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        UNION ALL
+        SELECT 2, 'nonempty', CAST(COUNT(*) AS BIGINT) FROM nonempty
+        UNION ALL
+        SELECT 3, 'min_chars_{FUNNEL_MIN_CHARS}', CAST(COUNT(*) AS BIGINT)
+        FROM longdocs
+        UNION ALL
+        SELECT 4, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM survivors
+    ),
+    raw AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_raw FROM documents)
+    SELECT stage_idx, stage, n_docs,
+           floor(CAST(n_docs AS DOUBLE) / n_raw * 1e6 + 0.5) / 1e6
+               AS pct_of_raw
+    FROM funnel CROSS JOIN raw
+    ORDER BY stage_idx
+    """,
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel monitoring: document counts surviving each gate
+    (raw → nonempty → length floor → exact dedup), with share-of-raw —
+    the per-run data card every large-scale curation job emits next to
+    its output (a stage suddenly dropping 40% is how pipeline
+    regressions get caught). The monitoring twin of
+    `curation_pipeline`, which hash-checks the surviving ROWS.
+
+    Each stage is a counting aggregate over a progressively filtered
+    scan (Catalyst collapses the filter chain; the dedup stage is the
+    one digest-keyed shuffle); the report itself is 4 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = docs.filter(F.trim("text") != "")
+    longdocs = nonempty.filter(F.col("n_chars") >= FUNNEL_MIN_CHARS)
+    survivors = longdocs.groupBy(F.md5(F.trim("text"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+        )
+
+    funnel = (
+        stage(docs, 1, "raw")
+        .unionAll(stage(nonempty, 2, "nonempty"))
+        .unionAll(stage(longdocs, 3, f"min_chars_{FUNNEL_MIN_CHARS}"))
+        .unionAll(stage(survivors, 4, "exact_dedup"))
+    )
+    raw = docs.agg(F.count(F.lit(1)).cast("double").alias("n_raw"))
+    return (
+        funnel.crossJoin(F.broadcast(raw))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_docs",
+            (
+                F.floor(
+                    F.col("n_docs").cast("double") / F.col("n_raw") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("pct_of_raw"),
+        )
+        .orderBy("stage_idx")
+    )
