@@ -295,3 +295,33 @@ def test_lateral_topk_decorrelates_to_window(spark):
         .toString()
     )
     assert "row_number" in plan.lower() or "Window" in plan
+
+
+def test_dedup_cached_subtrees_keeps_first_print_only():
+    from cdc_kafka_project_spark.plans.inspect import dedup_cached_subtrees
+
+    plan = "\n".join(
+        [
+            "*(1) Project",
+            "+- InMemoryTableScan [a#1]",
+            "      +- InMemoryRelation [a#1], StorageLevel(disk)",
+            "            +- Exchange hashpartitioning(a#1, 4)",
+            "                  +- Scan parquet",
+            "+- InMemoryTableScan [a#9]",
+            "      +- InMemoryRelation [a#9], StorageLevel(disk)",
+            "            +- Exchange hashpartitioning(a#9, 4)",
+            "                  +- Scan parquet",
+        ]
+    )
+    out = dedup_cached_subtrees(plan)
+    # both relation LINES survive, but the repeated body (its Exchange)
+    # is dropped — expression-id renumbering must not defeat the dedup
+    assert out.count("InMemoryRelation") == 2
+    assert out.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_cached_subtrees_noop_without_cache():
+    from cdc_kafka_project_spark.plans.inspect import dedup_cached_subtrees
+
+    plan = "*(2) HashAggregate\n+- Exchange hashpartitioning(x#3, 8)\n   +- Scan parquet"
+    assert dedup_cached_subtrees(plan) == plan
