@@ -1641,3 +1641,88 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         _round6(F.expr("percentile(s, 0.5)")).alias("ts_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration index (supplier revenue per nation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH sr AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS rev
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS total_rev
+        FROM sr GROUP BY nationkey
+    )
+    SELECT n.n_name AS nation, tot.n_suppliers,
+           floor(CAST(SUM(CAST(sr.rev / tot.total_rev * sr.rev
+                                / tot.total_rev AS DECIMAL(25,12)))
+                      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hhi
+    FROM sr JOIN tot ON sr.nationkey = tot.nationkey
+            JOIN nation n ON n.n_nationkey = sr.nationkey
+    GROUP BY n.n_name, tot.n_suppliers
+    ORDER BY nation
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration per
+    nation (Σ share² — 1/n for perfect competition, →1 for monopoly;
+    the antitrust-style twin of `revenue_gini_by_segment`, no sorting
+    or ranks required).
+
+    One fact shuffle to (nation, supplier) exact-decimal revenue, a
+    per-nation total broadcast back, and the share-squared terms
+    re-enter DECIMAL(25,12) before the final sum — fully rank-free, so
+    unlike the Gini there is no window at all (pure hash aggregation
+    at any scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sr = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    tot = sr.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias(
+            "total_rev"
+        ),
+    )
+    share = F.col("rev") / F.col("total_rev")
+    return (
+        sr.join(F.broadcast(tot), on="nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(
+            (
+                F.floor(
+                    F.sum((share * share).cast("decimal(25,12)")).cast(
+                        "double"
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("hhi")
+        )
+        .orderBy("nation")
+    )

@@ -550,3 +550,15 @@ def test_bloom_rejects_mismatched_key_types(spark):
     d = spark.createDataFrame([(1,)], "dk long")
     with _pytest.raises(TypeError, match="key types must match"):
         bloom_semi_join(f, d, "fk", "dk")
+
+
+def test_hhi_bounds(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        supplier_hhi_by_nation,
+    )
+
+    rows = supplier_hhi_by_nation(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # HHI lies in [1/n, 1] for n participating suppliers
+        assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-6
