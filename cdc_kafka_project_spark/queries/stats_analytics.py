@@ -1726,3 +1726,131 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (PSI) drift between time halves
+# ---------------------------------------------------------------------------
+
+PSI_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "event_value_psi_drift",
+    oracle=f"""
+    WITH ref AS (
+        SELECT value FROM events WHERE ts < TIMESTAMP '{PSI_SPLIT}'
+    ),
+    cur AS (
+        SELECT value FROM events WHERE ts >= TIMESTAMP '{PSI_SPLIT}'
+    ),
+    e AS (
+        SELECT floor(quantile_cont(value, 0.2) * 1e6 + 0.5) / 1e6 AS e1,
+               floor(quantile_cont(value, 0.4) * 1e6 + 0.5) / 1e6 AS e2,
+               floor(quantile_cont(value, 0.6) * 1e6 + 0.5) / 1e6 AS e3,
+               floor(quantile_cont(value, 0.8) * 1e6 + 0.5) / 1e6 AS e4
+        FROM ref
+    ),
+    rc AS (
+        SELECT 1 + CAST(value > e1 AS INTEGER) + CAST(value > e2 AS INTEGER)
+                 + CAST(value > e3 AS INTEGER) + CAST(value > e4 AS INTEGER)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS ref_n
+        FROM ref CROSS JOIN e GROUP BY 1
+    ),
+    cc AS (
+        SELECT 1 + CAST(value > e1 AS INTEGER) + CAST(value > e2 AS INTEGER)
+                 + CAST(value > e3 AS INTEGER) + CAST(value > e4 AS INTEGER)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cur_n
+        FROM cur CROSS JOIN e GROUP BY 1
+    ),
+    bins AS (SELECT CAST(unnest(range(1, 6)) AS INTEGER) AS bin),
+    tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM ref) AS nr,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM cur) AS nc
+    )
+    SELECT bins.bin,
+           COALESCE(rc.ref_n, 0) AS ref_n,
+           COALESCE(cc.cur_n, 0) AS cur_n,
+           floor(((CAST(COALESCE(cc.cur_n, 0) AS DOUBLE) + 0.5) / (nc + 2.5)
+                  - (CAST(COALESCE(rc.ref_n, 0) AS DOUBLE) + 0.5) / (nr + 2.5))
+                 * ln(((CAST(COALESCE(cc.cur_n, 0) AS DOUBLE) + 0.5)
+                       / (nc + 2.5))
+                      / ((CAST(COALESCE(rc.ref_n, 0) AS DOUBLE) + 0.5)
+                         / (nr + 2.5)))
+                 * 1e6 + 0.5) / 1e6 AS psi_term
+    FROM bins LEFT JOIN rc ON bins.bin = rc.bin
+              LEFT JOIN cc ON bins.bin = cc.bin
+              CROSS JOIN tot
+    ORDER BY bins.bin
+    """,
+)
+def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-value distribution:
+    quintile bins fixed on the REFERENCE half, per-bin PSI terms
+    (sum ≥ 0.2 = the classic 'investigate the model inputs' alarm) —
+    the monitoring-industry sibling of `event_value_drift_kl`, which
+    bins both halves symmetrically.
+
+    Bin edges are one tiny percentile aggregate on the reference half
+    (broadcast back); binning is four comparisons per row; counts are
+    exact. Laplace-style smoothing ((n+0.5)/(N+2.5)) keeps empty
+    current-period bins finite and is applied identically on both
+    engines before the one ln-based closed form per bin (5 rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp")).select(
+        "value"
+    )
+    cur = ev.filter(F.col("ts") >= F.lit(PSI_SPLIT).cast("timestamp")).select(
+        "value"
+    )
+    e = ref.agg(
+        *[
+            _round6(F.expr(f"percentile(value, {p})")).alias(f"e{i}")
+            for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+        ]
+    )
+
+    def binned(df: DataFrame, cnt_name: str) -> DataFrame:
+        b = (
+            F.lit(1)
+            + (F.col("value") > F.col("e1")).cast("int")
+            + (F.col("value") > F.col("e2")).cast("int")
+            + (F.col("value") > F.col("e3")).cast("int")
+            + (F.col("value") > F.col("e4")).cast("int")
+        ).alias("bin")
+        return (
+            df.crossJoin(F.broadcast(e))
+            .select(b)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    rc = binned(ref, "ref_n")
+    cc = binned(cur, "cur_n")
+    bins = spark.range(1, 6).select(F.col("id").cast("int").alias("bin"))
+    tot = ref.agg(F.count(F.lit(1)).cast("double").alias("nr")).crossJoin(
+        cur.agg(F.count(F.lit(1)).cast("double").alias("nc"))
+    )
+    j = (
+        bins.join(F.broadcast(rc), on="bin", how="left")
+        .join(F.broadcast(cc), on="bin", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+            "nr",
+            "nc",
+        )
+    )
+    q = (F.col("cur_n").cast("double") + F.lit(0.5)) / (F.col("nc") + F.lit(2.5))
+    p = (F.col("ref_n").cast("double") + F.lit(0.5)) / (F.col("nr") + F.lit(2.5))
+    return j.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        _round6((q - p) * F.log(q / p)).alias("psi_term"),
+    ).orderBy("bin")

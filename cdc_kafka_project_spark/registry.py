@@ -81,6 +81,7 @@ _GATE_PRIORITY: list[str] = [
     # -- tier 0: round-5 new queries (prepended as added) and queries
     #    whose implementation changed this round (need a fresh row
     #    under the new code path). --
+    "event_value_psi_drift",
     "supplier_hhi_by_nation",
     "curation_funnel_report",
     "langid_confusion",

@@ -562,3 +562,17 @@ def test_hhi_bounds(spark):
     for r in rows:
         # HHI lies in [1/n, 1] for n participating suppliers
         assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-6
+
+
+def test_psi_bins_cover_both_periods(spark):
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        event_value_psi_drift,
+    )
+
+    rows = event_value_psi_drift(spark, SF_SMOKE).collect()
+    assert [r["bin"] for r in rows] == [1, 2, 3, 4, 5]
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r["ref_n"] + r["cur_n"] for r in rows) == events
+    # reference quintile bins are near-equal by construction
+    refs = [r["ref_n"] for r in rows]
+    assert max(refs) - min(refs) <= max(2, 0.05 * sum(refs))
