@@ -2,8 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line (round-5 verdict: the driver tail-captures
+stdout, and a 96-entry per-query map outgrew the window, leaving
+BENCH_r05 unparsed):
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "sf": ..., "n_queries": ..., "runs_per_query": 3,
+     "aggregation": "median", "cdc_apply_latency_sec": ...}
+The full per-query map goes to stderr and BENCH_HISTORY.jsonl.
 
 Each query executes end-to-end into the no-op sink (format("noop")) so
 timing covers scan -> compute -> materialization without driver
@@ -251,7 +256,14 @@ def main() -> None:
         "cdc_apply_latency_sec": _cdc_latency_sec(spark),
     }
     _record_history(record)
-    print(json.dumps(record))
+    # Per-query detail to stderr; the one stdout line stays compact so
+    # the driver's tail capture always sees the full JSON record
+    # (round-5 verdict item 1 — BENCH_r05 was unparseable because the
+    # per-query map pushed the line past the capture window).
+    print("# per-query medians: " + json.dumps(timings), file=sys.stderr)
+    compact = {k: v for k, v in record.items() if k != "queries"}
+    compact["n_queries"] = len(timings)
+    print(json.dumps(compact))
 
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
