@@ -141,8 +141,12 @@ def bloom_semi_join(
     prefiltered = fact.join(bloom, how="cross").filter(
         might_contain(F.col("bloom_bits"), F.col(fact_key), num_bits, seeds)
     ).drop("bloom_bits")
+    # Alias the dim side so the exact-join predicate can never resolve
+    # dim_key against a same-named fact column (which would degrade the
+    # semi-join to trivially-true). (Round-5 advice.)
+    dim = dim_keys.select(F.col(dim_key)).alias("__bloom_dim")
     return prefiltered.join(
-        dim_keys.select(F.col(dim_key)),
-        on=prefiltered[fact_key] == F.col(dim_key),
+        dim,
+        on=prefiltered[fact_key] == F.col(f"__bloom_dim.{dim_key}"),
         how="left_semi",
     )

@@ -699,6 +699,7 @@ def build_minhash_index(
     num_perm: int = 64,
     bands: int = 16,
     rows: int = 4,
+    fingerprint: str | None = None,
 ) -> None:
     """Materialize the near-dup index: signatures + band table on disk.
 
@@ -712,8 +713,14 @@ def build_minhash_index(
     """
     import os
 
-    from cdc_kafka_project_spark.operators.similarity import _write_model
+    from cdc_kafka_project_spark.operators.similarity import (
+        _write_model,
+        corpus_fingerprint,
+    )
 
+    fp = fingerprint if fingerprint is not None else corpus_fingerprint(
+        docs, _minhash_params(n, num_perm, bands, rows)
+    )
     sigs = minhash_signatures(docs, n=n, num_perm=num_perm).localCheckpoint(
         eager=True
     )
@@ -723,8 +730,46 @@ def build_minhash_index(
     ).parquet(os.path.join(path, "bands"))
     _write_model(
         path, {"kind": "minhash", "n": n, "num_perm": num_perm,
-               "bands": bands, "rows": rows}
+               "bands": bands, "rows": rows, "fingerprint": fp}
     )
+    # path-level completion marker (sigs/bands land in subdirs, so the
+    # parquet writes' own _SUCCESS files are not at `path`) — written
+    # LAST so a crashed build never looks complete to index_exists
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
+def _minhash_params(n: int, num_perm: int, bands: int, rows: int) -> dict:
+    return {"kind": "minhash", "n": n, "num_perm": num_perm,
+            "bands": bands, "rows": rows}
+
+
+def ensure_minhash_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> None:
+    """Build the MinHash index iff absent OR stale (source files or
+    params changed) — same fingerprint contract as the ANN
+    ``ensure_*`` builders, so a regenerated corpus can never be probed
+    against last generation's signatures. An appended-to index (its
+    fingerprint records the ORIGINAL build inputs) also reads as stale
+    here; incremental-ingest callers manage their path explicitly via
+    ``append_to_minhash_index`` instead."""
+    from cdc_kafka_project_spark.operators.similarity import (
+        corpus_fingerprint,
+        index_exists,
+    )
+
+    fp = corpus_fingerprint(docs, _minhash_params(n, num_perm, bands, rows))
+    if not index_exists(path, fp):
+        build_minhash_index(
+            docs, path, n=n, num_perm=num_perm, bands=bands, rows=rows,
+            fingerprint=fp,
+        )
 
 
 def append_to_minhash_index(new_docs: DataFrame, path: str) -> None:

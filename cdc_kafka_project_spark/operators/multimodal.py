@@ -333,38 +333,43 @@ def phash_dup_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     so at least one band matches exactly and the pair surfaces in the
     band join — the same guarantee the SimHash tier documents. The
     join fans out per (band_idx, value) group, never all-pairs.
+
+    The full 4-band hash rides THROUGH the candidate self-join (wider
+    exploded rows — 4 extra longs — but the Hamming verify then runs
+    inline on the join output), so the band table is scanned once and
+    the only post-join exchange is the final pair dedup over verified
+    survivors. (Round-5 verdict item 4: this replaces a distinct() on
+    raw candidates plus two band-table re-joins — 2 exchanges and a
+    re-scan fewer.)
     """
     long = bands.select(
         "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
             "band_idx", "val"
         ),
     )
-    cand = (
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.b{j}").bitwiseXOR(F.col(f"b.b{j}"))
+        )
+        for j in range(4)
+    ).cast("long")
+    return (
         long.alias("a")
         .join(long.alias("b"), ["band_idx", "val"])
         .filter(F.col("a.media_id") < F.col("b.media_id"))
         .select(
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ba = bands.select(
-        F.col("media_id").alias("media_a"),
-        *[F.col(c).alias(f"{c}_a") for c in ("b0", "b1", "b2", "b3")],
-    )
-    bb = bands.select(
-        F.col("media_id").alias("media_b"),
-        *[F.col(c).alias(f"{c}_b") for c in ("b0", "b1", "b2", "b3")],
-    )
-    ham = sum(
-        F.bit_count(F.col(f"b{j}_a").bitwiseXOR(F.col(f"b{j}_b")))
-        for j in range(4)
-    ).cast("long")
-    return (
-        cand.join(ba, "media_a")
-        .join(bb, "media_b")
-        .select("media_a", "media_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        # a pair within Hamming<=3 can match on up to 4 bands; hamming
+        # is functionally dependent on the pair, so keeping any one
+        # duplicate row is deterministic
+        .dropDuplicates(["media_a", "media_b"])
     )

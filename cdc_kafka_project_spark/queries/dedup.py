@@ -440,20 +440,53 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_index_probe")  # rows-only: xxhash64 bands engine-side
+@query(
+    "dedup_minhash_index_probe",
+    # Exact-twin oracle (round-5 verdict item 8): the drivable surface
+    # is the exact-duplicate tier of the probe — pairs whose FULL TEXT
+    # matches. Identical text ⇒ identical trigram set ⇒ identical
+    # signature ⇒ every band collides ⇒ the index is GUARANTEED to
+    # surface the pair with est_jaccard exactly 1.0, so the banded
+    # probe and the oracle's text-equality join agree deterministically
+    # (no recall probability in play). The approximate near-dup tier
+    # (0.5 ≤ est < 1) stays pytest-pinned via probe_minhash_index.
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    injected AS (
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM corpus ORDER BY doc_id LIMIT 5
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, text FROM injected
+    )
+    SELECT b.doc_id AS new_doc_id, c.doc_id AS index_doc_id,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM batch b JOIN corpus c
+      ON b.text = c.text AND b.doc_id <> c.doc_id
+    """,
+)
 def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arriving-batch near-dedup against the MATERIALIZED MinHash
     index (the incremental-ingest story): the standing corpus
-    (doc_id % 10 != 0) is indexed once on disk; the arriving batch
-    (doc_id % 10 == 0, plus injected copies of 5 corpus docs under
-    offset ids — the fixture-injection pattern, since the synthetic
-    corpus has no cross-split duplicates) is signed, banded, and
-    equi-joined against the stored band table. Nothing recomputes for
-    the corpus; the only shuffle is proportional to the batch.
+    (doc_id % 10 != 0) is indexed once on disk — fingerprint-checked,
+    so a regenerated corpus forces a rebuild instead of serving stale
+    signatures; the arriving batch (doc_id % 10 == 0, plus injected
+    copies of 5 corpus docs under offset ids — the fixture-injection
+    pattern, since the synthetic corpus has no cross-split duplicates)
+    is signed, banded, and equi-joined against the stored band table.
+    Nothing recomputes for the corpus; the only shuffle is
+    proportional to the batch.
 
-    Rows-only (seeded perms + xxhash64 bands are engine-side); the
-    probe/append contract — injected dups found, novel docs clean,
-    index growth visible to later probes — is pinned in
+    Drivable output = the exact-duplicate tier (probe hits whose full
+    text matches the indexed doc — est_jaccard is exactly 1.0 there,
+    and banding recall is exactly 1 for identical signatures, so the
+    set is deterministic and oracle-mirrored). The approximate tier
+    (est_jaccard in [0.5, 1)) plus the probe/append contract — novel
+    docs clean, index growth visible to later probes — is pinned in
     tests/test_dedup.py.
     """
     import os
@@ -466,8 +499,7 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    if not os.path.exists(os.path.join(path, "_ann_model.json")):
-        dd.build_minhash_index(corpus, path, n=3, num_perm=64, bands=16, rows=4)
+    dd.ensure_minhash_index(corpus, path, n=3, num_perm=64, bands=16, rows=4)
     injected = (
         corpus.orderBy("doc_id")
         .limit(5)
@@ -480,4 +512,16 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(injected)
     )
-    return dd.probe_minhash_index(spark, batch, path, threshold=0.5)
+    probed = dd.probe_minhash_index(spark, batch, path, threshold=0.5)
+    # exact tier: verify candidate pairs on full text (broadcastable
+    # batch side; corpus side re-read column-pruned to (doc_id, text))
+    bt = batch.withColumnsRenamed({"doc_id": "new_doc_id", "text": "__bt"})
+    ct = corpus.select(
+        F.col("doc_id").alias("index_doc_id"), F.col("text").alias("__ct")
+    )
+    return (
+        probed.join(bt, "new_doc_id")
+        .join(ct, "index_doc_id")
+        .filter(F.col("__bt") == F.col("__ct"))
+        .select("new_doc_id", "index_doc_id", "est_jaccard")
+    )

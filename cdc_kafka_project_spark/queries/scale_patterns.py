@@ -1190,21 +1190,11 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_user_overlap")  # rows-only: HLL estimates are impl-defined
-def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-user overlap between two behaviors ('view' vs
-    'purchase') by HLL inclusion-exclusion: |A∩B| ≈ est(A) + est(B) -
-    est(A∪B), where est(A∪B) is a SKETCH UNION — no rescan of either
-    side. This is the audience-overlap question every segmentation
-    system asks; with per-day/per-source sketch state tables
-    (`sketch_incremental_distinct`) any pairwise overlap is computable
-    from KB-sized summaries alone.
-
-    The exact intersection rides along for error pinning (computed the
-    expensive way: a user-keyed distinct shuffle — exactly the cost
-    the sketch path avoids at 100 TB). Rows-only check: estimates are
-    engine-implementation-defined; the error bound is pytest-pinned.
-    """
+def _user_overlap_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full overlap frame: HLL estimates AND exact distinct counts
+    side by side (one row). Shared by the registered query (which
+    projects the drivable exact columns plus the error-bound flag) and
+    the pytest error pin (which reads the raw estimates)."""
     ev = _t(spark, sf_dir, "events")
     pair = ev.filter(F.col("event_type").isin("view", "purchase"))
     st = pair.groupBy("event_type").agg(
@@ -1225,14 +1215,17 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("est"))
         ).alias("est_purchase"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_union"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("exact"))).alias(
+            "exact_view"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("exact"))
+        ).alias("exact_purchase"),
     )
-    exact_both = (
-        pair.groupBy("user_id")
-        .agg(F.countDistinct("event_type").alias("k"))
-        .filter(F.col("k") == 2)
-        .agg(F.count("*").alias("exact_intersection"))
+    exact_union = pair.agg(
+        F.countDistinct("user_id").alias("exact_union")
     )
-    return combined.crossJoin(exact_both).select(
+    return combined.crossJoin(exact_union).select(
         F.col("est_view").cast("long").alias("est_view"),
         F.col("est_purchase").cast("long").alias("est_purchase"),
         F.col("est_union").cast("long").alias("est_union"),
@@ -1244,7 +1237,74 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("est_union")
             ).cast("long"),
         ).alias("est_intersection"),
+        F.col("exact_view").cast("long").alias("exact_view"),
+        F.col("exact_purchase").cast("long").alias("exact_purchase"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        (
+            F.col("exact_view")
+            + F.col("exact_purchase")
+            - F.col("exact_union")
+        ).cast("long").alias("exact_intersection"),
+    )
+
+
+@query(
+    "sketch_user_overlap",
+    # Exact-twin oracle (round-5 verdict item 8): the exact distinct
+    # counts are plain SQL; the HLL estimates are engine-defined, so
+    # the drivable surface carries them only through the 10% error
+    # FLAG (oracle side: literal TRUE) — if the sketch pipeline ever
+    # drifts past the pinned bound, the hash flips and the driver
+    # catches it, without demanding cross-engine register equality.
+    oracle="""
+    WITH pair AS (
+        SELECT user_id, event_type FROM events
+        WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT
+        CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                 THEN user_id END) AS BIGINT) AS exact_view,
+        CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                 THEN user_id END) AS BIGINT)
+            AS exact_purchase,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union,
+        CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                 THEN user_id END)
+             + COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                   THEN user_id END)
+             - COUNT(DISTINCT user_id) AS BIGINT) AS exact_intersection,
+        TRUE AS est_within_10pct
+    FROM pair
+    """,
+)
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between two behaviors ('view' vs
+    'purchase') by HLL inclusion-exclusion: |A∩B| ≈ est(A) + est(B) -
+    est(A∪B), where est(A∪B) is a SKETCH UNION — no rescan of either
+    side. This is the audience-overlap question every segmentation
+    system asks; with per-day/per-source sketch state tables
+    (`sketch_incremental_distinct`) any pairwise overlap is computable
+    from KB-sized summaries alone.
+
+    The exact counts ride along for error pinning (computed the
+    expensive way: user-keyed distinct shuffles — exactly the cost
+    the sketch path avoids at 100 TB). Drivable surface = the exact
+    columns (oracle-mirrored) plus `est_within_10pct`, the sketch
+    pipeline's inclusion-exclusion error folded to a hash-checkable
+    boolean; raw estimate values stay pytest-pinned
+    (tests/test_sketches.py) because HLL register layouts are
+    engine-implementation-defined.
+    """
+    full = _user_overlap_full(spark, sf_dir)
+    return full.select(
+        "exact_view",
+        "exact_purchase",
+        "exact_union",
         "exact_intersection",
+        (
+            F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+            <= 0.10 * F.col("exact_intersection")
+        ).alias("est_within_10pct"),
     )
 
 

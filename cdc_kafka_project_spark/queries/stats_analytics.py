@@ -1165,6 +1165,12 @@ def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# docstring is a plain string (not an f-string) so the constant renders
+event_top_paths.__doc__ = event_top_paths.__doc__.replace(
+    "{TOP_PATHS}", str(TOP_PATHS)
+)
+
+
 # ---------------------------------------------------------------------------
 # Gini concentration of customer revenue per segment
 # ---------------------------------------------------------------------------
@@ -1665,8 +1671,9 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sr GROUP BY nationkey
     )
     SELECT n.n_name AS nation, tot.n_suppliers,
-           floor(CAST(SUM(CAST(sr.rev / tot.total_rev * sr.rev
-                                / tot.total_rev AS DECIMAL(25,12)))
+           floor(CAST(SUM(CAST((sr.rev / tot.total_rev)
+                               * (sr.rev / tot.total_rev)
+                               AS DECIMAL(25,12)))
                       AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hhi
     FROM sr JOIN tot ON sr.nationkey = tot.nationkey
             JOIN nation n ON n.n_nationkey = sr.nationkey

@@ -45,11 +45,12 @@ def test_hll_overlap_inclusion_exclusion_error_bound(spark):
     """est_intersection within 10% of the exact overlap on a corpus
     with known 50% overlap structure."""
     from cdc_kafka_project_spark.queries.scale_patterns import (
+        _user_overlap_full,
         sketch_user_overlap,
     )
     from tests.conftest import SF_SMOKE
 
-    r = sketch_user_overlap(spark, SF_SMOKE).collect()[0]
+    r = _user_overlap_full(spark, SF_SMOKE).collect()[0]
     exact = r["exact_intersection"]
     assert exact > 0
     err = abs(r["est_intersection"] - exact) / exact
@@ -57,3 +58,7 @@ def test_hll_overlap_inclusion_exclusion_error_bound(spark):
     # sanity: union <= a + b, intersection <= min(a, b)
     assert r["est_union"] <= r["est_view"] + r["est_purchase"]
     assert r["est_intersection"] <= min(r["est_view"], r["est_purchase"]) * 1.02
+    # the registered (drivable) projection folds the same bound to a flag
+    d = sketch_user_overlap(spark, SF_SMOKE).collect()[0]
+    assert d["est_within_10pct"] is True
+    assert d["exact_intersection"] == exact
