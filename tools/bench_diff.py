@@ -38,20 +38,54 @@ def _latest_history() -> dict | None:
     return json.loads(last) if last else None
 
 
+def _history_by_ts(prefix: str) -> dict | None:
+    """``history:<ts-prefix>`` source: the BENCH_HISTORY entry whose ts
+    starts with the prefix (driver round files that failed to parse are
+    recoverable this way — bench.py appends every run to the history
+    before printing the stdout line)."""
+    path = os.path.join(ROOT, "BENCH_HISTORY.jsonl")
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            e = json.loads(line)
+            if str(e.get("ts", "")).startswith(prefix):
+                return e
+    return None
+
+
+def _load_source(arg: str) -> tuple[dict, str]:
+    if arg.startswith("history:"):
+        e = _history_by_ts(arg.split(":", 1)[1])
+        if e is None:
+            raise SystemExit(f"no BENCH_HISTORY entry matching {arg}")
+        return e, arg
+    with open(arg) as f:
+        rec = json.load(f)
+    # driver round files wrap the bench line under "parsed"
+    if "queries" not in rec and isinstance(rec.get("parsed"), dict):
+        rec = rec["parsed"]
+    return rec, os.path.basename(arg)
+
+
+def _config_line(tag: str, rec: dict) -> str:
+    return (
+        f"> {tag}: {len(rec.get('queries', {}))} queries, sf={rec.get('sf')}, "
+        f"{rec.get('runs_per_query', 1)} run(s)/query, "
+        f"aggregation={rec.get('aggregation', 'single')}, "
+        f"cdc_latency={rec.get('cdc_apply_latency_sec', 'n/a')}s"
+    )
+
+
 def main() -> int:
-    old_path = sys.argv[1] if len(sys.argv) > 1 else _latest_round_file()
-    if old_path is None:
+    old_src = sys.argv[1] if len(sys.argv) > 1 else _latest_round_file()
+    if old_src is None:
         print("no BENCH_r*.json to diff against", file=sys.stderr)
         return 1
-    with open(old_path) as f:
-        old = json.load(f)
-    # driver round files wrap the bench line under "parsed"
-    if "queries" not in old and isinstance(old.get("parsed"), dict):
-        old = old["parsed"]
+    old, old_path = _load_source(old_src)
     if len(sys.argv) > 2:
-        with open(sys.argv[2]) as f:
-            new = json.load(f)
-        new_name = sys.argv[2]
+        new, new_name = _load_source(sys.argv[2])
     else:
         new = _latest_history()
         new_name = "BENCH_HISTORY.jsonl (latest)"
@@ -61,10 +95,15 @@ def main() -> int:
 
     oq, nq = old.get("queries", {}), new.get("queries", {})
     lines = [
-        f"# Bench diff — {os.path.basename(old_path)} → {new_name}",
+        f"# Bench diff — {old_path} → {new_name}",
         "",
         f"Total: {old.get('value')}s → {new.get('value')}s "
         f"(sf={new.get('sf')})",
+        "",
+        # both run configs, always (round-5 verdict item 6: never again
+        # compare a single-run column against medians without saying so)
+        _config_line("old", old),
+        _config_line("new", new),
         "",
         "| query | old s | new s | delta |",
         "|---|---|---|---|",
