@@ -357,3 +357,66 @@ def test_minhash_index_probe_append_cycle(spark, tmp_path):
     }
     assert (201, 101) in later_hits  # sees the APPENDED doc
     assert (201, 1) in later_hits    # and the original corpus
+
+
+def test_ensure_minhash_index_fingerprint_staleness(spark, tmp_path):
+    """ensure_minhash_index: build once, no-op while the source parquet
+    is unchanged, REBUILD when it changes — a probe can never run
+    against last generation's signatures (the pre-round-6 existence
+    check would have)."""
+    import os
+    import time
+
+    from cdc_kafka_project_spark.operators import dedup as dd
+    from cdc_kafka_project_spark.operators.similarity import read_model
+
+    src = str(tmp_path / "docs")
+    base = " ".join(f"w{i}" for i in range(20))
+    spark.createDataFrame(
+        [(i, f"{base} tail{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    corpus = spark.read.parquet(src)
+    path = str(tmp_path / "mh")
+
+    dd.ensure_minhash_index(corpus, path)
+    fp1 = read_model(path)["fingerprint"]
+    assert fp1  # file-backed input -> identity established
+    mtime1 = os.path.getmtime(os.path.join(path, "_ann_model.json"))
+
+    dd.ensure_minhash_index(spark.read.parquet(src), path)  # unchanged
+    assert os.path.getmtime(os.path.join(path, "_ann_model.json")) == mtime1
+
+    time.sleep(0.05)  # ensure a distinct mtime on rewrite
+    spark.createDataFrame(
+        [(i, f"{base} other{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    dd.ensure_minhash_index(spark.read.parquet(src), path)
+    fp2 = read_model(path)["fingerprint"]
+    assert fp2 != fp1  # regenerated corpus -> rebuilt index
+
+
+def test_ensure_minhash_index_rebuilds_for_inmemory_input(spark, tmp_path):
+    """Non-file inputs have no identity (fingerprint None) — ensure
+    must rebuild every time rather than trust whatever is on disk."""
+    from cdc_kafka_project_spark.operators import dedup as dd
+    from cdc_kafka_project_spark.operators.similarity import read_model
+
+    base = " ".join(f"w{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(i, f"{base} tail{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh")
+    dd.ensure_minhash_index(corpus, path)
+    m = read_model(path)
+    assert m["fingerprint"] is None
+    # second call with different in-memory data must rebuild (not serve
+    # the stale unverifiable index)
+    other = spark.createDataFrame(
+        [(9, "completely different text here")], "doc_id long, text string"
+    )
+    dd.ensure_minhash_index(other, path)
+    sigs = spark.read.parquet(f"{path}/sigs")
+    assert [r.doc_id for r in sigs.select("doc_id").collect()] == [9]
