@@ -755,10 +755,15 @@ def ensure_minhash_index(
     """Build the MinHash index iff absent OR stale (source files or
     params changed) — same fingerprint contract as the ANN
     ``ensure_*`` builders, so a regenerated corpus can never be probed
-    against last generation's signatures. An appended-to index (its
-    fingerprint records the ORIGINAL build inputs) also reads as stale
-    here; incremental-ingest callers manage their path explicitly via
-    ``append_to_minhash_index`` instead."""
+    against last generation's signatures. Note the append interplay:
+    ``append_to_minhash_index`` changes neither the stored fingerprint
+    nor the original source files, so calling ensure with the original
+    unchanged corpus reads an appended-to index as FRESH (probes see
+    the appended entries — the desired incremental-ingest behavior);
+    only a change to the ORIGINAL corpus or the params triggers a
+    rebuild, which drops the appended rows with the rest. Incremental-
+    ingest callers therefore manage their path explicitly via
+    ``append_to_minhash_index`` and re-ensure only on full refresh."""
     from cdc_kafka_project_spark.operators.similarity import (
         corpus_fingerprint,
         index_exists,

@@ -148,7 +148,9 @@ def pagerank_brand_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("brand", F.col("r").alias("pagerank")).orderBy("brand")
 
 
-# docstring is a plain string (not an f-string) so the constant renders
-pagerank_brand_copurchase.__doc__ = pagerank_brand_copurchase.__doc__.replace(
-    "{PR_ITERS}", str(PR_ITERS)
-)
+# docstring is a plain string (not an f-string) so the constant renders;
+# guard for python -OO, where docstrings are stripped to None
+if pagerank_brand_copurchase.__doc__:
+    pagerank_brand_copurchase.__doc__ = pagerank_brand_copurchase.__doc__.replace(
+        "{PR_ITERS}", str(PR_ITERS)
+    )

@@ -1291,7 +1291,10 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch path avoids at 100 TB). Drivable surface = the exact
     columns (oracle-mirrored) plus `est_within_10pct`, the sketch
     pipeline's inclusion-exclusion error folded to a hash-checkable
-    boolean; raw estimate values stay pytest-pinned
+    boolean (bound: 10% of the exact intersection with a 5%-of-union
+    absolute floor, since HLL error scales with the union size — a
+    zero-overlap generation must not demand an exactly-zero estimate);
+    raw estimate values stay pytest-pinned
     (tests/test_sketches.py) because HLL register layouts are
     engine-implementation-defined.
     """
@@ -1302,8 +1305,15 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_intersection",
         (
+            # tolerance floor (r6 advice): HLL inclusion-exclusion error
+            # scales with the UNION size, so a tiny (or zero) exact
+            # intersection must not demand a near-exact estimate — that
+            # would flip the gate hash on sketch noise, not a defect
             F.abs(F.col("est_intersection") - F.col("exact_intersection"))
-            <= 0.10 * F.col("exact_intersection")
+            <= F.greatest(
+                0.10 * F.col("exact_intersection"),
+                0.05 * F.col("exact_union"),
+            )
         ).alias("est_within_10pct"),
     )
 

@@ -724,7 +724,9 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# docstring is a plain string (not an f-string) so the constant renders
-embedding_label_outliers.__doc__ = embedding_label_outliers.__doc__.replace(
-    "{OUTLIERS_PER_LABEL}", str(OUTLIERS_PER_LABEL)
-)
+# docstring is a plain string (not an f-string) so the constant renders;
+# guard for python -OO, where docstrings are stripped to None
+if embedding_label_outliers.__doc__:
+    embedding_label_outliers.__doc__ = embedding_label_outliers.__doc__.replace(
+        "{OUTLIERS_PER_LABEL}", str(OUTLIERS_PER_LABEL)
+    )

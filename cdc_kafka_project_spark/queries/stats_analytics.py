@@ -1165,10 +1165,12 @@ def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# docstring is a plain string (not an f-string) so the constant renders
-event_top_paths.__doc__ = event_top_paths.__doc__.replace(
-    "{TOP_PATHS}", str(TOP_PATHS)
-)
+# docstring is a plain string (not an f-string) so the constant renders;
+# guard for python -OO, where docstrings are stripped to None
+if event_top_paths.__doc__:
+    event_top_paths.__doc__ = event_top_paths.__doc__.replace(
+        "{TOP_PATHS}", str(TOP_PATHS)
+    )
 
 
 # ---------------------------------------------------------------------------

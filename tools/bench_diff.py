@@ -70,8 +70,10 @@ def _load_source(arg: str) -> tuple[dict, str]:
 
 
 def _config_line(tag: str, rec: dict) -> str:
+    # compact stdout records carry n_queries instead of the full map
+    n = len(rec.get("queries") or {}) or rec.get("n_queries", 0)
     return (
-        f"> {tag}: {len(rec.get('queries', {}))} queries, sf={rec.get('sf')}, "
+        f"> {tag}: {n} queries, sf={rec.get('sf')}, "
         f"{rec.get('runs_per_query', 1)} run(s)/query, "
         f"aggregation={rec.get('aggregation', 'single')}, "
         f"cdc_latency={rec.get('cdc_apply_latency_sec', 'n/a')}s"
