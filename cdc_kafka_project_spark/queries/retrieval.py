@@ -53,14 +53,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, k=TOP_K)
 
 
-@query("text_index_topk")  # rows-only: materialized index is engine-side
+@query("text_index_topk", oracle=rt.bm25_oracle_sql(QUERY_TERMS, k=TOP_K))
 def text_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 served from the MATERIALIZED inverted index
     (parquet partitioned by token bucket, fingerprint-checked rebuild):
     the probe plans only the buckets of the query terms — partition
     pruning makes probe cost O(query postings), independent of corpus
-    size. Score-identical to bm25_topk (pinned by
-    tests/test_retrieval.py)."""
+    size. Score-identical to bm25_topk by construction (same micro-unit
+    arithmetic, df/dl/N/avgdl read from the index), so it shares
+    bm25_topk's DuckDB oracle (round-6 verdict item 4c: the index
+    probe is hash-checkable because the scores are exact, not
+    approximate — only the SERVING path differs)."""
     docs = _docs(spark, sf_dir)
     path = _index_dir(sf_dir, "token_index")
     rt.ensure_token_index(docs, path)

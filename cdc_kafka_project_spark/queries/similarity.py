@@ -356,15 +356,24 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("similarity_ann_recall")  # rows-only: probes engine-side indexes
-def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-measuring ANN quality gate: recall@20 of each approximate
-    probe (LSH, IVF, PQ) against the exact brute-force top-20 for the
-    standing query vector — the continuous-evaluation row an index
-    deployment alerts on. The ground-truth and probe sets are k=20
-    driver-side reads (bounded, the documented exception); everything
-    upstream is the same partition-pruned probes the individual queries
-    run."""
+#: Pinned per-method recall@20 floors for the drivable ANN gate.
+#: These are BREAKAGE detectors, not quality targets: a stale or
+#: corrupted index probes near-random vec_ids (recall ≈ 0 at corpus
+#: scale), while a healthy probe has always measured well above these
+#: (observed across sf0.001/0.01/0.1 generations: lsh 0.10-0.20,
+#: ivf 0.75-0.80, pq 0.20-0.65). Raw recall values stay pytest-pinned
+#: (tests/test_similarity.py) because they move with the data
+#: generation; the flag is what the driver hash-checks.
+ANN_RECALL_FLOORS = {"lsh": 0.05, "ivf": 0.50, "pq": 0.10}
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw self-measured recall@20 per ANN method (LSH, IVF, PQ)
+    against the exact brute-force top-20 for the standing query vector
+    — the continuous-evaluation row an index deployment alerts on.
+    The ground-truth and probe sets are k=20 driver-side reads
+    (bounded, the documented exception); everything upstream is the
+    same partition-pruned probes the individual queries run."""
     emb = _emb(spark, sf_dir)
     qv = sim.query_vector(emb, QUERY_VEC_ID)
     truth = {
@@ -394,6 +403,39 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {r.vec_id for r in probe().collect()}
         rows.append((method, TOP_K, len(got & truth) / float(TOP_K)))
     return spark.createDataFrame(rows, "method string, k int, recall double")
+
+
+@query(
+    "similarity_ann_recall",
+    # Bound-flag oracle (round-6 verdict item 4b, the
+    # sketch_user_overlap pattern): recall values are
+    # generation-dependent, so the drivable surface is the per-method
+    # floor plus the recall>=floor boolean — literal rows on the
+    # DuckDB side. A stale/broken index fails the flag (recall ≈ 0);
+    # quality-level tracking stays in pytest and the bench record.
+    oracle="""
+    SELECT 'ivf' AS method, 20 AS k, 0.50 AS recall_floor, TRUE AS recall_ok
+    UNION ALL
+    SELECT 'lsh' AS method, 20 AS k, 0.05 AS recall_floor, TRUE AS recall_ok
+    UNION ALL
+    SELECT 'pq' AS method, 20 AS k, 0.10 AS recall_floor, TRUE AS recall_ok
+    """,
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drivable ANN quality gate: folds ``ann_recall_report``'s raw
+    recall@20 per method to a pinned-floor boolean the driver can
+    hash-check against literal TRUE rows (see ANN_RECALL_FLOORS for
+    the floor rationale — breakage detection, not tuning)."""
+    rep = ann_recall_report(spark, sf_dir)
+    floor = F.create_map(
+        *[F.lit(x) for kv in ANN_RECALL_FLOORS.items() for x in kv]
+    )
+    return rep.select(
+        "method",
+        "k",
+        floor[F.col("method")].alias("recall_floor"),
+        (F.col("recall") >= floor[F.col("method")]).alias("recall_ok"),
+    )
 
 
 @query("embedding_index_pipeline")  # rows-only: PCA + k-means engine-side

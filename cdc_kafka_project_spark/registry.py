@@ -72,89 +72,21 @@ def load_all() -> None:
 # dict order and covers a bounded prefix (exactly 50 names in r5), so
 # the registry orders the checked dict explicitly rather than relying on
 # module import order.
-# ROUND-6 ORDER (round-5 verdict items 2+3): pure catch-up. Tier 0a =
-# the 29 oracle-backed names that have never had a driver row; tier 0b =
-# 21 r1-era names (CDC core first) — together exactly the 50-slot
-# window. Then changed-this-round names, the rest of the r1 tier, r2,
-# r3, then the r4/r5-fresh names, and ALL no-oracle names dead last.
-# STANDING RULES (apply again from round 7): never-checked or
+# ROUND-7 ORDER (round-6 verdict item 1): pure staleness rotation.
+# The 50-slot window = the 28 r1-era + 10 r2-era + 12 oldest r3-era
+# oracle-backed names (no name's last driver row is newer than r3).
+# STANDING RULES (resume from round 8): never-checked or
 # changed-this-round names front the window; after that order by
 # staleness (oldest driver row first); no-oracle names always sort
 # after every oracle-backed name.
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- tier 0a (round-6 catch-up gate, per the round-5 verdict:
-    #    REGISTRY GROWTH FROZEN this round; the whole ~50-slot window
-    #    goes to names with no driver row yet or r1-era rows). These 29
-    #    are oracle-backed session-3 additions that have never had a
-    #    driver CORRECTNESS row. --
-    "event_props_variant",
-    "session_window_native",
-    "unpivot_lineitem_measures",
-    "winsorized_price_stats",
-    "shard_assignment_by_bytes",
-    "denormalized_order_lines",
-    "feature_quantile_buckets",
-    "feature_label_index",
-    "fk_integrity_audit",
-    "event_value_drift_kl",
-    "doc_span_dedup",
-    "doc_stratified_split",
-    "split_leakage_audit",
-    "lang_source_pmi",
-    "corpus_source_report",
-    "doc_bigram_logprob",
-    "embedding_matryoshka_fidelity",
-    "embedding_binary_quantize",
-    "similarity_hamming_rerank",
-    "media_phash_dup_pairs",
-    "bm25_topk",
-    "hard_negative_mining",
-    "dedup_incremental_new_docs",
-    "rolling_7d_user_spend",
-    "lang_temperature_sample",
-    "interval_incident_event_stats",
-    "interval_incident_overlap_pairs",
-    "gapfill_daily_revenue",
-    "user_spend_ewma",
-    # -- tier 0b: r1-era CDC core + q-series (last driver row is r1,
-    #    four testdata generations old — SURVEY §2's core semantics
-    #    re-verify on current data). 29 + 21 = 50 = the gate window. --
-    "cdc_incremental_scan",
-    "cdc_latest_state",
-    "cdc_replica",
-    "cdc_validate_valid",
-    "cdc_validate_dlq",
-    "cdc_json_decode",
-    "cdc_json_encode",
-    "cdc_merge_upsert",
-    "cdc_running_totals",
-    "asof_last_purchase",
-    "q1_pricing_summary",
-    "q2_min_price_per_type",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_revenue_delta",
-    "q12_priority_case_agg",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q16_supplier_variety",
-    "q17_small_qty_avg",
-    # -- changed-this-round names (standing rule would put these in
-    #    front, but the round-5 verdict's catch-up gate takes priority;
-    #    they sit just past the window and lead the r7 rotation).
-    #    supplier_hhi_by_nation: oracle expression-tree fix;
-    #    bloom_semi_join_revenue: operator join-ambiguity fix;
-    #    sketch_user_overlap / dedup_minhash_index_probe: exact-twin
-    #    columns added (now oracle-backed). --
-    "supplier_hhi_by_nation",
-    "bloom_semi_join_revenue",
-    "sketch_user_overlap",
-    "dedup_minhash_index_probe",
-    # -- remaining r1-era names (staleness rotation continues here
-    #    in round 7) --
+    # -- ROUND-7 WINDOW (round-6 verdict item 1: the entire 50-slot
+    #    driver gate goes to the OLDEST driver rows; registry frozen
+    #    apart from oracle conversions appended BEHIND the rotation).
+    #    Tier 1: the 28 r1-era names — 4 testdata generations stale;
+    #    these carry SURVEY §2 ops 2/4/6/13/23/24/25. --
     "grouped_floor_sum",
     "distinct_counts",
     "rollup_agg",
@@ -167,39 +99,42 @@ _GATE_PRIORITY: list[str] = [
     "outer_join_nation_counts",
     "set_union_active_keys",
     "set_except_keys",
+    "set_intersect_keys",
     "window_topn_per_group",
     "window_running_sum",
     "tumbling_hourly_agg",
     "percentile_prices",
     "cube_agg",
     "q18_large_orders",
-    "q22_idle_rich_customers",
     "q19_disjunctive_pred",
+    "q22_idle_rich_customers",
     "range_join_price_bands",
-    "set_intersect_keys",
     "string_funcs",
     "date_exprs",
     "event_props_extract",
+    "event_props_typed",
     "latest_event_per_user",
     "conditional_aggs",
-    "event_props_typed",
-    # -- r2-era --
+    # -- Tier 2: the 10 r2-era names (TPC-H q7-q21 tier, salting,
+    #    token frequency, grouping sets, exact moments). --
     "q7_nation_volume",
-    "q21_waiting_suppliers",
     "q8_market_share",
     "q9_product_profit",
     "q11_part_value_share",
     "q20_volume_suppliers",
+    "q21_waiting_suppliers",
     "salted_event_type_totals",
     "token_frequency_top100",
     "grouping_sets_sql",
     "exact_moments",
-    # -- r3-era (oracle-backed only; rows-only names sort last) --
+    # -- Tier 3: the 12 oldest r3-era oracle-backed names (CDC
+    #    history/time-travel, q10/q13, tf-idf, dedup graph tiers).
+    #    28 + 10 + 12 = 50 = the driver gate window. --
     "cdc_scd2_history",
     "cdc_incremental_agg",
     "cdc_time_travel",
-    "q13_customer_distribution",
     "q10_returned_revenue",
+    "q13_customer_distribution",
     "text_tfidf_top_terms",
     "word_bigrams_top100",
     "dedup_near_keep",
@@ -207,110 +142,173 @@ _GATE_PRIORITY: list[str] = [
     "doc_contamination_hits",
     "doc_decontaminate",
     "similarity_topk",
+    # -- BEHIND THE ROTATION (lead the r8 window): rows-only→oracle
+    #    conversions land here as they are made (never driver-checked
+    #    as oracles), then the four r6-changed names whose last driver
+    #    row is r5, then the 8 remaining r3-era names. After r8 covers
+    #    these ~12-15, no oracle-backed name rests on a row older than
+    #    two generations. --
+    "sketch_incremental_distinct",
+    "similarity_ann_recall",
+    "text_index_topk",
+    "sketch_user_overlap",
+    "dedup_minhash_index_probe",
+    "supplier_hhi_by_nation",
+    "bloom_semi_join_revenue",
     "embedding_norms",
     "embedding_quantize_int8",
-    "similarity_pairs_above",
+    "media_audio_features",
     "media_catalog",
     "media_decode_features",
-    "media_resize",
     "media_frame_sample",
-    "media_audio_features",
-    # -- fresh: green in CORRECTNESS_r05 on current-generation data --
-    "cdc_debezium_roundtrip",
-    "ivm_join_delta_revenue",
-    "asof_join_cogrouped",
-    "brand_copurchase_lift",
-    "key_skew_report",
-    "join_size_estimate",
-    "event_value_mad_outliers",
-    "lateral_topk_per_customer",
-    "recursive_brand_reachability",
-    "null_semantics_probe",
-    "doc_sliding_chunks",
-    "doc_nb_quality_score",
-    "vocab_growth_curve",
-    "doc_boilerplate_fraction",
-    "source_token_quota_sample",
-    "doc_readability",
-    "zipf_slope",
-    "source_distinctive_terms",
-    "langid_confusion",
-    "semantic_decontaminate",
-    "embedding_label_outliers",
-    "curation_funnel_report",
-    "purchase_click_attribution",
-    "gapfill_linear_interp",
-    "price_qty_regression",
-    "customer_rfm_segments",
-    "event_transition_matrix",
-    "benford_price_audit",
-    "order_priority_chi2",
-    "daily_revenue_acf",
-    "hopping_event_counts",
-    "customer_rfm_quantile_scores",
-    "revenue_seasonality_decomp",
-    "rolling_median_revenue",
-    "part_pareto_frontier",
-    "user_growth_accounting",
-    "conversion_curve",
-    "event_top_paths",
-    "revenue_gini_by_segment",
-    "weekend_effect_ttest",
-    "cohort_ltv_curve",
-    "purchase_rate_wilson_ci",
-    "forecast_backtest_snaive",
-    "theilsen_revenue_slope",
-    "event_value_psi_drift",
-    "pagerank_brand_copurchase",
-    # -- fresh-ish: green in CORRECTNESS_r04 --
-    "cdc_snapshot_diff",
-    "sessionize",
-    "asof_join_purchases",
+    "media_resize",
+    "similarity_pairs_above",
+    # -- r4-era driver rows (oracle-backed) --
     "asof_join_next_purchase",
-    "funnel_view_click_purchase",
-    "weekly_retention_cohorts",
-    "session_stats",
-    "weekly_revenue_wow",
-    "group_minmax_norm",
-    "histogram_prices",
+    "asof_join_purchases",
+    "cdc_snapshot_diff",
     "column_profile",
     "corr_lineitem_measures",
-    "salted_join_segment_revenue",
-    "heavy_hitter_tokens",
-    "event_value_anomalies",
-    "text_stats",
-    "token_count_regex",
-    "lang_id",
-    "doc_fingerprint_md5",
-    "doc_winnow_fingerprints",
-    "doc_quality_filter",
-    "source_quota_sample",
-    "doc_chunks",
-    "doc_repetition_stats",
-    "doc_pii_redact",
-    "doc_host_stats",
-    "doc_split_assign",
-    "doc_unigram_logprob",
-    "doc_source_quality_gate",
-    "doc_uniform_sample",
-    "source_weighted_sample",
-    "doc_url_canonical",
+    "curation_pipeline",
     "dedup_exact_groups",
     "dedup_exact_keep",
+    "dedup_keep_longest",
+    "dedup_levenshtein_verify",
     "dedup_ngram_jaccard",
     "dedup_normalized_groups",
-    "dedup_levenshtein_verify",
-    "dedup_keep_longest",
+    "doc_chunks",
+    "doc_fingerprint_md5",
+    "doc_host_stats",
     "doc_ngram_novelty",
+    "doc_pii_redact",
+    "doc_quality_filter",
+    "doc_repetition_stats",
+    "doc_source_quality_gate",
+    "doc_split_assign",
+    "doc_uniform_sample",
+    "doc_unigram_logprob",
+    "doc_url_canonical",
+    "doc_winnow_fingerprints",
     "embedding_label_centroids",
-    "curation_pipeline",
-    # -- no-oracle names, ALWAYS LAST (round-5 verdict item 3: the
-    #    driver has no rows-only fallback — a no-oracle name in the
-    #    window burns a slot and records err). Each is pinned by pytest
-    #    bounds and/or an oracle-green exact twin. --
+    "event_value_anomalies",
+    "funnel_view_click_purchase",
+    "group_minmax_norm",
+    "heavy_hitter_tokens",
+    "histogram_prices",
+    "lang_id",
+    "salted_join_segment_revenue",
+    "session_stats",
+    "sessionize",
+    "source_quota_sample",
+    "source_weighted_sample",
+    "text_stats",
+    "token_count_regex",
+    "weekly_retention_cohorts",
+    "weekly_revenue_wow",
+    # -- r5-era driver rows (oracle-backed) --
+    "asof_join_cogrouped",
+    "benford_price_audit",
+    "brand_copurchase_lift",
+    "cdc_debezium_roundtrip",
+    "cohort_ltv_curve",
+    "conversion_curve",
+    "curation_funnel_report",
+    "customer_rfm_quantile_scores",
+    "customer_rfm_segments",
+    "daily_revenue_acf",
+    "doc_boilerplate_fraction",
+    "doc_nb_quality_score",
+    "doc_readability",
+    "doc_sliding_chunks",
+    "embedding_label_outliers",
+    "event_top_paths",
+    "event_transition_matrix",
+    "event_value_mad_outliers",
+    "event_value_psi_drift",
+    "forecast_backtest_snaive",
+    "gapfill_linear_interp",
+    "hopping_event_counts",
+    "ivm_join_delta_revenue",
+    "join_size_estimate",
+    "key_skew_report",
+    "langid_confusion",
+    "lateral_topk_per_customer",
+    "null_semantics_probe",
+    "order_priority_chi2",
+    "pagerank_brand_copurchase",
+    "part_pareto_frontier",
+    "price_qty_regression",
+    "purchase_click_attribution",
+    "purchase_rate_wilson_ci",
+    "recursive_brand_reachability",
+    "revenue_gini_by_segment",
+    "revenue_seasonality_decomp",
+    "rolling_median_revenue",
+    "semantic_decontaminate",
+    "source_distinctive_terms",
+    "source_token_quota_sample",
+    "theilsen_revenue_slope",
+    "user_growth_accounting",
+    "vocab_growth_curve",
+    "weekend_effect_ttest",
+    "zipf_slope",
+    # -- r6-era driver rows (freshest) --
+    "asof_last_purchase",
+    "bm25_topk",
+    "cdc_incremental_scan",
+    "cdc_json_decode",
+    "cdc_json_encode",
+    "cdc_latest_state",
+    "cdc_merge_upsert",
+    "cdc_replica",
+    "cdc_running_totals",
+    "cdc_validate_dlq",
+    "cdc_validate_valid",
+    "corpus_source_report",
+    "dedup_incremental_new_docs",
+    "denormalized_order_lines",
+    "doc_bigram_logprob",
+    "doc_span_dedup",
+    "doc_stratified_split",
+    "embedding_binary_quantize",
+    "embedding_matryoshka_fidelity",
+    "event_props_variant",
+    "event_value_drift_kl",
+    "feature_label_index",
+    "feature_quantile_buckets",
+    "fk_integrity_audit",
+    "gapfill_daily_revenue",
+    "hard_negative_mining",
+    "interval_incident_event_stats",
+    "interval_incident_overlap_pairs",
+    "lang_source_pmi",
+    "lang_temperature_sample",
+    "media_phash_dup_pairs",
+    "q12_priority_case_agg",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_supplier_variety",
+    "q17_small_qty_avg",
+    "q1_pricing_summary",
+    "q2_min_price_per_type",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_revenue_delta",
+    "rolling_7d_user_spend",
+    "session_window_native",
+    "shard_assignment_by_bytes",
+    "similarity_hamming_rerank",
+    "split_leakage_audit",
+    "unpivot_lineitem_measures",
+    "user_spend_ewma",
+    "winsorized_price_stats",
+    # -- no-oracle names, ALWAYS LAST (the driver has no rows-only
+    #    fallback — a no-oracle name in the window burns a slot and
+    #    records err). Each is pinned by pytest bounds and/or an
+    #    oracle-green exact twin. --
     "sketch_distinct_users",
     "sketch_percentiles",
-    "sketch_incremental_distinct",
     "doc_fingerprint_xx",
     "doc_pack_assignments",
     "bpe_merge_ranks",
@@ -324,9 +322,7 @@ _GATE_PRIORITY: list[str] = [
     "similarity_ann_pq",
     "similarity_semdedup_keep",
     "embedding_pca_project",
-    "similarity_ann_recall",
     "embedding_index_pipeline",
-    "text_index_topk",
 ]
 
 

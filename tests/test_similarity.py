@@ -532,17 +532,29 @@ def test_driver_near_dup_fixtures_are_not_vacuous(spark):
 def test_ann_recall_query_bounds_and_determinism(spark):
     """The self-measuring recall row: one row per index method, recall
     in [0,1], repeat run identical (indexes are materialized and the
-    probes deterministic)."""
+    probes deterministic); the raw recalls clear the pinned floors the
+    drivable flag query folds to (ANN_RECALL_FLOORS)."""
     from tests.conftest import SF_SMOKE
-    from cdc_kafka_project_spark.queries.similarity import similarity_ann_recall
+    from cdc_kafka_project_spark.queries.similarity import (
+        ANN_RECALL_FLOORS,
+        ann_recall_report,
+        similarity_ann_recall,
+    )
 
     a = sorted((r.method, r.k, r.recall)
-               for r in similarity_ann_recall(spark, SF_SMOKE).collect())
+               for r in ann_recall_report(spark, SF_SMOKE).collect())
     assert [m for m, _, _ in a] == ["ivf", "lsh", "pq"]
     assert all(k == 20 and 0.0 <= rec <= 1.0 for _, k, rec in a)
+    assert all(rec >= ANN_RECALL_FLOORS[m] for m, _, rec in a), a
     b = sorted((r.method, r.k, r.recall)
-               for r in similarity_ann_recall(spark, SF_SMOKE).collect())
+               for r in ann_recall_report(spark, SF_SMOKE).collect())
     assert a == b
+    # the registered (drivable) projection folds the same floors to
+    # flags — all TRUE, matching the oracle's literal rows
+    d = sorted((r.method, r.k, r.recall_floor, r.recall_ok)
+               for r in similarity_ann_recall(spark, SF_SMOKE).collect())
+    assert d == [("ivf", 20, 0.50, True), ("lsh", 20, 0.05, True),
+                 ("pq", 20, 0.10, True)]
 
 
 def test_matryoshka_full_dim_is_exact_on_query_vector(spark):

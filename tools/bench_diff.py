@@ -77,6 +77,18 @@ def _config_line(tag: str, rec: dict) -> str:
         f"{rec.get('runs_per_query', 1)} run(s)/query, "
         f"aggregation={rec.get('aggregation', 'single')}, "
         f"cdc_latency={rec.get('cdc_apply_latency_sec', 'n/a')}s"
+        + (
+            f" (min {rec['cdc_apply_latency_min_sec']}s)"
+            if "cdc_apply_latency_min_sec" in rec else ""
+        )
+        + (
+            f", total_min={rec['value_min']}s"
+            if "value_min" in rec else ""
+        )
+        + (
+            f", index_build={rec['index_build_sec']}s untimed"
+            if "index_build_sec" in rec else ""
+        )
     )
 
 
@@ -96,6 +108,13 @@ def main() -> int:
             return 1
 
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    # per-query mins (present from round 7 on): the steal-robust
+    # signal — a median regression is attributed to CODE only when the
+    # min regressed too; otherwise it's the host's steal-time band
+    # (round-6 verdict item 2: the r4 and r6 records were both
+    # distorted this way)
+    omin, nmin = old.get("queries_min") or {}, new.get("queries_min") or {}
+    have_mins = bool(omin) and bool(nmin)
     lines = [
         f"# Bench diff — {old_path} → {new_name}",
         "",
@@ -107,9 +126,21 @@ def main() -> int:
         _config_line("old", old),
         _config_line("new", new),
         "",
-        "| query | old s | new s | delta |",
-        "|---|---|---|---|",
     ]
+    if have_mins:
+        lines += [
+            "| query | old s | new s | delta | old min | new min | verdict |",
+            "|---|---|---|---|---|---|---|",
+        ]
+    else:
+        lines += ["| query | old s | new s | delta |", "|---|---|---|---|"]
+
+    def _regressed(o: float | None, n: float | None) -> bool:
+        return (
+            o is not None and n is not None and o > 0
+            and (n - o) / o > 0.25 and n - o > 0.2
+        )
+
     for name in sorted(set(oq) | set(nq)):
         o, n = oq.get(name), nq.get(name)
         if o is None:
@@ -124,7 +155,20 @@ def main() -> int:
             # render a regression from it as "+0%"
             delta = f"{(n - o) / o * 100:+.0f}%" if o else "n/a (old=0)"
             o_s, n_s = f"{o:.3f}", f"{n:.3f}"
-        lines.append(f"| {name} | {o_s} | {n_s} | {delta} |")
+        if not have_mins:
+            lines.append(f"| {name} | {o_s} | {n_s} | {delta} |")
+            continue
+        om, nm = omin.get(name), nmin.get(name)
+        om_s = f"{om:.3f}" if om is not None else "—"
+        nm_s = f"{nm:.3f}" if nm is not None else "—"
+        if _regressed(o, n):
+            verdict = "REGRESSED (code)" if _regressed(om, nm) else "host band"
+        else:
+            verdict = ""
+        lines.append(
+            f"| {name} | {o_s} | {n_s} | {delta} | {om_s} | {nm_s} |"
+            f" {verdict} |"
+        )
     out = "\n".join(lines) + "\n"
     with open(os.path.join(ROOT, "BENCH_DIFF.md"), "w") as f:
         f.write(out)
