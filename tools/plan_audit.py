@@ -52,15 +52,44 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep
             failures.append((name, str(e).splitlines()[0][:160]))
 
-    # Iterative algorithms legitimately exceed the chatty-plan bar:
-    # their per-iteration exchanges run on small aggregates (ranks,
-    # frontier sets), not the fact table. Listed here WITH the scale
-    # argument so the exemption is auditable, not silent.
+    # Queries that legitimately exceed the chatty-plan bar, each WITH
+    # the scale argument so the exemption is auditable, not silent
+    # (round-6 verdict item 6). Two families: iterative algorithms
+    # (per-iteration exchanges run on small aggregates, not the fact
+    # table) and candidate-verify / multi-stage pipelines (each
+    # exchange keys a different, bounded intermediate — no exchange
+    # re-shuffles the corpus).
     ITERATIVE_EXEMPT = {
         "pagerank_brand_copurchase": (
             "3 damped iterations x (broadcast rank join + |brands|-row "
             "agg) over the persisted edge aggregate; the one fact-table "
             "shuffle builds the edges"
+        ),
+        "dedup_ngram_jaccard": (
+            "exact ground-truth tier: one shingle-keyed self-join "
+            "(fanout bounded by the max_df hot-shingle cap) -> one "
+            "pair-keyed count -> two |docs|-row size joins; every "
+            "exchange after the first keys candidate pairs or per-doc "
+            "counts, never the corpus. At 100 TB this tier runs only "
+            "on LSH candidates (documented in operators/dedup.py:"
+            "jaccard_pairs), where the pair set is the bounded input"
+        ),
+        "dedup_levenshtein_verify": (
+            "verify-on-candidates: the 11 exchanges are the Jaccard "
+            "candidate generation above plus two key joins fetching "
+            "the two texts for the (small) candidate list; the "
+            "O(len^2) edit distance itself is exchange-free "
+            "(mapInPandas over candidate rows). Candidate count, not "
+            "corpus size, bounds every post-shingle exchange"
+        ),
+        "curation_pipeline": (
+            "multi-stage funnel in ONE plan: quality gate and "
+            "normalization scan-fuse, dedup shuffles |survivor| "
+            "digests, decontamination broadcasts the tiny eval "
+            "shingle set, split assignment is map-only — each of the "
+            "9 exchanges keys a monotonically SHRINKING survivor set; "
+            "splitting the pipeline into stages would add "
+            "materializations, not remove shuffles"
         ),
     }
 
@@ -88,7 +117,7 @@ def main() -> int:
                 f.write(f"- **{n}**: {why}\n")
             f.write("\n")
         if noted:
-            f.write("## Exempt (iterative; rationale recorded)\n\n")
+            f.write("## Exempt (rationale recorded)\n\n")
             for n, ex, why in noted:
                 f.write(f"- **{n}** ({ex} exchanges): {why}\n")
             f.write("\n")
