@@ -48,7 +48,7 @@ def test_real_kafka_source_and_sink_start(spark, tmp_path):
         )
     from cdc_kafka_project_spark.streaming import kafka_io
 
-    src = kafka_io.read_keyed_stream(
+    src = kafka_io.read_cdc_stream(
         spark, "localhost:9092", "bf_employee_cdc", EMP_CDC_SCHEMA,
         max_offsets_per_trigger=100,
     )
