@@ -493,7 +493,13 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session assignment via lag + cumulative
     sum. Gap math in exact integer microseconds so engines agree. The
     streaming twin is session_window() (tests/test_streaming.py)."""
-    ev = _t(spark, sf_dir, "events")
+    return sessionize_frame(_t(spark, sf_dir, "events"))
+
+
+def sessionize_frame(ev: DataFrame) -> DataFrame:
+    """Frame-level sessionize (the registered query over any events-
+    shaped frame — also pinned on the adversarial skew fixture by
+    tests/test_skew.py)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     is_new = F.when(

@@ -508,6 +508,83 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the deterministic hot key the adversarial skew fixture collapses
+#: onto — a real c_custkey so the hot mass SURVIVES the inner join
+SKEW_HOT_USER = 7
+
+
+def skewed_events(ev: DataFrame) -> DataFrame:
+    """Adversarial-scale skew fixture (round-6 verdict item 8): a
+    deterministic remap of `events` where every user_id divisible by 5
+    collapses onto SKEW_HOT_USER — one key carrying ~20% of all rows,
+    the shape where a plain keyed shuffle parks a fifth of the corpus
+    on one reducer. Derived at query time (testdata is read-only) and
+    expressible identically in SQL, so oracle twins stay exact."""
+    return ev.select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(SKEW_HOT_USER))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+    )
+
+
+@query(
+    "skewed_salted_segment_revenue",
+    # oracle = the PLAIN join over the same deterministic skew remap —
+    # the salted plan must be bit-identical to it
+    oracle=f"""
+    WITH skewed AS (
+        SELECT CASE WHEN user_id % 5 = 0 THEN {SKEW_HOT_USER}
+                    ELSE user_id END AS user_id,
+               value
+        FROM events
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN user_id = {SKEW_HOT_USER} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_events
+    FROM skewed JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skewed_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join UNDER REAL SKEW: the `skewed_events` fixture (one
+    user carrying ~20% of rows) joins the customer segment dim through
+    operators/skew.py::salted_join — the hot key sprays across N_SALT
+    sub-keys, so no post-shuffle partition carries the hot user's full
+    mass (pinned ≤ 2x the partition mean by tests/test_skew.py, which
+    also pins that the unsalted shape concentrates). The grouped
+    result is bit-identical to the plain join (the oracle IS the plain
+    join over the same remap). Unlike `salted_join_segment_revenue`
+    (correctness of the reshape on unskewed keys), this query pins the
+    reshape on data that actually NEEDS it."""
+    from cdc_kafka_project_spark.operators.skew import salted_join
+
+    ev = skewed_events(_t(spark, sf_dir, "events")).select(
+        "user_id", "event_id", "value"
+    )
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cu, ["user_id"], n_salt=N_SALT,
+                         spray_cols=["event_id"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_value"),
+        F.sum(
+            F.when(F.col("user_id") == SKEW_HOT_USER, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_hot_events"),
+    )
+
+
 @query(
     "heavy_hitter_tokens",
     oracle=r"""

@@ -151,6 +151,7 @@ _GATE_PRIORITY: list[str] = [
     "sketch_incremental_distinct",
     "similarity_ann_recall",
     "text_index_topk",
+    "skewed_salted_segment_revenue",
     "sketch_user_overlap",
     "dedup_minhash_index_probe",
     "supplier_hhi_by_nation",
