@@ -195,7 +195,18 @@ def group_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_distinct_users")  # rows-only: HLL sketch is engine-seeded
+@query(
+    "sketch_distinct_users",
+    # Exact-twin oracle (sketch_user_overlap pattern): exact distincts
+    # are plain SQL; the HLL++ estimate is engine-impl-defined and
+    # rides only through the error-bound flag (oracle: literal TRUE).
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type next to the exact
     count — the sketch an interactive layer serves at 100 TB (one pass,
@@ -203,36 +214,67 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct needs a full shuffle of the key space. rsd=0.02: at these
     cardinalities HLL++ stays in sparse (near-exact) mode, and the
     dense-register merge cost scales 1/rsd^2 — 0.01 measured 2.6x
-    slower for zero accuracy gain here. Relative-error bound vs exact
-    is pinned in tests/test_text.py (<=5%)."""
+    slower for zero accuracy gain here.
+
+    Drivable surface = (event_type, exact_users, approx_within_5pct):
+    the estimate folds to a 5%-relative / 16-absolute-floor bound flag
+    the driver hash-checks; raw estimate accuracy stays pytest-pinned
+    (tests/test_text.py)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(0.05 * F.col("exact_users"), F.lit(16.0))
+        ).alias("approx_within_5pct"),
     )
 
 
-@query("sketch_percentiles")  # rows-only: approx summaries are engine-impl
+@query(
+    "sketch_percentiles",
+    # Exact-twin oracle: exact interpolated percentiles match DuckDB's
+    # quantile_cont bit-for-bit at ROUND(...,4) (the percentile_prices
+    # precedent); the GK-sketch values ride through a 1%-relative
+    # bound flag (oracle: literal TRUE). GK rank error at accuracy
+    # 10000 is <= n/10000 ranks, far inside 1% of value here.
+    oracle="""
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS exact_p99,
+           TRUE AS approx_within_1pct
+    FROM orders
+    """,
+)
 def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (GK-summary sketch) p50/p95/p99 of order
     totals next to the exact percentiles — mergeable one-pass quantiles
-    vs the exact sort-based path (percentile_prices is the oracle-
-    checked exact twin). Accuracy pinned in tests."""
+    vs the exact sort-based path. Drivable surface = the exact
+    percentiles (oracle-mirrored vs quantile_cont) plus one flag
+    folding all three sketch values to a 1%-relative bound; raw sketch
+    values stay pytest-pinned."""
     od = _t(spark, sf_dir, "orders")
-    return od.agg(
+    agg = od.agg(
         F.expr(
             "percentile_approx(o_totalprice, array(0.5, 0.95, 0.99), 10000)"
         ).alias("approx_p"),
         F.expr(
             "percentile(o_totalprice, array(0.5, 0.95, 0.99))"
         ).alias("exact_p"),
-    ).select(
-        F.round(F.col("approx_p")[0], 2).alias("approx_p50"),
-        F.round(F.col("approx_p")[1], 2).alias("approx_p95"),
-        F.round(F.col("approx_p")[2], 2).alias("approx_p99"),
-        F.round(F.col("exact_p")[0], 2).alias("exact_p50"),
-        F.round(F.col("exact_p")[1], 2).alias("exact_p95"),
-        F.round(F.col("exact_p")[2], 2).alias("exact_p99"),
+    )
+    within = [
+        F.abs(F.col("approx_p")[i] - F.col("exact_p")[i])
+        <= 0.01 * F.abs(F.col("exact_p")[i])
+        for i in range(3)
+    ]
+    return agg.select(
+        F.round(F.col("exact_p")[0], 4).alias("exact_p50"),
+        F.round(F.col("exact_p")[1], 4).alias("exact_p95"),
+        F.round(F.col("exact_p")[2], 4).alias("exact_p99"),
+        (within[0] & within[1] & within[2]).alias("approx_within_1pct"),
     )
 
 

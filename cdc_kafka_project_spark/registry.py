@@ -152,6 +152,8 @@ _GATE_PRIORITY: list[str] = [
     "similarity_ann_recall",
     "text_index_topk",
     "skewed_salted_segment_revenue",
+    "sketch_distinct_users",
+    "sketch_percentiles",
     "sketch_user_overlap",
     "dedup_minhash_index_probe",
     "supplier_hhi_by_nation",
@@ -308,8 +310,6 @@ _GATE_PRIORITY: list[str] = [
     #    fallback — a no-oracle name in the window burns a slot and
     #    records err). Each is pinned by pytest bounds and/or an
     #    oracle-green exact twin. --
-    "sketch_distinct_users",
-    "sketch_percentiles",
     "doc_fingerprint_xx",
     "doc_pack_assignments",
     "bpe_merge_ranks",
