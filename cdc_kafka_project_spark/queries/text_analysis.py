@@ -236,14 +236,46 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_pack_assignments")  # rows-only: pack ids are partition-relative
+@query(
+    "doc_pack_assignments",
+    # Invariant-flag oracle (r7, the sketch_user_overlap pattern):
+    # pack ids are partition-relative (engine-defined), but the
+    # CONTRACT is SQL-expressible — every doc assigned exactly once
+    # (rowcount = |documents|), each doc's whitespace token count
+    # (mirrored below), and its pack within the 2048 budget unless
+    # the doc alone overflows it (such docs get a pack of their own).
+    # A packing bug — dropped doc, doc in two packs, overflowing
+    # shared pack — flips the rowcount or the flag hash.
+    oracle=r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS BIGINT) AS n_tokens,
+           TRUE AS pack_ok
+    FROM documents
+    """,
+)
 def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (training-batch
     construction): every document assigned to a pack of <= 2048
-    tokens, map-only per partition. One row per doc — the rows-only
-    check pins total coverage; fill/overflow invariants are pinned in
-    tests/test_text.py."""
-    return text_ops.pack_sequences(_docs(spark, sf_dir), budget=2048)
+    tokens, map-only per partition (operators/text.py::
+    pack_sequences). Drivable surface = (doc_id, n_tokens, pack_ok):
+    pack ids embed the partition id so the raw assignment is
+    engine-defined, but assignment coverage, the token counts, and
+    the per-pack budget invariant hash-check exactly. Fill efficiency
+    stays pytest-pinned (tests/test_text.py)."""
+    from pyspark.sql import Window
+
+    packed = text_ops.pack_sequences(_docs(spark, sf_dir), budget=2048)
+    w = Window.partitionBy("pack_id")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(w) <= F.lit(2048))
+            | (F.count(F.lit(1)).over(w) == 1)
+        ).alias("pack_ok"),
+    )
 
 
 @query(

@@ -154,6 +154,7 @@ _GATE_PRIORITY: list[str] = [
     "skewed_salted_segment_revenue",
     "sketch_distinct_users",
     "sketch_percentiles",
+    "doc_pack_assignments",
     "sketch_user_overlap",
     "dedup_minhash_index_probe",
     "supplier_hhi_by_nation",
@@ -311,7 +312,6 @@ _GATE_PRIORITY: list[str] = [
     #    records err). Each is pinned by pytest bounds and/or an
     #    oracle-green exact twin. --
     "doc_fingerprint_xx",
-    "doc_pack_assignments",
     "bpe_merge_ranks",
     "doc_bpe_token_counts",
     "dedup_minhash_lsh",
