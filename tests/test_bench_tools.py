@@ -1,0 +1,63 @@
+"""Pins for the bench tooling contracts (round-6 verdict item 2): the
+regression verdict must attribute a slowdown to CODE only when both
+the median and the steal-robust min regress, and the config line must
+describe compact stdout records (n_queries, no per-query map)."""
+
+import importlib.util
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench_diff():
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff", os.path.join(ROOT, "tools", "bench_diff.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_config_line_falls_back_to_n_queries():
+    bd = _bench_diff()
+    full = {"queries": {"a": 1.0, "b": 2.0}, "sf": 0.1}
+    compact = {"n_queries": 96, "sf": 0.1}
+    assert "2 queries" in bd._config_line("old", full)
+    # a compact stdout record (driver round file) has no map — the
+    # count must come from n_queries, not render as 0
+    assert "96 queries" in bd._config_line("new", compact)
+
+
+def test_diff_verdict_separates_host_band_from_code(tmp_path, monkeypatch, capsys):
+    bd = _bench_diff()
+    import json
+    import sys
+
+    old = {
+        "value": 3.0, "sf": 0.1, "runs_per_query": 3,
+        "aggregation": "median",
+        "queries": {"steal": 1.0, "real": 1.0, "fine": 1.0},
+        "queries_min": {"steal": 0.9, "real": 0.9, "fine": 0.9},
+    }
+    new = {
+        "value": 5.5, "sf": 0.1, "runs_per_query": 3,
+        "aggregation": "median",
+        # steal: median regressed, min held -> host band
+        # real: median AND min regressed -> code
+        # fine: no regression
+        "queries": {"steal": 2.0, "real": 2.5, "fine": 1.0},
+        "queries_min": {"steal": 0.92, "real": 2.3, "fine": 0.9},
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    monkeypatch.setattr(bd, "ROOT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["bench_diff.py", str(po), str(pn)])
+    assert bd.main() == 0
+    out = capsys.readouterr().out
+    steal_row = next(line for line in out.splitlines() if "| steal |" in line)
+    real_row = next(line for line in out.splitlines() if "| real |" in line)
+    fine_row = next(line for line in out.splitlines() if "| fine |" in line)
+    assert "host band" in steal_row and "code" not in steal_row
+    assert "REGRESSED (code)" in real_row
+    assert "REGRESSED" not in fine_row and "host band" not in fine_row
