@@ -142,6 +142,8 @@ HEADLINE = [
     "hopping_event_counts",
     "bloom_semi_join_revenue",
     "pagerank_brand_copurchase",
+    # round-7: salted join under the adversarial hot-key fixture
+    "skewed_salted_segment_revenue",
 ]
 
 
