@@ -451,8 +451,16 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_index_pipeline")  # rows-only: PCA + k-means engine-side
-def embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Breakage floor for the PCA→IVF composed pipeline's recall@20 vs the
+#: FULL-dimension exact top-20 (observed 0.10–0.20 across sf0.001/
+#: 0.01/0.1 — 8x compression reshapes the neighborhood, so the level
+#: is intentionally modest; a stale or broken index lands ≈ 0).
+PIPELINE_RECALL_FLOOR = 0.05
+
+
+def embedding_index_pipeline_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """The embedding-side flagship composition (the twin of
     curation_pipeline for the vector stack): PCA-compress the corpus
     8x (64 -> 8 dims), build the IVF index IN THE COMPRESSED SPACE,
@@ -464,7 +472,7 @@ def embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1/8 width, and the only full-width passes left are the one
     projection scan and (optionally) a final exact re-rank of the
     short candidate list. Each stage is individually pinned
-    (tests/test_similarity.py PCA + IVF suites); this query pins the
+    (tests/test_similarity.py PCA + IVF suites); this report pins the
     COMPOSITION end to end with a self-measuring recall column."""
     import numpy as np
 
@@ -493,6 +501,34 @@ def embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r.vec_id, float(r.cos_sim), recall) for r in got],
         "vec_id long, cos_pca double, recall_at_k double",
+    )
+
+
+@query(
+    "embedding_index_pipeline",
+    # Bound-flag oracle (same pattern as similarity_ann_recall): the
+    # probe's vec_ids/scores are engine-defined (seeded PCA + k-means
+    # in the compressed space), so the drivable surface is the one
+    # summary row — k, the pinned floor, and recall>=floor — literal
+    # on the DuckDB side. A stale or broken composed index flips the
+    # flag; quality-level tracking stays in pytest.
+    oracle=f"""
+    SELECT 20 AS k,
+           {PIPELINE_RECALL_FLOOR} AS recall_floor,
+           TRUE AS recall_ok
+    """,
+)
+def embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drivable gate for the PCA→IVF composed pipeline: folds
+    ``embedding_index_pipeline_report``'s self-measured recall@20 to
+    the pinned-floor boolean (see PIPELINE_RECALL_FLOOR)."""
+    rep = embedding_index_pipeline_report(spark, sf_dir)
+    return rep.groupBy().agg(
+        F.max("recall_at_k").alias("__recall")
+    ).select(
+        F.lit(TOP_K).alias("k"),
+        F.lit(PIPELINE_RECALL_FLOOR).alias("recall_floor"),
+        (F.col("__recall") >= PIPELINE_RECALL_FLOOR).alias("recall_ok"),
     )
 
 

@@ -155,6 +155,7 @@ _GATE_PRIORITY: list[str] = [
     "sketch_distinct_users",
     "sketch_percentiles",
     "doc_pack_assignments",
+    "embedding_index_pipeline",
     "sketch_user_overlap",
     "dedup_minhash_index_probe",
     "supplier_hhi_by_nation",
@@ -323,7 +324,6 @@ _GATE_PRIORITY: list[str] = [
     "similarity_ann_pq",
     "similarity_semdedup_keep",
     "embedding_pca_project",
-    "embedding_index_pipeline",
 ]
 
 

@@ -582,26 +582,35 @@ def test_embedding_index_pipeline_recall_and_determinism(spark):
     """The PCA->IVF composition must return k rows, a recall in (0,1]
     (8-dim compression of near-orthogonal vectors keeps the top
     neighborhood imperfect but non-empty), and repeat identically
-    (materialized index + deterministic models)."""
+    (materialized index + deterministic models); the registered query
+    folds that recall to the pinned-floor flag (TRUE, matching the
+    oracle's literal row)."""
     from tests.conftest import SF_SMOKE
     from cdc_kafka_project_spark.queries.similarity import (
+        PIPELINE_RECALL_FLOOR,
         TOP_K,
         embedding_index_pipeline,
+        embedding_index_pipeline_report,
     )
 
     a = sorted(
         (r.vec_id, r.cos_pca, r.recall_at_k)
-        for r in embedding_index_pipeline(spark, SF_SMOKE).collect()
+        for r in embedding_index_pipeline_report(spark, SF_SMOKE).collect()
     )
     assert len(a) == TOP_K
     recalls = {r[2] for r in a}
     assert len(recalls) == 1
     assert 0.0 < a[0][2] <= 1.0
+    assert a[0][2] >= PIPELINE_RECALL_FLOOR
     b = sorted(
         (r.vec_id, r.cos_pca, r.recall_at_k)
-        for r in embedding_index_pipeline(spark, SF_SMOKE).collect()
+        for r in embedding_index_pipeline_report(spark, SF_SMOKE).collect()
     )
     assert a == b
+    d = embedding_index_pipeline(spark, SF_SMOKE).collect()
+    assert [(r.k, r.recall_floor, r.recall_ok) for r in d] == [
+        (TOP_K, PIPELINE_RECALL_FLOOR, True)
+    ]
 
 
 class TestBinaryQuantize:
