@@ -233,6 +233,7 @@ def bpe_token_counts(
     return per_doc.select(
         id_col,
         "n_bpe_tokens",
+        "n_word_chars",
         (F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens"))
         .alias("chars_per_token"),
     )

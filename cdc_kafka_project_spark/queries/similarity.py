@@ -275,29 +275,45 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
-@query("embedding_pca_project")  # rows-only: SVD model is engine-side
+@query(
+    "embedding_pca_project",
+    # Invariant-flag oracle (r7): component values are SVD-sign/
+    # rotation-defined, but the projection CONTRACT is not — one row
+    # per vector (rowcount = |embeddings|), exactly 8 components, and
+    # a projection onto orthonormal axes of a CENTERED vector can
+    # never exceed the centered vector's own norm. A wrong-dim model,
+    # non-orthonormal components (norm explosion), or dropped rows
+    # flip the rowcount or a flag.
+    oracle="""
+    SELECT vec_id, TRUE AS dims_ok, TRUE AS norm_contract_ok
+    FROM embeddings
+    """,
+)
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA tier (dimensionality reduction before indexing): model
     trained on the bounded deterministic sample (pca_train — same
-    contract as k-means/PQ), corpus projected in one Arrow matmul pass.
-    Output: per-vector leading components + reconstruction-relevant
-    norms. Orthonormality/variance-ordering/determinism pinned in
-    tests/test_similarity.py."""
+    contract as k-means/PQ), corpus projected in one Arrow matmul
+    pass. Drivable surface = per-vector invariant flags (8 dims; the
+    projected norm bounded by the centered input's norm — the
+    orthonormality contract made hash-checkable); component values /
+    variance ordering / determinism stay pytest-pinned
+    (tests/test_similarity.py)."""
     emb = _emb(spark, sf_dir)
     model = sim.pca_train(emb, n_components=8, max_train=512)
     proj = sim.pca_project(emb, model)
+    mean = F.array(*[F.lit(float(m)) for m in model["mean"]])
+    centered_sq = F.aggregate(
+        F.zip_with("embedding", mean, lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    proj_sq = F.aggregate(
+        "pca", F.lit(0.0), lambda a, x: a + x * x
+    )
     return proj.select(
         "vec_id",
-        F.round(F.col("pca")[0], 6).alias("pc1"),
-        F.round(F.col("pca")[1], 6).alias("pc2"),
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    "pca", F.lit(0.0), lambda a, x: a + x * x
-                )
-            ),
-            6,
-        ).alias("pca_norm"),
+        (F.size("pca") == 8).alias("dims_ok"),
+        (proj_sq <= centered_sq + F.lit(1e-6)).alias("norm_contract_ok"),
     )
 
 

@@ -969,7 +969,25 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(_docs(spark, sf_dir), n_merges=24)
 
 
-@query("doc_bpe_token_counts")  # rows-only: merge model is engine-side
+@query(
+    "doc_bpe_token_counts",
+    # Invariant-flag oracle (r7): the learned merge table is
+    # engine-side, but the tokenization CONTRACT sandwiches exactly —
+    # every non-empty doc appears once (rowcount), its non-whitespace
+    # char count is plain SQL, and the BPE token count must lie in
+    # [n_words, n_word_chars] (each word is at least one token; a
+    # token never spans less than one character). A dropped word, a
+    # vocab miss, or a token explosion flips the rowcount, the char
+    # column, or the flag.
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+                AS BIGINT) AS n_word_chars,
+           TRUE AS token_bounds_ok
+    FROM documents
+    WHERE trim(text) <> ''
+    """,
+)
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE tokenizer corpus-wide: per-doc token count
     and chars-per-token compression. The apply path is a JOIN, not a
@@ -977,17 +995,29 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bpe.py::bpe_vocab_table, chained merge folds over
     |vocab| rows), then docs explode to words and broadcast-join the
     lookup table with one partial-agg shuffle on doc_id. Token-count
-    parity with the reference encoder is pinned in tests/test_bpe.py."""
+    parity with the reference encoder is pinned in tests/test_bpe.py;
+    the drivable surface folds the count into the
+    [n_words, n_word_chars] sandwich flag (oracle-mirrored chars)."""
     from cdc_kafka_project_spark.operators.bpe import (
         bpe_token_counts,
         bpe_vocab_table,
         train_bpe,
     )
+    from cdc_kafka_project_spark.functions import token_count
 
     docs = _docs(spark, sf_dir)
     merges = train_bpe(docs, n_merges=16)
     vocab = bpe_vocab_table(docs, merges)
-    return bpe_token_counts(docs, vocab)
+    counts = bpe_token_counts(docs, vocab)
+    words = docs.select("doc_id", token_count("text").alias("n_words"))
+    return counts.join(words, "doc_id").select(
+        "doc_id",
+        "n_word_chars",
+        (
+            (F.col("n_bpe_tokens") >= F.col("n_words"))
+            & (F.col("n_bpe_tokens") <= F.col("n_word_chars"))
+        ).alias("token_bounds_ok"),
+    )
 
 
 @query(

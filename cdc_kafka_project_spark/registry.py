@@ -156,6 +156,8 @@ _GATE_PRIORITY: list[str] = [
     "sketch_percentiles",
     "doc_pack_assignments",
     "embedding_index_pipeline",
+    "embedding_pca_project",
+    "doc_bpe_token_counts",
     "sketch_user_overlap",
     "dedup_minhash_index_probe",
     "supplier_hhi_by_nation",
@@ -314,7 +316,6 @@ _GATE_PRIORITY: list[str] = [
     #    oracle-green exact twin. --
     "doc_fingerprint_xx",
     "bpe_merge_ranks",
-    "doc_bpe_token_counts",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -323,7 +324,6 @@ _GATE_PRIORITY: list[str] = [
     "similarity_ann_ivf",
     "similarity_ann_pq",
     "similarity_semdedup_keep",
-    "embedding_pca_project",
 ]
 
 
