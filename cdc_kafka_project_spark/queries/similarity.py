@@ -247,7 +247,19 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroids(_emb(spark, sf_dir))
 
 
-@query("similarity_semdedup_keep")  # rows-only: k-means model is engine-side
+@query(
+    "similarity_semdedup_keep",
+    # Exact-twin oracle (r7): the k-means model is engine-side, but
+    # the END RESULT is fully determined by the fixture contract —
+    # every injected copy (vec_id >= DUP_OFFSET) drops in favor of its
+    # lower-id source, and no organic pair clears the 0.95 threshold
+    # (measured max organic cosine: 0.51 at sf0.01, 0.60 at sf0.1 —
+    # near-orthogonal-by-construction corpus, enormous margin), so the
+    # keep set is EXACTLY the original corpus. Any clustering / pair /
+    # component / keep-policy bug that drops an original or keeps a
+    # copy flips the hash.
+    oracle="SELECT vec_id FROM embeddings",
+)
 def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end (semantic dedup policy): cluster-scoped
     exact-cosine pairs (operators/similarity.py::semdedup_pairs, the

@@ -158,6 +158,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_index_pipeline",
     "embedding_pca_project",
     "doc_bpe_token_counts",
+    "similarity_semdedup_keep",
     "sketch_user_overlap",
     "dedup_minhash_index_probe",
     "supplier_hhi_by_nation",
@@ -323,7 +324,6 @@ _GATE_PRIORITY: list[str] = [
     "similarity_near_dup",
     "similarity_ann_ivf",
     "similarity_ann_pq",
-    "similarity_semdedup_keep",
 ]
 
 
