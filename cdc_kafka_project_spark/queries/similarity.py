@@ -119,15 +119,32 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.probe_lsh_index(spark, path, qv, k=TOP_K, probe_hamming=1)
 
 
-@query("similarity_near_dup")  # rows-only: seeded-hyperplane LSH is engine-side
+@query(
+    "similarity_near_dup",
+    # Exact-twin oracle (r7, the semdedup argument): the hyperplane
+    # LSH is seeded engine-side, but for the injected cos-1.0 pairs
+    # the catch is DETERMINISTIC — a positively-scaled copy has the
+    # identical sign pattern in every band (p = 1 - theta/pi = 1 at
+    # theta 0), so it collides in all 16 bands with probability 1 and
+    # the exact verify rounds its cosine to 1.0. No organic pair
+    # clears 0.95 (measured max organic cosine 0.51-0.60), so the
+    # full result is exactly the N_INJECTED_DUPS (source, copy)
+    # pairs. A banding, verify, or threshold bug flips the hash.
+    oracle=f"""
+    SELECT vec_id AS vec_a,
+           vec_id + {DUP_OFFSET} AS vec_b,
+           1.0 AS cos_sim
+    FROM embeddings WHERE vec_id < {N_INJECTED_DUPS}
+    """,
+)
 def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.95) via LSH-bucketed
     self-join + exact verify, over the corpus plus injected fixture
     near-duplicates (see _with_injected_dups — the raw synthetic
     embeddings are near-orthogonal, so without injection an empty
     result proved nothing). Each injected copy must pair with exactly
-    its source, so the expected pair count is N_INJECTED_DUPS; recall
-    on organically duplicated corpora is pinned by
+    its source (the hash-checked contract above); recall on
+    organically duplicated corpora is pinned by
     tests/test_similarity.py, and the exact-threshold twin below is
     oracle-checked on thresholds this data does exercise."""
     return sim.cosine_near_dup_pairs(

@@ -159,6 +159,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_pca_project",
     "doc_bpe_token_counts",
     "similarity_semdedup_keep",
+    "similarity_near_dup",
     "sketch_user_overlap",
     "dedup_minhash_index_probe",
     "supplier_hhi_by_nation",
@@ -321,7 +322,6 @@ _GATE_PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "similarity_ann_lsh",
-    "similarity_near_dup",
     "similarity_ann_ivf",
     "similarity_ann_pq",
 ]
