@@ -561,7 +561,13 @@ def skewed_events(ev: DataFrame) -> DataFrame:
     collapses onto SKEW_HOT_USER — one key carrying ~20% of all rows,
     the shape where a plain keyed shuffle parks a fifth of the corpus
     on one reducer. Derived at query time (testdata is read-only) and
-    expressible identically in SQL, so oracle twins stay exact."""
+    expressible identically in SQL, so oracle twins stay exact.
+
+    Reference parity: the reference's 3-partition keyed topic
+    (admin.py:53) is the toy version of this concern — key routing
+    decides which partition absorbs a key's full mass; this fixture
+    scales that question to a key distribution a real cluster chokes
+    on and pins the mitigation (operators/skew.py::salted_join)."""
     return ev.select(
         F.when(F.col("user_id") % 5 == 0, F.lit(SKEW_HOT_USER))
         .otherwise(F.col("user_id"))
