@@ -147,13 +147,14 @@ HEADLINE = [
 ]
 
 
-def _cdc_latency_sec(spark) -> float:
+def _cdc_latency_sec(spark) -> tuple[float, float]:
     """BASELINE.md's one latency SLO: source commit -> replica visible
     in < 1 s (pdf p.9, single-host 7-event scale). Measured here as:
     change-file landed (commit) -> bounded micro-batch run -> replica
     snapshot forced. Cold start (checkpoint/JVM init) is excluded —
-    the SLO describes a running pipeline; median of 3 warm rounds, same
-    policy as the query timings."""
+    the SLO describes a running pipeline. Returns ``(median, min)`` of
+    3 warm rounds — same median-headline / steal-robust-min policy as
+    the query timings (round-6 verdict item 5)."""
     import datetime as dt
     import shutil
     import tempfile
@@ -234,8 +235,7 @@ def main() -> None:
         "similarity_ann_recall",      # ensures lsh_p8 + ivf_k16 + pq_m8k32
         "embedding_index_pipeline",   # ensures ivf_pca8_k16
         "similarity_semdedup_keep",   # ensures the k-means model
-        "bm25_topk",                  # ensures the token index
-        "text_index_topk",
+        "text_index_topk",            # ensures the token index
     ):
         queries[warm](spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -280,6 +280,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_min = round(sum(timings_min.values()), 3)
+    # wall clock of the QUERY LOOP only — captured before the CDC
+    # latency measurement below so the two metrics stay independent
+    # (folding the CDC pipeline's several seconds into wall_sec would
+    # fake a round-over-round wall regression)
+    wall_sec = round(time.time() - t_wall0, 3)
     # reference SLO counterpart (BASELINE.md row 1): warm micro-batch
     # change->replica latency through the streaming CDC pipeline;
     # median of 3 with the min alongside (same steal-robustness policy
@@ -293,7 +298,7 @@ def main() -> None:
         "queries_min": timings_min,
         "value_min": total_min,
         "index_build_sec": index_build_sec,
-        "wall_sec": round(time.time() - t_wall0, 3),
+        "wall_sec": wall_sec,
         "runs_per_query": 3,
         "aggregation": "median",
         "sf": sf,
@@ -336,6 +341,18 @@ def _record_history(record: dict) -> None:
         f.write(json.dumps({"ts": time.time(), **record}) + "\n")
     if prev is None:
         return
+    # the ONE regression predicate, shared with tools/bench_diff.py so
+    # the stderr diff and BENCH_DIFF.md can never disagree
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "bench_common",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "bench_common.py"),
+    )
+    _bc = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bc)
+
     rows = []
     cur_mins = record.get("queries_min") or {}
     prev_mins = prev.get("queries_min") or {}
@@ -344,14 +361,13 @@ def _record_history(record: dict) -> None:
         if old is None:
             rows.append((name, None, cur, "new"))
         else:
-            delta = (cur - old) / old if old else 0.0
-            flag = "REGRESSED" if delta > 0.25 and cur - old > 0.2 else ""
+            flag = "REGRESSED" if _bc.regressed(old, cur) else ""
             # host-steal filter (round-6 verdict item 2): a median
-            # regression whose MIN did not also regress is the host's
-            # steal-time band, not code — label it so, don't alarm
+            # regression whose MIN verifiably did not also regress is
+            # the host's steal-time band, not code. Missing min data
+            # keeps the alarm (same default as bench_diff.py).
             if flag and name in cur_mins and name in prev_mins:
-                om, nm = prev_mins[name], cur_mins[name]
-                if not (nm - om > 0.2 and om and (nm - om) / om > 0.25):
+                if not _bc.regressed(prev_mins[name], cur_mins[name]):
                     flag = "host-band?"
             rows.append((name, old, cur, flag))
     print(

@@ -39,13 +39,15 @@ def test_diff_verdict_separates_host_band_from_code(tmp_path, monkeypatch, capsy
         "queries": {"steal": 1.0, "real": 1.0, "fine": 1.0},
         "queries_min": {"steal": 0.9, "real": 0.9, "fine": 0.9},
     }
+    old["queries"]["nomin"] = 1.0
     new = {
         "value": 5.5, "sf": 0.1, "runs_per_query": 3,
         "aggregation": "median",
         # steal: median regressed, min held -> host band
         # real: median AND min regressed -> code
         # fine: no regression
-        "queries": {"steal": 2.0, "real": 2.5, "fine": 1.0},
+        # nomin: median regressed, min data absent -> alarm stays
+        "queries": {"steal": 2.0, "real": 2.5, "fine": 1.0, "nomin": 2.0},
         "queries_min": {"steal": 0.92, "real": 2.3, "fine": 0.9},
     }
     po, pn = tmp_path / "old.json", tmp_path / "new.json"
@@ -61,3 +63,7 @@ def test_diff_verdict_separates_host_band_from_code(tmp_path, monkeypatch, capsy
     assert "host band" in steal_row and "code" not in steal_row
     assert "REGRESSED (code)" in real_row
     assert "REGRESSED" not in fine_row and "host band" not in fine_row
+    # a median regression with NO min evidence must keep the alarm —
+    # the benign label requires positive proof that the min held
+    nomin_row = next(line for line in out.splitlines() if "| nomin |" in line)
+    assert "REGRESSED (no min data)" in nomin_row

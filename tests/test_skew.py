@@ -125,10 +125,13 @@ def test_salted_join_balances_partitions_under_skew(spark):
         )
         return [r["count"] for r in counts]
 
+    from cdc_kafka_project_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
     ev = skewed_events(_events(spark)).select("user_id", "event_id", "value")
-    cu = _events(spark).sparkSession.read.parquet(
-        "/root/testdata/sf0.001/customer.parquet"
-    ).selectExpr("c_custkey AS user_id", "c_mktsegment")
+    cu = load_table(spark, SF_SMOKE, "customer").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment"
+    )
 
     conf = spark.conf
     saved = {

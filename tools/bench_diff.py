@@ -135,11 +135,16 @@ def main() -> int:
     else:
         lines += ["| query | old s | new s | delta |", "|---|---|---|---|"]
 
-    def _regressed(o: float | None, n: float | None) -> bool:
-        return (
-            o is not None and n is not None and o > 0
-            and (n - o) / o > 0.25 and n - o > 0.2
-        )
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "bench_common",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_common.py"),
+    )
+    _bc = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bc)
+    _regressed = _bc.regressed  # the ONE shared predicate
 
     for name in sorted(set(oq) | set(nq)):
         o, n = oq.get(name), nq.get(name)
@@ -162,7 +167,15 @@ def main() -> int:
         om_s = f"{om:.3f}" if om is not None else "—"
         nm_s = f"{nm:.3f}" if nm is not None else "—"
         if _regressed(o, n):
-            verdict = "REGRESSED (code)" if _regressed(om, nm) else "host band"
+            if om is None or nm is None:
+                # no min evidence for THIS query — keep the alarm (the
+                # benign 'host band' label needs positive evidence that
+                # the min held; missing data is not that)
+                verdict = "REGRESSED (no min data)"
+            elif _regressed(om, nm):
+                verdict = "REGRESSED (code)"
+            else:
+                verdict = "host band"
         else:
             verdict = ""
         lines.append(

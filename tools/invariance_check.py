@@ -33,7 +33,6 @@ really differ.
 from __future__ import annotations
 
 import hashlib
-import math
 import sys
 import time
 
@@ -54,7 +53,11 @@ PASSES = [
 
 
 def _session(cfg):
+    import os
+
     from pyspark.sql import SparkSession
+
+    from cdc_kafka_project_spark.session import RUNTIME_CONFS
 
     active = SparkSession.getActiveSession()
     if active is not None:
@@ -63,39 +66,65 @@ def _session(cfg):
         SparkSession.builder.master(cfg["master"])
         .appName("invariance-check")
         .config("spark.sql.shuffle.partitions", str(cfg["shuffle"]))
-        .config("spark.sql.adaptive.enabled", cfg["aqe"])
         .config("spark.sql.files.maxPartitionBytes", cfg["max_part_bytes"])
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # this host's tuned memory/scratch settings (session.py): the
+        # driver heap IS the executor heap in local mode, and shuffle
+        # scratch must avoid the stalling virtio root disk — without
+        # these, larger sf_dirs OOM/stall and report ERR rows that
+        # have nothing to do with partition-dependence. (JVM-static
+        # confs apply on first launch only; later same-process
+        # sessions inherit the JVM.)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.buffer.pageSize", "4m")
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark-graft-tmp"))
     )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    # per-pass geometry OVERRIDES the defaults (after RUNTIME_CONFS so
+    # the AQE toggle isn't clobbered)
+    b = b.config("spark.sql.adaptive.enabled", cfg["aqe"])
     s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    s.conf.set("spark.sql.adaptive.enabled", cfg["aqe"])
+    s.conf.set("spark.sql.shuffle.partitions", str(cfg["shuffle"]))
+    s.conf.set("spark.sql.files.maxPartitionBytes", cfg["max_part_bytes"])
     return s
 
 
-def _digest(pdf) -> str:
-    import pandas as pd  # noqa: F401
+_NORMALIZE = None
 
-    df = pdf[sorted(pdf.columns)].copy()
-    rows = []
-    for tup in df.itertuples(index=False, name=None):
-        canon = []
-        for v in tup:
-            if isinstance(v, float):
-                canon.append("NaN" if math.isnan(v) else repr(v))
-            elif v is None:
-                canon.append("NULL")
-            else:
-                canon.append(str(v))
-        rows.append("\x1f".join(canon))
-    rows.sort()
+
+def _normalize_fn():
+    """tools/check_correctness.py's normalize() — the SAME
+    canonicalizer the oracle gate uses (imported, not copied, so the
+    two tools cannot drift). Loaded once."""
+    global _NORMALIZE
+    if _NORMALIZE is None:
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "check_correctness",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "check_correctness.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _NORMALIZE = mod.normalize
+    return _NORMALIZE
+
+
+def _digest(pdf) -> str:
+    cols, rows = _normalize_fn()(pdf)
     h = hashlib.sha256()
-    h.update(("\x1e".join(sorted(df.columns))).encode())
+    h.update(("\x1e".join(cols)).encode())
     for r in rows:
         h.update(b"\x1d")
-        h.update(r.encode())
+        h.update("\x1f".join(r).encode())
     return h.hexdigest()
 
 
