@@ -57,7 +57,13 @@ def normalize(df):
 
 
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        print(f"usage: python {sys.argv[0]} [sf_dir] [query ...]")
+        print(f"error: sf_dir is not a directory: {sf_dir!r}")
+        return 2
     only = set(sys.argv[2:])
 
     import duckdb
