@@ -241,6 +241,13 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent); the GK-sketch values ride through a 1%-relative
     # bound flag (oracle: literal TRUE). GK rank error at accuracy
     # 10000 is <= n/10000 ranks, far inside 1% of value here.
+    # KNOWN LATENT FLAKE (round-7 advice): Spark's BigDecimal HALF_UP
+    # vs DuckDB's double ROUND can disagree by one ulp when a
+    # percentile lands within ~1e-5 of a .00005 boundary. Green at
+    # sf0.01 and sf0.1 on the current generation; if a future testdata
+    # generation ever flips this hash, drop BOTH sides to
+    # ROUND(...,2) (the original percentile_prices precision) rather
+    # than debugging the engines' rounding paths.
     oracle="""
     SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
            ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,

@@ -306,15 +306,23 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_pca_project",
-    # Invariant-flag oracle (r7): component values are SVD-sign/
-    # rotation-defined, but the projection CONTRACT is not — one row
-    # per vector (rowcount = |embeddings|), exactly 8 components, and
-    # a projection onto orthonormal axes of a CENTERED vector can
-    # never exceed the centered vector's own norm. A wrong-dim model,
-    # non-orthonormal components (norm explosion), or dropped rows
-    # flip the rowcount or a flag.
+    # Invariant-flag oracle (r7; r8 added the mirrored numeric per the
+    # round-7 advice): component values are SVD-sign/rotation-defined,
+    # but the projection CONTRACT is not — one row per vector
+    # (rowcount = |embeddings|), exactly 8 components, and a
+    # projection onto orthonormal axes of a CENTERED vector can never
+    # exceed the centered vector's own norm. in_l2_norm mirrors the
+    # input-side norm numerically (the embedding_norms expression), so
+    # the row identity is value-checked, not just counted. A wrong-dim
+    # model, non-orthonormal components (norm explosion), or dropped
+    # rows flip the rowcount, the numeric, or a flag; the flags'
+    # negative cases are pinned in tests/test_similarity.py.
     oracle="""
-    SELECT vec_id, TRUE AS dims_ok, TRUE AS norm_contract_ok
+    SELECT vec_id,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))), 4)
+               AS in_l2_norm,
+           TRUE AS dims_ok, TRUE AS norm_contract_ok
     FROM embeddings
     """,
 )
@@ -322,11 +330,16 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA tier (dimensionality reduction before indexing): model
     trained on the bounded deterministic sample (pca_train — same
     contract as k-means/PQ), corpus projected in one Arrow matmul
-    pass. Drivable surface = per-vector invariant flags (8 dims; the
-    projected norm bounded by the centered input's norm — the
-    orthonormality contract made hash-checkable); component values /
-    variance ordering / determinism stay pytest-pinned
-    (tests/test_similarity.py)."""
+    pass. Drivable surface = the mirrored input norm plus per-vector
+    invariant flags (8 dims; the projected norm bounded by the
+    centered input's norm — the orthonormality contract made
+    hash-checkable); component values / variance ordering /
+    determinism stay pytest-pinned (tests/test_similarity.py)."""
+    from cdc_kafka_project_spark.operators.similarity import (
+        l2_norm,
+        to_double_array,
+    )
+
     emb = _emb(spark, sf_dir)
     model = sim.pca_train(emb, n_components=8, max_train=512)
     proj = sim.pca_project(emb, model)
@@ -341,6 +354,9 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return proj.select(
         "vec_id",
+        F.round(l2_norm(to_double_array(F.col("embedding"))), 4).alias(
+            "in_l2_norm"
+        ),
         (F.size("pca") == 8).alias("dims_ok"),
         (proj_sq <= centered_sq + F.lit(1e-6)).alias("norm_contract_ok"),
     )

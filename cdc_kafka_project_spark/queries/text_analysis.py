@@ -949,14 +949,58 @@ def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_merge_ranks")  # rows-only: iterative argmax training loop
+@query(
+    "bpe_merge_ranks",
+    # Structural oracle (r8): the FIRST merge is plain SQL — the
+    # weighted adjacent-char-pair argmax over the distinct-word
+    # frequency table with the trainer's exact tie-break
+    # (count DESC, left ASC, right ASC; overlapping pairs counted,
+    # matching _pair_counts) — so the oracle mirrors rank 0's learned
+    # pair verbatim plus the merge-table structure invariants for all
+    # 24 ranks (exact rowcount, non-empty parts, merged = left||right).
+    # Ranks 1+ need the greedy symbol-array rewrite applied between
+    # argmaxes (inherently iterative) and stay pytest-pinned against a
+    # pure-Python reference (tests/test_bpe.py), as does the flags'
+    # negative case. ASCII-corpus assumption (JVM lower()/binary
+    # collation == DuckDB utf8proc/collation) is pinned in
+    # tests/test_text.py so a non-ASCII testdata generation fails
+    # loudly in pytest before it can flip this gate.
+    oracle=r"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   AS word
+            FROM documents WHERE trim(text) <> ''
+        )
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    pairs AS (
+        SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+               SUM(freq) AS n
+        FROM words, unnest(generate_series(1, len(word) - 1)) AS t(i)
+        WHERE len(word) >= 2
+        GROUP BY 1, 2
+    ),
+    top0 AS (SELECT l, r FROM pairs ORDER BY n DESC, l, r LIMIT 1)
+    SELECT CAST(t.rank AS INT) AS rank,
+           CASE WHEN t.rank = 0 THEN (SELECT l FROM top0) END AS left0,
+           CASE WHEN t.rank = 0 THEN (SELECT r FROM top0) END AS right0,
+           TRUE AS parts_nonempty,
+           TRUE AS merged_is_concat
+    FROM unnest(generate_series(0, 23)) AS t(rank)
+    """,
+)
 def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale BPE tokenizer induction (operators/bpe.py): the
-    first 24 learned merge rules in rank order. Iterative by nature
-    (one argmax per rank — not SQL-expressible), so driver-checked
-    rows-only; exact parity with a pure-Python reference
-    implementation (including greedy-overlap and tiebreak semantics,
-    on any partitioning) is pinned in tests/test_bpe.py.
+    first 24 learned merge rules in rank order, folded to the drivable
+    surface — rank 0's pair mirrored exactly (SQL-computable argmax),
+    ranks 1+ as structure flags (iterative training not
+    SQL-expressible); exact parity of the full merge table with a
+    pure-Python reference implementation (including greedy-overlap and
+    tiebreak semantics, on any partitioning) is pinned in
+    tests/test_bpe.py.
 
     Scale shape: ONE full-corpus pass collapses text to the distinct
     word-frequency table; every round after that is a pair-count
@@ -966,7 +1010,18 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     to keep lineage linear."""
     from cdc_kafka_project_spark.operators.bpe import bpe_merge_table
 
-    return bpe_merge_table(_docs(spark, sf_dir), n_merges=24)
+    merges = bpe_merge_table(_docs(spark, sf_dir), n_merges=24)
+    return merges.select(
+        "rank",
+        F.when(F.col("rank") == 0, F.col("left")).alias("left0"),
+        F.when(F.col("rank") == 0, F.col("right")).alias("right0"),
+        ((F.length("left") > 0) & (F.length("right") > 0)).alias(
+            "parts_nonempty"
+        ),
+        (F.col("merged") == F.concat("left", "right")).alias(
+            "merged_is_concat"
+        ),
+    )
 
 
 @query(
@@ -979,6 +1034,12 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token never spans less than one character). A dropped word, a
     # vocab miss, or a token explosion flips the rowcount, the char
     # column, or the flag.
+    # ASCII-CORPUS ASSUMPTION (round-7 advice): n_word_chars equates
+    # Spark's JVM lower() with DuckDB's utf8proc lower(); non-ASCII
+    # case mappings that change string length (e.g. U+0130) differ
+    # between the engines. The corpus is all-ASCII at every sf —
+    # pinned in tests/test_text.py so a non-ASCII testdata generation
+    # fails loudly in pytest before it can flip this gate.
     oracle=r"""
     SELECT doc_id,
            CAST(len(regexp_replace(lower(trim(text)), '\s+', '', 'g'))

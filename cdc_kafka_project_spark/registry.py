@@ -72,98 +72,39 @@ def load_all() -> None:
 # dict order and covers a bounded prefix (exactly 50 names in r5), so
 # the registry orders the checked dict explicitly rather than relying on
 # module import order.
-# ROUND-7 ORDER (round-6 verdict item 1): pure staleness rotation.
-# The 50-slot window = the 28 r1-era + 10 r2-era + 12 oldest r3-era
-# oracle-backed names (no name's last driver row is newer than r3).
-# STANDING RULES (resume from round 8): never-checked or
-# changed-this-round names front the window; after that order by
-# staleness (oldest driver row first); no-oracle names always sort
-# after every oracle-backed name.
+# ROUND-8 ORDER (round-7 verdict item 1): never-checked/converted names
+# front the window (7 never-checked + 2 simhash conversions), then all
+# remaining oracle-backed names by staleness — the 9 r3-era rows and
+# the 32 oldest r4-era rows fill the 50 slots, so afterward nothing is
+# older than r4 and never-checked = 0.
+# STANDING RULES: never-checked or changed-this-round names front the
+# window; after that order by staleness (oldest driver row first);
+# no-oracle names always sort after every oracle-backed name.
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- ROUND-7 WINDOW (round-6 verdict item 1: the entire 50-slot
-    #    driver gate goes to the OLDEST driver rows; registry frozen
-    #    apart from oracle conversions appended BEHIND the rotation).
-    #    Tier 1: the 28 r1-era names — 4 testdata generations stale;
-    #    these carry SURVEY §2 ops 2/4/6/13/23/24/25. --
-    "grouped_floor_sum",
-    "distinct_counts",
-    "rollup_agg",
-    "pivot_qty",
-    "scalar_exprs",
-    "in_list_filter",
-    "topk_orders",
-    "semi_join_big_spenders",
-    "anti_join_no_big_orders",
-    "outer_join_nation_counts",
-    "set_union_active_keys",
-    "set_except_keys",
-    "set_intersect_keys",
-    "window_topn_per_group",
-    "window_running_sum",
-    "tumbling_hourly_agg",
-    "percentile_prices",
-    "cube_agg",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_idle_rich_customers",
-    "range_join_price_bands",
-    "string_funcs",
-    "date_exprs",
-    "event_props_extract",
-    "event_props_typed",
-    "latest_event_per_user",
-    "conditional_aggs",
-    # -- Tier 2: the 10 r2-era names (TPC-H q7-q21 tier, salting,
-    #    token frequency, grouping sets, exact moments). --
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_part_value_share",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "salted_event_type_totals",
-    "token_frequency_top100",
-    "grouping_sets_sql",
-    "exact_moments",
-    # -- Tier 3: the 12 oldest r3-era oracle-backed names (CDC
-    #    history/time-travel, q10/q13, tf-idf, dedup graph tiers).
-    #    28 + 10 + 12 = 50 = the driver gate window. --
-    "cdc_scd2_history",
-    "cdc_incremental_agg",
-    "cdc_time_travel",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "text_tfidf_top_terms",
-    "word_bigrams_top100",
-    "dedup_near_keep",
-    "dedup_components",
-    "doc_contamination_hits",
-    "doc_decontaminate",
-    "similarity_topk",
-    # -- BEHIND THE ROTATION (lead the r8 window): rows-only→oracle
-    #    conversions land here as they are made (never driver-checked
-    #    as oracles), then the four r6-changed names whose last driver
-    #    row is r5, then the 8 remaining r3-era names. After r8 covers
-    #    these ~12-15, no oracle-backed name rests on a row older than
-    #    two generations. --
+    # -- ROUND-8 WINDOW (round-7 verdict item 1 + the standing
+    #    rules above). Tier 1: never-driver-checked or
+    #    converted-this-round names — the six r7 oracle conversions,
+    #    the r7 skew fixture, and the three r8 conversions
+    #    (bpe_merge_ranks structural oracle; dedup_simhash
+    #    content-function oracle; dedup_simhash_pairs exact-twin
+    #    text-verified tier). --
     "sketch_incremental_distinct",
     "similarity_ann_recall",
     "text_index_topk",
     "skewed_salted_segment_revenue",
-    "sketch_distinct_users",
-    "sketch_percentiles",
-    "doc_pack_assignments",
     "embedding_index_pipeline",
-    "embedding_pca_project",
     "doc_bpe_token_counts",
-    "similarity_semdedup_keep",
-    "similarity_near_dup",
-    "sketch_user_overlap",
-    "dedup_minhash_index_probe",
-    "supplier_hhi_by_nation",
-    "bloom_semi_join_revenue",
+    "bpe_merge_ranks",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    # -- Tier 2: remaining oracle-backed names by staleness —
+    #    the 9 r3-era rows (media, embedding scalars, similarity
+    #    pair tiers), then the 32 oldest r4-era rows.
+    #    9 + 9 + 32 = 50 = the driver gate window; afterward no
+    #    oracle-backed name's driver row is older than r4 and
+    #    never-checked = 0. --
     "embedding_norms",
     "embedding_quantize_int8",
     "media_audio_features",
@@ -171,8 +112,8 @@ _GATE_PRIORITY: list[str] = [
     "media_decode_features",
     "media_frame_sample",
     "media_resize",
+    "similarity_near_dup",
     "similarity_pairs_above",
-    # -- r4-era driver rows (oracle-backed) --
     "asof_join_next_purchase",
     "asof_join_purchases",
     "cdc_snapshot_diff",
@@ -189,6 +130,7 @@ _GATE_PRIORITY: list[str] = [
     "doc_fingerprint_md5",
     "doc_host_stats",
     "doc_ngram_novelty",
+    "doc_pack_assignments",
     "doc_pii_redact",
     "doc_quality_filter",
     "doc_repetition_stats",
@@ -199,24 +141,31 @@ _GATE_PRIORITY: list[str] = [
     "doc_url_canonical",
     "doc_winnow_fingerprints",
     "embedding_label_centroids",
+    "embedding_pca_project",
     "event_value_anomalies",
     "funnel_view_click_purchase",
     "group_minmax_norm",
     "heavy_hitter_tokens",
+    # -- BEHIND THE ROTATION, by staleness (oldest driver row
+    #    first): the 14 r4-era rows left over lead the r9 window,
+    #    then r5 / r6 / r7 tiers. --
     "histogram_prices",
     "lang_id",
     "salted_join_segment_revenue",
     "session_stats",
     "sessionize",
+    "similarity_semdedup_keep",
+    "sketch_distinct_users",
+    "sketch_percentiles",
     "source_quota_sample",
     "source_weighted_sample",
     "text_stats",
     "token_count_regex",
     "weekly_retention_cohorts",
     "weekly_revenue_wow",
-    # -- r5-era driver rows (oracle-backed) --
     "asof_join_cogrouped",
     "benford_price_audit",
+    "bloom_semi_join_revenue",
     "brand_copurchase_lift",
     "cdc_debezium_roundtrip",
     "cohort_ltv_curve",
@@ -225,6 +174,7 @@ _GATE_PRIORITY: list[str] = [
     "customer_rfm_quantile_scores",
     "customer_rfm_segments",
     "daily_revenue_acf",
+    "dedup_minhash_index_probe",
     "doc_boilerplate_fraction",
     "doc_nb_quality_score",
     "doc_readability",
@@ -254,14 +204,15 @@ _GATE_PRIORITY: list[str] = [
     "revenue_seasonality_decomp",
     "rolling_median_revenue",
     "semantic_decontaminate",
+    "sketch_user_overlap",
     "source_distinctive_terms",
     "source_token_quota_sample",
+    "supplier_hhi_by_nation",
     "theilsen_revenue_slope",
     "user_growth_accounting",
     "vocab_growth_curve",
     "weekend_effect_ttest",
     "zipf_slope",
-    # -- r6-era driver rows (freshest) --
     "asof_last_purchase",
     "bm25_topk",
     "cdc_incremental_scan",
@@ -312,17 +263,65 @@ _GATE_PRIORITY: list[str] = [
     "unpivot_lineitem_measures",
     "user_spend_ewma",
     "winsorized_price_stats",
+    "anti_join_no_big_orders",
+    "cdc_incremental_agg",
+    "cdc_scd2_history",
+    "cdc_time_travel",
+    "conditional_aggs",
+    "cube_agg",
+    "date_exprs",
+    "dedup_components",
+    "dedup_near_keep",
+    "distinct_counts",
+    "doc_contamination_hits",
+    "doc_decontaminate",
+    "event_props_extract",
+    "event_props_typed",
+    "exact_moments",
+    "grouped_floor_sum",
+    "grouping_sets_sql",
+    "in_list_filter",
+    "latest_event_per_user",
+    "outer_join_nation_counts",
+    "percentile_prices",
+    "pivot_qty",
+    "q10_returned_revenue",
+    "q11_part_value_share",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_price_bands",
+    "rollup_agg",
+    "salted_event_type_totals",
+    "scalar_exprs",
+    "semi_join_big_spenders",
+    "set_except_keys",
+    "set_intersect_keys",
+    "set_union_active_keys",
+    "similarity_topk",
+    "string_funcs",
+    "text_tfidf_top_terms",
+    "token_frequency_top100",
+    "topk_orders",
+    "tumbling_hourly_agg",
+    "window_running_sum",
+    "window_topn_per_group",
+    "word_bigrams_top100",
     # -- no-oracle names, ALWAYS LAST (the driver has no rows-only
     #    fallback — a no-oracle name in the window burns a slot and
-    #    records err). Each is pinned by pytest bounds and/or an
-    #    oracle-green exact twin. --
-    "doc_fingerprint_xx",
-    "bpe_merge_ranks",
+    #    records err). Down to 5 after the r8 simhash/BPE
+    #    conversions; each is seed-bound engine-side and pinned by
+    #    pytest bounds and/or an oracle-green exact twin. --
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "similarity_ann_lsh",
+    "doc_fingerprint_xx",
     "similarity_ann_ivf",
+    "similarity_ann_lsh",
     "similarity_ann_pq",
 ]
 
