@@ -123,3 +123,55 @@ def test_bpe_apply_path_matches_reference_encoder(spark):
     for i, t in enumerate(CORPUS):
         want = sum(len(_ref_encode(w, pairs)) for w in t.lower().split())
         assert counts[i] == want
+
+
+def test_bpe_merge_ranks_flags_negative_case(spark, monkeypatch):
+    """Round-8 conversion negative case: the structural flags of the
+    bpe_merge_ranks oracle must be falsifiable — a corrupted merge
+    table (merged != left||right, an empty part) flips them through
+    the REGISTERED query."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.text_analysis import bpe_merge_ranks
+
+    def corrupted(docs, n_merges, text_col="text"):
+        rows = [(r, "a", "b", "zz") for r in range(n_merges - 1)]
+        rows.append((n_merges - 1, "", "b", "b"))
+        return spark.createDataFrame(
+            rows, "rank int, left string, right string, merged string"
+        )
+
+    monkeypatch.setattr(
+        "cdc_kafka_project_spark.operators.bpe.bpe_merge_table", corrupted
+    )
+    from pyspark.sql import functions as F
+
+    out = bpe_merge_ranks(spark, SF_SMOKE)
+    assert out.filter(~F.col("merged_is_concat")).count() == 23
+    assert out.filter(~F.col("parts_nonempty")).count() == 1
+
+
+def test_doc_bpe_token_bounds_flag_negative_case(spark, monkeypatch):
+    """token_bounds_ok sandwiches n_bpe_tokens in [n_words,
+    n_word_chars]; a token-exploding encoder (simulated: counts
+    inflated past the char count) must flip it FALSE through the
+    registered query."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.operators.bpe import (
+        bpe_token_counts as real_counts,
+    )
+    from cdc_kafka_project_spark.queries.text_analysis import (
+        doc_bpe_token_counts,
+    )
+    from pyspark.sql import functions as F
+
+    def exploding(docs, vocab, id_col="doc_id", text_col="text"):
+        out = real_counts(docs, vocab, id_col=id_col, text_col=text_col)
+        return out.withColumn(
+            "n_bpe_tokens", F.col("n_word_chars") + F.lit(1)
+        )
+
+    monkeypatch.setattr(
+        "cdc_kafka_project_spark.operators.bpe.bpe_token_counts", exploding
+    )
+    out = doc_bpe_token_counts(spark, SF_SMOKE)
+    assert out.filter(F.col("token_bounds_ok")).count() == 0

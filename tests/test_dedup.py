@@ -420,3 +420,59 @@ def test_ensure_minhash_index_rebuilds_for_inmemory_input(spark, tmp_path):
     dd.ensure_minhash_index(other, path)
     sigs = spark.read.parquet(f"{path}/sigs")
     assert [r.doc_id for r in sigs.select("doc_id").collect()] == [9]
+
+
+def test_simhash_pairs_fixture_margin_and_exact_twin(spark):
+    """Round-8 conversion pins: the dedup_simhash_pairs oracle assumes
+    (a) the corpus has NO organic byte-identical pair (the text-equality
+    verify then admits exactly the injected copies) and (b) each of the
+    N injected pairs IS found, at hamming 0. Pin both per generation so
+    fixture erosion fails here before the driver gate."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.dedup import (
+        N_SIMHASH_DUPS,
+        SIMHASH_DUP_OFFSET,
+        _docs,
+        dedup_simhash_pairs,
+    )
+
+    docs = _docs(spark, SF_SMOKE).filter(F.trim("text") != "")
+    n_all = docs.count()
+    n_distinct = docs.select(F.trim("text")).distinct().count()
+    assert n_all == n_distinct, (
+        "organic exact-duplicate texts appeared — the simhash exact-twin "
+        "oracle's membership is no longer the injected pairs alone"
+    )
+
+    first = [
+        r.doc_id
+        for r in docs.orderBy("doc_id").limit(N_SIMHASH_DUPS).collect()
+    ]
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == {(i, i + SIMHASH_DUP_OFFSET, 0) for i in first}
+
+
+def test_dedup_simhash_flag_catches_impure_signature(spark, monkeypatch):
+    """Round-8 conversion negative case: copy_sig_identical exists to
+    catch a signature that is NOT a pure function of text (doc_id or
+    partition leaking into the hash). Simulate exactly that bug —
+    xor the doc_id into the fingerprint — and the registered query
+    must flip the flag."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries import dedup as qd
+
+    real = dd.simhash
+
+    def impure(df, text_col="text", bits=64):
+        out = real(df, text_col=text_col, bits=bits)
+        return out.withColumn(
+            "simhash", F.col("simhash").bitwiseXOR(F.col("doc_id"))
+        )
+
+    monkeypatch.setattr(qd.dd, "simhash", impure)
+    out = qd.dedup_simhash(spark, SF_SMOKE)
+    n_bad = out.filter(~F.col("copy_sig_identical")).count()
+    assert n_bad == out.count(), "impure signature not caught by the flag"

@@ -703,3 +703,91 @@ def test_label_outliers_flag_bottom_five(spark):
         assert {r["vec_id"] for r in flagged} == {
             r["vec_id"] for r in worst[: len(flagged)]
         }
+
+
+def test_fixture_margins_for_exact_twin_oracles(spark):
+    """Round-7 advice item 1: the near_dup/semdedup exact-twin oracles
+    encode two data-generation assumptions — no organic pair clears
+    cos 0.95 (we pin the much tighter < 0.8) and every 0.1%-scaled
+    copy stays in its source's k-means cell. Pin both per generation
+    so a fixture-margin erosion fails HERE before the driver gate."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.similarity import (
+        DUP_OFFSET,
+        N_INJECTED_DUPS,
+        _emb,
+        _index_dir,
+        _with_injected_dups,
+    )
+
+    emb = _emb(spark, SF_SMOKE)
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = M @ M.T
+    np.fill_diagonal(cos, -1.0)
+    assert cos.max() < 0.8, (
+        f"organic cosine margin eroded: max {cos.max():.3f} — the 0.95 "
+        "exact-twin oracles are at risk; regenerate or re-derive"
+    )
+
+    inj = _with_injected_dups(emb)
+    C = sim.ensure_kmeans_model(
+        inj, _index_dir(SF_SMOKE, "semdedup_k16"), k=16, iters=2,
+        max_train=512,
+    )
+    cid = inj.select(
+        "vec_id", sim._assign_expr(F.col("embedding"), C).alias("cid")
+    )
+    a = {r.vec_id: r.cid for r in cid.collect()}
+    for i in range(N_INJECTED_DUPS):
+        assert a[i] == a[i + DUP_OFFSET], (
+            f"injected copy {i} left its source's k-means cell — the "
+            "semdedup exact-twin oracle no longer holds"
+        )
+
+
+def test_pca_flag_negative_cases(spark, monkeypatch):
+    """Round-7 advice item 2: the embedding_pca_project flags must be
+    falsifiable. A tampered model (components scaled 10x — grossly
+    non-orthonormal) must flip norm_contract_ok on the REGISTERED
+    query; a narrow model must flip dims_ok."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries import similarity as qsim
+
+    real = sim.pca_train
+
+    def tampered(emb, n_components=8, max_train=512):
+        m = real(emb, n_components=n_components, max_train=max_train)
+        return {
+            **m,
+            "components": [[x * 10.0 for x in row] for row in m["components"]],
+        }
+
+    monkeypatch.setattr(qsim.sim, "pca_train", tampered)
+    out = qsim.embedding_pca_project(spark, SF_SMOKE)
+    n_bad = out.filter(~F.col("norm_contract_ok")).count()
+    assert n_bad > 0, "scaled components did not flip norm_contract_ok"
+
+    def narrow(emb, n_components=8, max_train=512):
+        return real(emb, n_components=4, max_train=max_train)
+
+    monkeypatch.setattr(qsim.sim, "pca_train", narrow)
+    out = qsim.embedding_pca_project(spark, SF_SMOKE)
+    assert out.filter(~F.col("dims_ok")).count() > 0
+
+
+def test_ann_recall_flag_negative_case(spark, monkeypatch):
+    """recall_ok folds recall >= floor; pin that an impossible floor
+    (1.01) flips it FALSE through the registered query — the flag is
+    not vacuously TRUE."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries import similarity as qsim
+
+    monkeypatch.setattr(
+        qsim, "ANN_RECALL_FLOORS", {"lsh": 1.01, "ivf": 1.01, "pq": 1.01}
+    )
+    out = qsim.similarity_ann_recall(spark, SF_SMOKE)
+    assert out.filter(F.col("recall_ok")).count() == 0

@@ -481,3 +481,21 @@ def test_nb_quality_score_distills_the_teacher_gate(spark):
     if keep_scores and drop_scores:
         assert (sum(keep_scores) / len(keep_scores)
                 > sum(drop_scores) / len(drop_scores))
+
+
+def test_corpus_is_ascii_at_every_sf(spark):
+    """Round-7 advice item 3: the BPE oracles (doc_bpe_token_counts'
+    n_word_chars, bpe_merge_ranks' rank-0 argmax) equate Spark's JVM
+    lower()/binary string ordering with DuckDB's utf8proc
+    lower()/collation — sound only while the corpus is pure ASCII
+    (non-ASCII case mappings like U+0130 change string LENGTH under
+    one engine but not the other). Pin it per testdata generation so
+    a non-ASCII corpus fails loudly here before the driver gate."""
+    from cdc_kafka_project_spark.catalog import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf_dir, "documents")
+        n_bad = docs.filter(
+            ~F.col("text").rlike(r"^[\x00-\x7F]*$")
+        ).count()
+        assert n_bad == 0, f"non-ASCII documents appeared in {sf_dir}"
