@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Build a local scale-stress replica of an sf_dir (round-7 verdict
+item 4): duplicate + re-key the driver testdata K-fold so the most
+expensive queries get one datapoint ABOVE sf0.1 before the two-order-
+of-magnitude extrapolation to cluster scale.
+
+    python tools/make_scale_replica.py SRC_SF_DIR OUT_DIR K
+
+Replica design (deterministic, no RNG):
+
+* Fact/entity keys shift by ``i * 10**8`` per replica i — far above
+  any organic key and clear of the 10**7 fixture-injection id zone —
+  CONSISTENTLY across referencing columns (o_custkey shifts with
+  c_custkey, l_orderkey with o_orderkey, ...), so join hit rates and
+  FK integrity survive the scale-up.
+* ``region``/``nation`` stay 1x: true dimension tables grow slower
+  than facts, and keeping them broadcast-sized is exactly the shape
+  the 100 TB design assumes.
+* ``documents.text``: replica i > 0 suffixes every (2 + i % 3)-th
+  word with the replica index. This keeps replicas genuinely DISTINCT
+  documents (word-3-gram Jaccard vs the source lands under the 0.2
+  near-dup threshold; no byte-identical pairs), so dedup tiers see a
+  10x corpus, not a pathological 10-clique per document. n_chars is
+  recomputed.
+* ``embeddings.embedding``: replica i > 0 flips the sign of every
+  dimension j with (j + i) % 7 == 0 — norms preserved, cosine to the
+  source ~0.71 (well under the 0.95 near-dup threshold), replicas
+  mutually distinct. The similarity tiers get a 10x corpus of
+  honest vectors.
+* ``events``: ids shift; timestamps keep their range (a 10x-denser
+  stream over the same window — the realistic scale-up for
+  sessionization and watermarks).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+OFFSET = 10**8
+
+#: key columns shifted per replica, per table (referential closure)
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+DIMS = ("region", "nation")
+
+
+def build(src: str, out: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from cdc_kafka_project_spark.catalog import load_table
+    from cdc_kafka_project_spark.schemas import TESTDATA_TABLES
+    from cdc_kafka_project_spark.session import get_spark
+
+    spark = get_spark("scale-replica")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+
+    for name in TESTDATA_TABLES:
+        base = load_table(spark, src, name)
+        cols = base.columns
+        if name in DIMS:
+            reps = base
+        else:
+            parts = []
+            for i in range(k):
+                rep = base
+                for c in KEYS[name]:
+                    rep = rep.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+                if name == "documents" and i > 0:
+                    step = 2 + i % 3
+                    rep = rep.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split(F.trim("text"), r"\s+"),
+                                lambda w, p: F.when(
+                                    p % step == 0, F.concat(w, F.lit(str(i)))
+                                ).otherwise(w),
+                            ),
+                            " ",
+                        ),
+                    ).withColumn("n_chars", F.length("text"))
+                if name == "embeddings" and i > 0:
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.transform(
+                            "embedding",
+                            lambda x, j: F.when(
+                                (j + F.lit(i)) % 7 == 0, -x
+                            ).otherwise(x),
+                        ),
+                    )
+                parts.append(rep.select(cols))
+            reps = parts[0]
+            for p in parts[1:]:
+                reps = reps.unionByName(p)
+        # a handful of similar-sized files per table: enough scan
+        # parallelism without a small-file swarm
+        n_files = 1 if name in DIMS else 8
+        tmp = os.path.join(out, f"__tmp_{name}")
+        reps.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        # flatten the directory dataset to <name>.parquet (a directory
+        # is fine: spark.read.parquet and duckdb read_parquet both
+        # accept it; keep the driver's naming contract)
+        final = os.path.join(out, f"{name}.parquet")
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        print(f"{name}: {reps.count()} rows -> {final}", flush=True)
+
+
+def main() -> int:
+    if len(sys.argv) != 4 or not os.path.isdir(sys.argv[1]):
+        print(
+            "usage: python tools/make_scale_replica.py SRC_SF_DIR OUT_DIR K"
+        )
+        return 2
+    build(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
