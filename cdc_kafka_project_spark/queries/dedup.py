@@ -165,34 +165,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-twin oracle (r8): the drivable surface is the exact-dup
     # tier of SimHash near-dedup — banded candidate pairs VERIFIED on
     # full text equality (the dedup_minhash_index_probe move). A
-    # byte-identical injected copy has the identical signature, so
-    # Hamming = 0 and EVERY 16-bit band collides — the candidate pair
-    # is guaranteed, not probabilistic — and the text-equality verify
-    # then admits exactly the injected (source, copy) pairs (the
-    # corpus has no organic exact dups; pinned in tests/test_dedup.py
-    # so a fixture-margin erosion fails there before it fails this
-    # gate). No margin assumption on ORGANIC hamming distances is
-    # made: organic hamming-0 collisions (short docs) exist and are
-    # filtered by the verify tier exactly as at 100 TB scale.
+    # byte-identical pair has the identical signature, so Hamming = 0
+    # and EVERY 16-bit band collides — the candidate is guaranteed,
+    # not probabilistic — and the text-equality verify then admits
+    # exactly the text-equal pairs, which the oracle COMPUTES with the
+    # same self-join (organic duplicates — sf0.1 carries 8 — plus the
+    # N injected copies; membership is data-derived on both sides, not
+    # a hardcoded list). No margin assumption on ORGANIC hamming
+    # distances is made: organic hamming-0 collisions between
+    # DIFFERENT texts (short docs) are filtered by the verify tier
+    # exactly as at 100 TB scale.
     oracle=f"""
-    WITH src AS (
-        SELECT doc_id FROM documents WHERE trim(text) <> ''
-        ORDER BY doc_id LIMIT {N_SIMHASH_DUPS}
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+    ),
+    src AS (SELECT doc_id, text FROM docs ORDER BY doc_id
+            LIMIT {N_SIMHASH_DUPS}),
+    corpus AS (
+        SELECT doc_id, text FROM docs
+        UNION ALL
+        SELECT doc_id + {SIMHASH_DUP_OFFSET}, text FROM src
     )
-    SELECT doc_id AS doc_a,
-           doc_id + {SIMHASH_DUP_OFFSET} AS doc_b,
-           0 AS hamming
-    FROM src
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+    FROM corpus a JOIN corpus b
+      ON a.text = b.text AND a.doc_id < b.doc_id
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs (Hamming <= 8, 4x16-bit band
     join) over the corpus plus injected byte-identical copies of the
     first N docs, verified on full text — the exact-dup tier that a
-    SimHash dedup pass resolves deterministically. The approximate
-    tier (0 < hamming <= 8, no text match) stays pytest-pinned
-    (tests/test_dedup.py) because its membership depends on the
-    engine-side xxhash64 bit patterns."""
+    SimHash dedup pass resolves deterministically (band recall is
+    exactly 1 for identical signatures, so the tier is complete, and
+    the oracle recomputes the same membership relationally). The
+    approximate tier (0 < hamming <= 8, no text match) stays
+    pytest-pinned (tests/test_dedup.py) because its membership depends
+    on the engine-side xxhash64 bit patterns."""
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.trim("text") != ""
     )
