@@ -739,6 +739,24 @@ def all_pairs_cosine_above(
     )
 
 
+def semdedup_k_for(
+    n: int,
+    target_cluster: int = 256,
+    k_min: int = 16,
+    k_max: int = 4096,
+) -> int:
+    """SemDeDup cluster count scaled to corpus size. The public recipe
+    (Abbas et al. 2023, arXiv:2303.09540) grows k with n (11k clusters
+    on LAION-440M); a FIXED k makes the within-cluster pair scan
+    Σ|c|² ≈ n²/k — quadratic at 100 TB. Holding the expected cluster
+    size ~constant (n / target_cluster) keeps the scan LINEAR in n at
+    constant per-task cost. Clamps keep tiny corpora on the
+    well-exercised k=16 (every driver-gate sf resolves to 16, so
+    small-scale results and cached models are unchanged) and bound the
+    broadcast model size at k_max x dim floats."""
+    return max(k_min, min(k_max, n // target_cluster))
+
+
 def semdedup_pairs(
     embeddings: DataFrame,
     k: int = 16,

@@ -292,13 +292,25 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_kafka_project_spark.operators.dedup import near_dedup_keep
 
     emb = _with_injected_dups(_emb(spark, sf_dir))
+    # k scales with corpus size (semdedup_k_for: ~256 vectors/cluster,
+    # clamped to [16, 4096]) so the within-cluster pair scan stays
+    # linear in n — every driver-gate sf still resolves to k=16, so
+    # gate results and cached models are unchanged; only above-sf0.1
+    # corpora get more clusters. Training sample scales with k (>= 16
+    # points per centroid), bounded well inside the 100k collect cap.
+    n = emb.count()
+    k = sim.semdedup_k_for(n)
     # fingerprint-cached centroids (same pattern as ensure_lsh_index):
     # steady-state runs pay assignment + cluster-scoped pairs only, the
     # bounded retrain happens once per corpus generation
     C = sim.ensure_kmeans_model(
-        emb, _index_dir(sf_dir, "semdedup_k16"), k=16, iters=2, max_train=512
+        emb,
+        _index_dir(sf_dir, f"semdedup_k{k}"),
+        k=k,
+        iters=2,
+        max_train=max(512, 16 * k),
     )
-    pairs = sim.semdedup_pairs(emb, threshold=0.95, centroids=C)
+    pairs = sim.semdedup_pairs(emb, k=k, threshold=0.95, centroids=C)
     return near_dedup_keep(
         emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
     ).select("vec_id")
