@@ -766,6 +766,7 @@ def semdedup_pairs(
     round_to: int = 4,
     block_rows: int = 1024,
     centroids: list[list[float]] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: k-means cluster the
     corpus, score exact cosine only WITHIN each cluster (the public
@@ -794,7 +795,9 @@ def semdedup_pairs(
                               max_train=max_train)
     )
     idx = ivf_index(embeddings, C)
-    n = embeddings.count()
+    # n_rows lets a caller that already counted the corpus (e.g. to
+    # derive k via semdedup_k_for) skip a second full count job
+    n = n_rows if n_rows is not None else embeddings.count()
     # ~block_rows-sized sub-blocks assuming balanced clusters; a skewed
     # mega-cluster degrades toward the global tier's block count, never
     # a single task

@@ -91,9 +91,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("est_jaccard") >= 0.2)
 
 
-#: doc_id offset for fixture-injected byte-identical copies — far
-#: above any organic doc_id at every sf (same constant as the MinHash
-#: index probe's injection tier).
+#: doc_id offset for dedup_simhash_pairs' fixture-injected copies —
+#: far above any organic doc_id at every driver sf (same constant as
+#: the MinHash index probe's injection tier). Safe even for re-keyed
+#: replica corpora: the pairs membership is computed relationally on
+#: BOTH sides (text-equality joins), never by id-range classification.
 SIMHASH_DUP_OFFSET = 10_000_000
 N_SIMHASH_DUPS = 5
 
@@ -127,23 +129,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same job (content-function / partition-independence contract),
     alongside the SQL-mirrored distinct-token count. Raw signature
     values stay pytest-pinned (tests/test_dedup.py)."""
+    from cdc_kafka_project_spark.functions import tokens
+
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.trim("text") != ""
     )
+    # copies carry NEGATIVE ids (-doc_id - 1): organic doc_ids are
+    # non-negative at every sf AND in any re-keyed replica (a fixed
+    # additive offset would misclassify corpora whose ids exceed it,
+    # e.g. tools/make_scale_replica.py's i*10^8 key space)
     copies = docs.select(
-        (F.col("doc_id") + F.lit(SIMHASH_DUP_OFFSET)).alias("doc_id"), "text"
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text"
     )
     # one signature pass over corpus + copies (2N docs, same shuffle
     # shape as the plain fingerprint job)
     fps = dd.simhash(docs.unionByName(copies))
-    orig = fps.filter(F.col("doc_id") < SIMHASH_DUP_OFFSET)
-    copy = fps.filter(F.col("doc_id") >= SIMHASH_DUP_OFFSET).select(
-        (F.col("doc_id") - F.lit(SIMHASH_DUP_OFFSET)).alias("doc_id"),
+    orig = fps.filter(F.col("doc_id") >= 0)
+    copy = fps.filter(F.col("doc_id") < 0).select(
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
         F.col("simhash").alias("__copy_sig"),
     )
     ntok = docs.select(
         "doc_id",
-        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+")))
+        # the canonical tokenizer (the same one simhash consumes), so
+        # the mirrored column tracks the signature's real input domain
+        F.size(F.array_distinct(tokens("text")))
         .cast("long")
         .alias("n_distinct_tokens"),
     )

