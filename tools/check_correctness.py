@@ -75,9 +75,12 @@ def main() -> int:
     spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships flat files; Spark-written replicas
+        # (tools/make_scale_replica.py) are part-file directories
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries, oracles = all_queries(), all_oracles()
     n_pass = n_fail = n_rowsonly = 0
