@@ -27,21 +27,92 @@ from pyspark.sql.types import DoubleType
 
 
 def _dec(col: Column | str) -> Column:
-    # 6 fractional digits: enough that 2dp-valued inputs AND products of
-    # up to three 2dp factors (price * (1-disc) * (1+tax)) convert
-    # exactly, so no engine-specific decimal rounding mode is exercised.
+    # 6 fractional digits: enough that 2dp-valued DOUBLE columns (and
+    # decimal expressions of scale <= 6, e.g. revenue_dec()/charge_dec())
+    # convert exactly. Do NOT feed this a double PRODUCT of 2dp columns:
+    # the true product has 4-6dp, but the float64 approximation can sit
+    # between its shortest decimal repr (what Spark's double->decimal
+    # cast reads, via BigDecimal.valueOf) and the exact binary value
+    # (what DuckDB rounds), so the two engines can disagree by 1e-6 on
+    # rare rows — observed once at 6M rows. Build products in decimal
+    # via revenue_dec()/charge_dec()/discount_amount_dec() instead.
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("decimal(25,6)")
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent sum of a double column, returned as double."""
+    """Order-independent sum of a double column, returned as double.
+
+    Oracle twins must cast the decimal sum to double THROUGH VARCHAR
+    (``CAST(CAST(SUM(...) AS VARCHAR) AS DOUBLE)``): DuckDB's direct
+    decimal->double conversion computes hugeint->double / 10^scale —
+    two roundings — and diverges from the correctly-rounded value
+    (which Spark produces) by 1 ulp once the scaled integer exceeds
+    2^53, i.e. sums past ~9e9 at scale 6. The VARCHAR route parses the
+    exact decimal string, which DuckDB rounds correctly, and is a
+    bit-identity below 2^53.
+    """
     return F.sum(_dec(col)).cast("double")
 
 
 def davg(col: Column | str) -> Column:
     """Deterministic mean: exact decimal sum / count, in float64."""
     return (F.sum(_dec(col)).cast("double") / F.count(F.lit(1))).cast("double")
+
+
+def dec2(col: Column | str) -> Column:
+    """Exact decimal view of a 2dp-valued double column (DECIMAL(12,2)).
+
+    The cast is unambiguous for 2dp values: the nearest double of a 2dp
+    number is ~1e-13 away from it, vastly inside the 5e-3 rounding
+    half-step, so Spark's string-repr cast and DuckDB's binary-value
+    cast produce the identical decimal. All downstream decimal
+    arithmetic is then EXACT (scales add, no rounding), giving
+    bit-equal aggregates on both engines at any row count.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
+#: DuckDB oracle twin of :func:`revenue_dec` — keep in sync.
+REVENUE_DEC_SQL = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))))"
+)
+
+#: DuckDB oracle twin of :func:`charge_dec` — keep in sync.
+CHARGE_DEC_SQL = (
+    REVENUE_DEC_SQL
+    + " * (CAST(1 AS DECIMAL(1,0)) + CAST(l_tax AS DECIMAL(4,2)))"
+)
+
+#: DuckDB oracle twin of :func:`discount_amount_dec` — keep in sync.
+DISCOUNT_AMOUNT_DEC_SQL = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def revenue_dec() -> Column:
+    """``l_extendedprice * (1 - l_discount)`` in exact decimal —
+    DECIMAL(18,4), no rounding anywhere past the unambiguous 2dp
+    casts (see :func:`dec2`)."""
+    one = F.lit(1).cast("decimal(1,0)")
+    return dec2("l_extendedprice") * (
+        one - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+def charge_dec() -> Column:
+    """``l_extendedprice * (1 - l_discount) * (1 + l_tax)`` in exact
+    decimal — DECIMAL(24,6)."""
+    one = F.lit(1).cast("decimal(1,0)")
+    return revenue_dec() * (one + F.col("l_tax").cast("decimal(4,2)"))
+
+
+def discount_amount_dec() -> Column:
+    """``l_extendedprice * l_discount`` in exact decimal — DECIMAL(16,4)."""
+    return dec2("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")
 
 
 def lsum(col: Column | str) -> Column:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import revenue_dec
 from cdc_kafka_project_spark.operators import cdc
 from cdc_kafka_project_spark.registry import query
 
@@ -239,7 +240,7 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_running_totals",
     oracle="""
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_value,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     WHERE event_type = 'purchase'
@@ -368,7 +369,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -597,8 +598,8 @@ IVM_WATERMARK = "2001-10-01 00:00:00"
     oracle="""
     SELECT l_orderkey AS orderkey, o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))
+                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1, 2
     """,
@@ -624,9 +625,7 @@ def ivm_join_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey"), F.col("o_orderpriority").alias("priority")
     )
     li2 = li
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(25,6)"
-    )
+    rev = revenue_dec().cast("decimal(25,6)")
 
     def agg_join(df: DataFrame) -> DataFrame:
         part = df.groupBy(F.col("l_orderkey").alias("orderkey")).agg(

@@ -30,9 +30,9 @@ def _pr_iteration_sql(i: int) -> str:
     return f"""
     s{i} AS (
         SELECT e.dst AS brand,
-               CAST(SUM(CAST(r{i - 1}.r * CAST(e.w AS DOUBLE)
+               CAST(CAST(SUM(CAST(r{i - 1}.r * CAST(e.w AS DOUBLE)
                              / CAST(wo.wout AS DOUBLE)
-                             AS DECIMAL(25,12))) AS DOUBLE) AS sumin
+                             AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE) AS sumin
         FROM e JOIN r{i - 1} ON e.src = r{i - 1}.brand
                JOIN wout wo ON wo.src = e.src
         GROUP BY e.dst

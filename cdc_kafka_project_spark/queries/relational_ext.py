@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
-from cdc_kafka_project_spark.functions import davg, dsum
+from cdc_kafka_project_spark.functions import (
+    davg,
+    discount_amount_dec,
+    dsum,
+    revenue_dec,
+)
 from cdc_kafka_project_spark.registry import query
 
 
@@ -39,8 +44,7 @@ def _dec(col) -> F.Column:
 @query(
     "q6_revenue_delta",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
-                AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
@@ -54,7 +58,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
         F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
-    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(dsum(discount_amount_dec()).alias("revenue"))
 
 
 @query(
@@ -87,7 +91,7 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -136,7 +140,7 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_avg",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / 7.0
            AS avg_yearly
     FROM lineitem, (SELECT l_partkey AS agg_pk,
                            0.2 * AVG(l_quantity) AS small_qty
@@ -171,7 +175,7 @@ def q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
            o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
@@ -245,11 +249,12 @@ def q2_min_price_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l_suppkey,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6)))
                AS total_rev
         FROM lineitem GROUP BY l_suppkey
     )
-    SELECT l_suppkey AS suppkey, CAST(total_rev AS DOUBLE) AS total_rev
+    SELECT l_suppkey AS suppkey,
+           CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_rev
     FROM rev WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
     """,
 )
@@ -263,7 +268,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        F.sum(_dec(revenue_dec())).alias(
             "rev_dec"
         )
     )
@@ -279,8 +284,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
     FROM customer
-    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
-                                   AS DOUBLE) / COUNT(*)
+    WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
                        FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 350000)
@@ -349,11 +353,10 @@ def q12_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_share",
     oracle="""
-    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
-                   ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-                  AS DOUBLE) AS promo_revenue_pct
+    SELECT CAST(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))
+                   ELSE CAST(0 AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -365,7 +368,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = _dec(revenue_dec())
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(25,6)")
     )
@@ -412,8 +415,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_pred",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-                AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -449,7 +451,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return j.filter(c1 | c2 | c3).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        dsum(revenue_dec()).alias(
             "revenue"
         )
     )
@@ -459,7 +461,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_join_price_bands",
     oracle="""
     SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     JOIN (VALUES ('p00_100k', 0.0, 100000.0),
                  ('p100_250k', 100000.0, 250000.0),
@@ -669,8 +671,8 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_errors,
            CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
                 AS BOOLEAN) AS has_purchase,
-           CAST(SUM(CAST(value AS DECIMAL(25,6)))
-                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                FILTER (WHERE event_type = 'purchase') AS VARCHAR) AS DOUBLE)
                AS purchase_value
     FROM events
     GROUP BY user_id
@@ -748,8 +750,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-                AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN orders ON o_custkey = c_custkey
@@ -774,7 +775,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), od.o_custkey == dims.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(revenue_dec()).alias(
                 "revenue"
             )
         )
@@ -788,11 +789,11 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_volume",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
                       JOIN orders ON o_orderkey = l_orderkey
                       JOIN customer ON c_custkey = o_custkey
@@ -838,7 +839,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("l_year"),
     ).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        dsum(revenue_dec()).alias(
             "revenue"
         )
     )
@@ -901,13 +902,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
-                         THEN CAST(volume AS DECIMAL(25,6)) ELSE 0 END)
-                AS DOUBLE)
-           / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                         THEN CAST(volume AS DECIMAL(25,6)) ELSE 0 END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
                n2.n_name AS supp_nation
         FROM part JOIN lineitem ON p_partkey = l_partkey
              JOIN orders ON o_orderkey = l_orderkey
@@ -941,9 +941,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = na.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(25,6)"
-    )
+    vol = revenue_dec().cast("decimal(25,6)")
     j = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
@@ -968,8 +966,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT nation, o_year,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-                AS DOUBLE) AS profit
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS profit
     FROM part JOIN lineitem ON p_partkey = l_partkey
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN orders ON o_orderkey = l_orderkey
@@ -1001,7 +998,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("int").alias("o_year"),
     ).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        dsum(revenue_dec()).alias(
             "profit"
         )
     )
@@ -1011,14 +1008,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_part_value_share",
     oracle="""
     SELECT l_partkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-                AS DOUBLE) AS value
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-                AS DOUBLE) >
-      (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(25,6))) AS DOUBLE) * 0.0006
+    HAVING CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) >
+      (SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))
+                            AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) * 0.0006
        FROM lineitem)
     """,
 )
@@ -1030,7 +1025,7 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     of lineitem, both aggregating map-side; AQE replans the tiny
     cross join to broadcast."""
     li = _t(spark, sf_dir, "lineitem")
-    value = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    value = dsum(revenue_dec())
     per_part = li.groupBy("l_partkey").agg(value.alias("value"))
     total = li.agg((value * F.lit(0.0006)).alias("__threshold"))
     return (
@@ -1050,7 +1045,7 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1996
         GROUP BY l_suppkey
-        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 300
+        HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) > 300
     )
     """,
 )

@@ -158,7 +158,7 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
                AS spend_7d,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
     FROM events WHERE event_type = 'purchase'
@@ -210,7 +210,7 @@ def rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota AS (
         SELECT lang,
                CAST(floor({MIX_ALPHA_TOTAL}.0 * CAST(w_micro AS DOUBLE)
-                          / CAST((SELECT SUM(w_micro) FROM wm) AS DOUBLE)
+                          / CAST(CAST((SELECT SUM(w_micro) FROM wm) AS VARCHAR) AS DOUBLE)
                           + 0.5) AS BIGINT) AS q
         FROM wm
     )

@@ -27,7 +27,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -93,7 +93,7 @@ def token_frequency_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -107,7 +107,7 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -119,11 +119,11 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-           ROUND((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
-                           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                    * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
+           ROUND((CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                     / COUNT(*))
                  / (COUNT(*) - 1), 2) AS var_samp_exact
     FROM orders
@@ -291,7 +291,7 @@ def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(l_extendedprice / 500) AS BIGINT) AS bucket,
            CAST(floor(l_extendedprice / 500) * 500 AS DOUBLE) AS lo,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY 1, 2
     """,
@@ -527,7 +527,7 @@ def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -599,7 +599,7 @@ def skewed_events(ev: DataFrame) -> DataFrame:
     )
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_value,
            CAST(SUM(CASE WHEN user_id = {SKEW_HOT_USER} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hot_events
     FROM skewed JOIN customer ON user_id = c_custkey
@@ -677,9 +677,9 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(value AS DECIMAL(25,6))
-                        * CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+               CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))
+                        * CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS s2
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
@@ -736,11 +736,11 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            -- CASE, not least/greatest: DuckDB's least() promotes
            -- DECIMAL args to DOUBLE, which would de-exact the sum
-           CAST(CAST(SUM(CASE
+           CAST(CAST(CAST(CAST(SUM(CASE
                     WHEN CAST(o.o_totalprice AS DECIMAL(25,6)) < th.p05 THEN th.p05
                     WHEN CAST(o.o_totalprice AS DECIMAL(25,6)) > th.p95 THEN th.p95
-                    ELSE CAST(o.o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
-                / COUNT(*) AS DOUBLE) AS winsorized_mean
+                    ELSE CAST(o.o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE)
+                / COUNT(*) AS VARCHAR) AS DOUBLE) AS winsorized_mean
     FROM orders o JOIN th USING (o_orderpriority)
     GROUP BY o.o_orderpriority, th.p05, th.p95
     """,
@@ -1112,7 +1112,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.event_type, c.bin
     )
     SELECT event_type,
-           floor(CAST(SUM(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl_cur_vs_ref
+           floor(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl_cur_vs_ref
     FROM (
         SELECT event_type,
                CAST(ROUND(pc * ln(pc / pr), 12) AS DECIMAL(30,12)) AS term

@@ -248,7 +248,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
     SELECT label, pos,
-           ROUND(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*), 6) AS avg_v,
+           ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_v,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM (
         SELECT label, unnest(embedding) AS v,
@@ -399,10 +399,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY vec_id
     )
     SELECT vec_id,
-           ROUND(dp_full / (na_full * nb_full), 4) AS cos_full,
-           ROUND(dp_t / (na_t * nb_t), 4) AS cos_trunc16,
-           ROUND(abs(dp_full / (na_full * nb_full)
-                     - dp_t / (na_t * nb_t)), 4) AS fidelity_gap
+           FLOOR(dp_full / (na_full * nb_full) * 1e4 + 0.5) / 1e4 AS cos_full,
+           FLOOR(dp_t / (na_t * nb_t) * 1e4 + 0.5) / 1e4 AS cos_trunc16,
+           FLOOR(abs(dp_full / (na_full * nb_full)
+                     - dp_t / (na_t * nb_t)) * 1e4 + 0.5) / 1e4 AS fidelity_gap
     FROM dots
     """,
 )
@@ -413,7 +413,12 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     (4x cheaper index). One scan, two fused vector expressions, no
     shuffle; at 100 TB this is the evaluation pass run before choosing
     a truncated index layout. The per-pair ordering in both engines is
-    plain float64 sums in index order, rounded to 4."""
+    plain float64 sums in index order; rounding to 4dp uses the
+    floor-form (floor(x*1e4+0.5)/1e4, all IEEE float64 ops) instead of
+    ROUND because Spark's Round on DOUBLE reads the shortest decimal
+    repr (BigDecimal.valueOf) while DuckDB rounds the exact binary
+    value — at 200k+ rows a cosine eventually lands between the two
+    readings (observed at the 10x scale replica)."""
     from cdc_kafka_project_spark.functions import cosine_pd
 
     emb = _emb(spark, sf_dir)
@@ -423,11 +428,14 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     trunc = F.slice(F.col("embedding"), 1, 16)
     cf = cosine_pd(F.col("embedding"), q_full)
     ct = cosine_pd(trunc, q_t)
+    def fr4(c):
+        return F.floor(c * 1e4 + F.lit(0.5)) / 1e4
+
     return emb.select(
         "vec_id",
-        F.round(cf, 4).alias("cos_full"),
-        F.round(ct, 4).alias("cos_trunc16"),
-        F.round(F.abs(cf - ct), 4).alias("fidelity_gap"),
+        fr4(cf).alias("cos_full"),
+        fr4(ct).alias("cos_trunc16"),
+        fr4(F.abs(cf - ct)).alias("fidelity_gap"),
     )
 
 
@@ -792,17 +800,17 @@ OUTLIERS_PER_LABEL = 5
     ),
     cent AS (
         SELECT label, pos,
-               ROUND(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS DOUBLE)
+               ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS VARCHAR) AS DOUBLE)
                      / COUNT(*), 6) AS c
         FROM pe GROUP BY label, pos
     ),
     dots AS (
         SELECT pe.vec_id, pe.label,
-               CAST(SUM(CAST(pe.v * cent.c AS DECIMAL(25,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(pe.v * cent.c AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE)
                    AS dp,
-               CAST(SUM(CAST(pe.v * pe.v AS DECIMAL(25,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(pe.v * pe.v AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE)
                    AS na,
-               CAST(SUM(CAST(cent.c * cent.c AS DECIMAL(25,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(cent.c * cent.c AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE)
                    AS nb
         FROM pe JOIN cent ON pe.label = cent.label AND pe.pos = cent.pos
         GROUP BY pe.vec_id, pe.label

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
-from cdc_kafka_project_spark.functions import dsum
+from cdc_kafka_project_spark.functions import dsum, revenue_dec
 from cdc_kafka_project_spark.operators.bloom import bloom_semi_join
 from cdc_kafka_project_spark.registry import query
 
@@ -53,11 +53,11 @@ _ROUND6 = "floor({} * 1e6 + 0.5) / 1e6"
     s AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(x) AS DOUBLE) AS sx,
-               CAST(SUM(y) AS DOUBLE) AS sy,
-               CAST(SUM(x * y) AS DOUBLE) AS sxy,
-               CAST(SUM(x * x) AS DOUBLE) AS sxx,
-               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM xy GROUP BY l_returnflag
     )
@@ -129,7 +129,7 @@ def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                               (SELECT MAX(CAST(o_orderdate AS DATE))
                                FROM orders)) AS BIGINT) AS recency_days,
                CAST(COUNT(*) AS BIGINT) AS frequency,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                    AS monetary
         FROM orders GROUP BY o_custkey
     ),
@@ -224,8 +224,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT from_type, to_type, n_transitions,
            {_ROUND6.format(
-               "CAST(n_transitions AS DOUBLE) / CAST(SUM(n_transitions) "
-               "OVER (PARTITION BY from_type) AS DOUBLE)"
+               "CAST(n_transitions AS DOUBLE) / CAST(CAST(SUM(n_transitions) "
+               "OVER (PARTITION BY from_type) AS VARCHAR) AS DOUBLE)"
            )} AS prob
     FROM pairs
     ORDER BY from_type, to_type
@@ -282,7 +282,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
     ),
     w AS (
-        SELECT digit, n, CAST(SUM(n) OVER () AS DOUBLE) AS total,
+        SELECT digit, n, CAST(CAST(SUM(n) OVER () AS VARCHAR) AS DOUBLE) AS total,
                {_ROUND6.format("ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)")}
                    AS expected_p
         FROM counts
@@ -354,9 +354,9 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
         SELECT priority, status, n,
-               CAST(SUM(n) OVER (PARTITION BY priority) AS DOUBLE) AS row_tot,
-               CAST(SUM(n) OVER (PARTITION BY status) AS DOUBLE) AS col_tot,
-               CAST(SUM(n) OVER () AS DOUBLE) AS grand_tot
+               CAST(CAST(SUM(n) OVER (PARTITION BY priority) AS VARCHAR) AS DOUBLE) AS row_tot,
+               CAST(CAST(SUM(n) OVER (PARTITION BY status) AS VARCHAR) AS DOUBLE) AS col_tot,
+               CAST(CAST(SUM(n) OVER () AS VARCHAR) AS DOUBLE) AS grand_tot
         FROM cells
     ),
     e AS (
@@ -448,11 +448,11 @@ def order_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT lag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(x) AS DOUBLE) AS sx,
-               CAST(SUM(y) AS DOUBLE) AS sy,
-               CAST(SUM(x * y) AS DOUBLE) AS sxy,
-               CAST(SUM(x * x) AS DOUBLE) AS sxx,
-               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
                CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM pairs GROUP BY lag
     )
@@ -530,7 +530,7 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM occ GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -578,8 +578,7 @@ def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_semi_join_revenue",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-                AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                          WHERE o_orderpriority = '1-URGENT')
@@ -604,7 +603,7 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
     return matched.agg(
         F.count(F.lit(1)).alias("n_lineitems"),
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        dsum(revenue_dec()).alias(
             "revenue"
         ),
     )
@@ -624,7 +623,7 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                               (SELECT MAX(CAST(o_orderdate AS DATE))
                                FROM orders)) AS BIGINT) AS recency_days,
                CAST(COUNT(*) AS BIGINT) AS frequency,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                    AS monetary
         FROM orders GROUP BY o_custkey
     ),
@@ -741,7 +740,7 @@ def customer_rfm_quantile_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr AS (
         SELECT d, rev,
                CASE WHEN COUNT(*) OVER w = 7
-                    THEN floor(CAST(SUM(rev) OVER w AS DOUBLE) / 7.0
+                    THEN floor(CAST(CAST(SUM(rev) OVER w AS VARCHAR) AS DOUBLE) / 7.0
                                * 1e6 + 0.5) / 1e6
                END AS trend
         FROM daily
@@ -754,7 +753,7 @@ def customer_rfm_quantile_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seas AS (
         SELECT dow,
-               floor(CAST(SUM(CAST(detrended AS DECIMAL(25,6))) AS DOUBLE)
+               floor(CAST(CAST(SUM(CAST(detrended AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
                    AS seasonal
         FROM det WHERE detrended IS NOT NULL GROUP BY dow
@@ -840,8 +839,8 @@ def revenue_seasonality_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
-                         AS DECIMAL(19,2)) AS DOUBLE) AS rev
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                         AS DECIMAL(19,2)) AS VARCHAR) AS DOUBLE) AS rev
         FROM orders GROUP BY 1
     )
     SELECT strftime(d, '%Y-%m-%d') AS day, rev,
@@ -894,8 +893,7 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pa AS (
         SELECT l_partkey AS partkey,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
-               floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
-                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               floor(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                      * 1e6 + 0.5) / 1e6 AS avg_price
         FROM lineitem GROUP BY l_partkey
     ),
@@ -1054,9 +1052,9 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN fp_us IS NOT NULL
                           AND fp_us - fc_us <= ks.k * 86400000000
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
-           floor(CAST(SUM(CASE WHEN fp_us IS NOT NULL
+           floor(CAST(CAST(SUM(CASE WHEN fp_us IS NOT NULL
                                 AND fp_us - fc_us <= ks.k * 86400000000
-                               THEN 1 ELSE 0 END) AS DOUBLE)
+                               THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
     FROM j CROSS JOIN ks
     GROUP BY ks.k ORDER BY k
@@ -1183,7 +1181,7 @@ if event_top_paths.__doc__:
     oracle="""
     WITH cr AS (
         SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS x
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS x
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
     ),
@@ -1197,8 +1195,8 @@ if event_top_paths.__doc__:
         SELECT segment,
                CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(i * x AS DECIMAL(25,6))) AS DOUBLE) AS six
+               CAST(CAST(SUM(CAST(x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(i * x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS six
         FROM ranked GROUP BY segment
     )
     SELECT segment, n_customers,
@@ -1277,8 +1275,8 @@ def revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT is_weekend,
                CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_days,
-               CAST(SUM(rev) AS DOUBLE) AS sx,
-               CAST(SUM(rev * rev) AS DOUBLE) AS sxx
+               CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(rev * rev) AS VARCHAR) AS DOUBLE) AS sxx
         FROM daily GROUP BY is_weekend
     ),
     w AS (SELECT * FROM s WHERE is_weekend = 1),
@@ -1367,9 +1365,8 @@ def weekend_effect_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(rev.cohort, '%Y-%m') AS cohort,
            rev.month_index,
            sz.cohort_size,
-           floor(CAST(SUM(rev.m_rev) OVER (PARTITION BY rev.cohort
-                                           ORDER BY rev.month_index)
-                      AS DOUBLE)
+           floor(CAST(CAST(SUM(rev.m_rev) OVER (PARTITION BY rev.cohort
+                                           ORDER BY rev.month_index) AS VARCHAR) AS DOUBLE)
                  / CAST(sz.cohort_size AS DOUBLE) * 1e4 + 0.5) / 1e4
                AS cum_ltv_per_customer
     FROM rev JOIN sz ON rev.cohort = sz.cohort
@@ -1521,8 +1518,8 @@ def purchase_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
-                         AS DECIMAL(19,2)) AS DOUBLE) AS rev
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                         AS DECIMAL(19,2)) AS VARCHAR) AS DOUBLE) AS rev
         FROM orders GROUP BY 1
     ),
     pred AS (
@@ -1531,12 +1528,11 @@ def purchase_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     err AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-               CAST(SUM(CAST(abs(rev - yhat) AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(abs(rev - yhat) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                    AS sae,
-               CAST(SUM(CAST(abs(rev - yhat) / rev AS DECIMAL(25,9)))
-                    AS DOUBLE) AS sape,
-               CAST(SUM(CAST(2.0 * abs(rev - yhat) / (abs(rev) + abs(yhat))
-                             AS DECIMAL(25,9))) AS DOUBLE) AS ssm
+               CAST(CAST(SUM(CAST(abs(rev - yhat) / rev AS DECIMAL(25,9))) AS VARCHAR) AS DOUBLE) AS sape,
+               CAST(CAST(SUM(CAST(2.0 * abs(rev - yhat) / (abs(rev) + abs(yhat))
+                             AS DECIMAL(25,9))) AS VARCHAR) AS DOUBLE) AS ssm
         FROM pred WHERE yhat IS NOT NULL AND rev > 0
     )
     SELECT n_days,
@@ -1602,8 +1598,8 @@ def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
-                         AS DECIMAL(19,2)) AS DOUBLE) AS rev
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                         AS DECIMAL(19,2)) AS VARCHAR) AS DOUBLE) AS rev
         FROM orders GROUP BY 1
     ),
     slopes AS (
@@ -1661,22 +1657,21 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sr AS (
         SELECT s.s_nationkey AS nationkey, l.l_suppkey,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(25,6))) AS DOUBLE) AS rev
+               CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                             AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS rev
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2
     ),
     tot AS (
         SELECT nationkey,
                CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-               CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS total_rev
+               CAST(CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_rev
         FROM sr GROUP BY nationkey
     )
     SELECT n.n_name AS nation, tot.n_suppliers,
-           floor(CAST(SUM(CAST((sr.rev / tot.total_rev)
+           floor(CAST(CAST(SUM(CAST((sr.rev / tot.total_rev)
                                * (sr.rev / tot.total_rev)
-                               AS DECIMAL(25,12)))
-                      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hhi
+                               AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hhi
     FROM sr JOIN tot ON sr.nationkey = tot.nationkey
             JOIN nation n ON n.n_nationkey = sr.nationkey
     GROUP BY n.n_name, tot.n_suppliers
@@ -1702,7 +1697,7 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(revenue_dec()).alias(
                 "rev"
             )
         )

@@ -61,7 +61,7 @@ def _incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_INCIDENT_CTE}
     SELECT inc.incident_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM inc JOIN events e ON e.ts BETWEEN inc.start_ts AND inc.end_ts
     GROUP BY inc.incident_id
     """,
@@ -137,7 +137,7 @@ def interval_incident_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     WITH agg AS (
         SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
                CAST(COUNT(*) AS BIGINT) AS n_raw,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev_raw
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS rev_raw
         FROM orders GROUP BY 1, 2
     ),
     bounds AS (
@@ -219,7 +219,7 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
         SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS rev
         FROM orders GROUP BY 1, 2
     ),
     bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM agg),

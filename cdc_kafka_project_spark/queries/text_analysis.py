@@ -530,7 +530,7 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           floor(CAST(SUM(logp * tf) AS DOUBLE) / SUM(tf) * 1e6 + 0.5) / 1e6
+           floor(CAST(CAST(SUM(logp * tf) AS VARCHAR) AS DOUBLE) / SUM(tf) * 1e6 + 0.5) / 1e6
                AS avg_logprob
     FROM scored GROUP BY doc_id
     """,
@@ -1170,7 +1170,7 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-           floor(CAST(SUM(logp * tf) AS DOUBLE) / SUM(tf) * 1e6 + 0.5) / 1e6
+           floor(CAST(CAST(SUM(logp * tf) AS VARCHAR) AS DOUBLE) / SUM(tf) * 1e6 + 0.5) / 1e6
                AS avg_bigram_logprob
     FROM scored GROUP BY doc_id
     """,
@@ -1330,9 +1330,9 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dtok.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_terms,
-           CAST(SUM(model.llr)
+           CAST(CAST(SUM(model.llr)
                 + ANY_VALUE(CAST(ROUND(ln((n.n_keep + 1.0) / (n.n_drop + 1.0)), 6)
-                                 AS DECIMAL(25,6))) AS DOUBLE) AS nb_score,
+                                 AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS nb_score,
            (SUM(model.llr)
             + ANY_VALUE(CAST(ROUND(ln((n.n_keep + 1.0) / (n.n_drop + 1.0)), 6)
                              AS DECIMAL(25,6)))) > 0 AS pred_keep,
@@ -1910,8 +1910,7 @@ _LANGID_PRED_CTES = """
     SELECT true_lang, pred_lang,
            CAST(COUNT(*) AS BIGINT) AS n,
            floor(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY true_lang)
-                        AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share_of_true
+                 / CAST(CAST(SUM(COUNT(*)) OVER (PARTITION BY true_lang) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share_of_true
     FROM pred
     GROUP BY true_lang, pred_lang
     ORDER BY true_lang, pred_lang

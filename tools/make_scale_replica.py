@@ -93,17 +93,24 @@ def build(src: str, out: str, k: int) -> None:
                         ),
                     ).withColumn("n_chars", F.length("text"))
                 if name == "embeddings" and i > 0:
-                    # flip every (i+2)-th dimension: distinct period per
-                    # replica, so replicas stay mutually distinct for ANY
-                    # K (a shared-period mask like (j+i)%7 would repeat
-                    # at i and i+7); cosine to the source stays in
-                    # ~[0.3, 0.85], well under the 0.95 near-dup bar
+                    # flip a DENSE pseudorandom half of the dimensions
+                    # (xxhash64(dim, replica) parity): ~32 of 64 dims per
+                    # replica, masks pairwise independent, so both
+                    # replica-vs-source and replica-vs-replica cosines
+                    # concentrate near 0 with a ~5-sigma gap to the 0.95
+                    # near-dup bar. The earlier sparse periodic mask
+                    # (every (i+2)-th dim) flipped as few as 6 dims for
+                    # high i, and whenever those dims carried little mass
+                    # the pair stayed near cos 1 — measured 241
+                    # same-source pairs >= 0.95 at 10x, which polluted
+                    # the near-dup/semdedup fixture contract and
+                    # inflated candidate volumes in the stress timings.
                     rep = rep.withColumn(
                         "embedding",
                         F.transform(
                             "embedding",
                             lambda x, j: F.when(
-                                j % F.lit(i + 2) == 0, -x
+                                F.xxhash64(j, F.lit(i)) % 2 == 0, -x
                             ).otherwise(x),
                         ),
                     )
