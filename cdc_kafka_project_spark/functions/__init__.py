@@ -60,6 +60,25 @@ def davg(col: Column | str) -> Column:
     return (F.sum(_dec(col)).cast("double") / F.count(F.lit(1))).cast("double")
 
 
+def fround(col: Column | str, scale: int = 0) -> Column:
+    """Engine-portable half-up rounding of a double to ``scale`` dp.
+
+    ``F.round`` on DoubleType reads the double's SHORTEST decimal repr
+    (``BigDecimal.valueOf``) before rounding, while DuckDB's ``ROUND``
+    rounds the exact binary value — once per ~1e5 values the two
+    readings straddle the rounding boundary and the engines disagree
+    (first observed on `embedding_matryoshka_fidelity` at the 10x
+    replica). This floor form (floor(x*10^s + 0.5)/10^s) is pure IEEE
+    float64 arithmetic, so both engines compute the identical bits;
+    oracle twins use ``floor((x) * 1eS + 0.5) / 1eS``. Meaningful for
+    \\|x\\|*10^s below 2^53 (all current uses are far below); ties round
+    toward +inf on both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.lit(float(10**scale))
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
 def dec2(col: Column | str) -> Column:
     """Exact decimal view of a 2dp-valued double column (DECIMAL(12,2)).
 

@@ -25,7 +25,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from cdc_kafka_project_spark.functions import tokens
+from cdc_kafka_project_spark.functions import fround, tokens
 from cdc_kafka_project_spark.operators.text import py_tokens
 
 MERSENNE_P = (1 << 31) - 1
@@ -843,7 +843,7 @@ def probe_minhash_index(
         .select(
             "new_doc_id",
             "index_doc_id",
-            F.round(est_jaccard_expr(F.col("__sp"), F.col("__sx")), 4).alias(
+            fround(est_jaccard_expr(F.col("__sp"), F.col("__sx")), 4).alias(
                 "est_jaccard"
             ),
         )

@@ -37,7 +37,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from cdc_kafka_project_spark.functions import token_count, tokens
+from cdc_kafka_project_spark.functions import fround, token_count, tokens
 
 K1 = 1.2
 B = 0.75
@@ -293,7 +293,7 @@ def hard_negative_pairs(
     a = anchors.select(
         F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("__ae")
     )
-    cos = F.round(cosine_pd(F.col("__ae"), F.col("embedding")), round_to)
+    cos = fround(cosine_pd(F.col("__ae"), F.col("embedding")), round_to)
     pairs = (
         embeddings.join(F.broadcast(a))
         .filter(F.col("vec_id") != F.col("anchor_id"))

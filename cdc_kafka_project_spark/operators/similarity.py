@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from cdc_kafka_project_spark.functions import (
     cosine_pd,
+    fround,
     l2_norm,
     spread,
     to_double_array,
@@ -66,7 +67,7 @@ def brute_force_topk(
     """
     cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        cos = fround(cos, round_to)
     return (
         spread(embeddings).select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -138,7 +139,7 @@ def lsh_ann_topk(
     cand = bucketed.filter(F.col("__bucket").isin(probe))
     cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        cos = fround(cos, round_to)
     return (
         cand.select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -305,7 +306,7 @@ def ivf_ann_topk(
     probe = by_dist[:nprobe]
     cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        cos = fround(cos, round_to)
     return (
         index.filter(F.col("cid").isin(probe))
         .select("vec_id", cos.alias("cos_sim"))
@@ -486,7 +487,7 @@ def probe_lsh_index(
     cand = spark.read.parquet(path).filter(F.col("__bucket").isin(probe))
     cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        cos = fround(cos, round_to)
     return (
         cand.select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -605,7 +606,7 @@ def probe_ivf_index(
     cand = spark.read.parquet(path).filter(F.col("cid").isin(probe))
     cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        cos = fround(cos, round_to)
     return (
         cand.select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -733,7 +734,7 @@ def all_pairs_cosine_above(
     )
     return (
         out.select(
-            "vec_a", "vec_b", F.round(F.col("raw_cos"), round_to).alias("cos_sim")
+            "vec_a", "vec_b", fround(F.col("raw_cos"), round_to).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -834,7 +835,7 @@ def semdedup_pairs(
         out.select(
             "vec_a",
             "vec_b",
-            F.round(F.col("raw_cos"), round_to).alias("cos_sim"),
+            fround(F.col("raw_cos"), round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -874,7 +875,7 @@ def quantize_int8_stats(embeddings: DataFrame) -> DataFrame:
     nonzero = F.size(F.filter(codes, lambda x: x != 0))
     return embeddings.select(
         "vec_id",
-        F.round(scale, 8).alias("scale"),
+        fround(scale, 8).alias("scale"),
         code_sum.alias("code_sum"),
         F.array_min(codes).alias("code_min"),
         F.array_max(codes).alias("code_max"),
@@ -888,7 +889,7 @@ def embedding_norms(embeddings: DataFrame, round_to: int = 4) -> DataFrame:
     return embeddings.select(
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
-        F.round(l2_norm(arr), round_to).alias("l2_norm"),
+        fround(l2_norm(arr), round_to).alias("l2_norm"),
     )
 
 
@@ -976,7 +977,7 @@ def cosine_near_dup_pairs(
     pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     cos = cosine_pd(F.col("emb_a"), F.col("emb_b"))
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        cos = fround(cos, round_to)
     return pairs.select(
         "vec_a", "vec_b", cos.alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
@@ -1109,7 +1110,7 @@ def pq_adc_topk(
 
     sim_col = adc(F.col("codes"))
     if round_to is not None:
-        sim_col = F.round(sim_col, round_to)
+        sim_col = fround(sim_col, round_to)
     return (
         codes_df.select("vec_id", sim_col.alias("adc_sim"))
         .orderBy(F.col("adc_sim").desc(), "vec_id")
@@ -1214,7 +1215,7 @@ def label_centroids(
     return (
         ex.groupBy("label", (F.col("pos") + 1).alias("pos"))
         .agg(
-            F.round(
+            fround(
                 F.sum(F.col("v").cast("decimal(25,9)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
@@ -1384,7 +1385,7 @@ def hamming_rerank_topk(
     )
     cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        cos = fround(cos, round_to)
     return (
         cand.select("vec_id", "hamming", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")

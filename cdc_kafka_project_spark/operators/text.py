@@ -19,7 +19,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from cdc_kafka_project_spark.functions import token_count, tokens
+from cdc_kafka_project_spark.functions import fround, token_count, tokens
 
 _WS_ASCII = re.compile(r"\s+", re.ASCII)
 
@@ -121,7 +121,7 @@ def quality_filter(
         "doc_id",
         reason.isNull().alias("keep"),
         reason.alias("reason"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        fround(stop_ratio, 6).alias("stopword_ratio"),
     )
 
 
@@ -468,7 +468,7 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
-    score = F.round(
+    score = fround(
         F.col("tf")
         * F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
         6,

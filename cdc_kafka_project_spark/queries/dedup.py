@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import fround
 from cdc_kafka_project_spark.operators import dedup as dd
 from cdc_kafka_project_spark.registry import query
 
@@ -430,7 +431,7 @@ def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
     )
     SELECT doc_a, doc_b, edit_distance,
-           ROUND(raw_sim, 6) AS edit_similarity
+           floor((raw_sim) * 1e6 + 0.5) / 1e6 AS edit_similarity
     FROM (
         SELECT c.doc_a, c.doc_b,
                CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
@@ -477,7 +478,7 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             dist.cast("long").alias("edit_distance"),
-            F.round(sim, 6).alias("edit_similarity"),
+            fround(sim, 6).alias("edit_similarity"),
             (sim >= threshold).alias("__keep"),
         )
         .filter(F.col("__keep"))

@@ -22,6 +22,7 @@ from cdc_kafka_project_spark.functions import (
     davg,
     discount_amount_dec,
     dsum,
+    fround,
     revenue_dec,
 )
 from cdc_kafka_project_spark.registry import query
@@ -64,9 +65,9 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "percentile_prices",
     oracle="""
-    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           ROUND(median(o_totalprice), 4) AS med
+    SELECT floor((quantile_cont(o_totalprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+           floor((quantile_cont(o_totalprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90,
+           floor((median(o_totalprice)) * 1e4 + 0.5) / 1e4 AS med
     FROM orders
     """,
 )
@@ -80,9 +81,9 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     od = _t(spark, sf_dir, "orders")
     return od.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.median("o_totalprice"), 4).alias("med"),
+        fround(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        fround(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        fround(F.median("o_totalprice"), 4).alias("med"),
     )
 
 

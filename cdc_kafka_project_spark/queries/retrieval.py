@@ -90,10 +90,10 @@ def text_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY anchor_id, vec_id
     ),
     sims AS (
-        SELECT anchor_id, vec_id, ROUND(dp / (na * nb), 4) AS cos_sim
+        SELECT anchor_id, vec_id, floor((dp / (na * nb)) * 1e4 + 0.5) / 1e4 AS cos_sim
         FROM dots
-        WHERE ROUND(dp / (na * nb), 4) >= 0.2
-          AND ROUND(dp / (na * nb), 4) < 0.8
+        WHERE floor((dp / (na * nb)) * 1e4 + 0.5) / 1e4 >= 0.2
+          AND floor((dp / (na * nb)) * 1e4 + 0.5) / 1e4 < 0.8
     )
     SELECT anchor_id, vec_id, cos_sim FROM (
         SELECT anchor_id, vec_id, cos_sim,

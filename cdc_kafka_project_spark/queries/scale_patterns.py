@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table, register_views
-from cdc_kafka_project_spark.functions import tokens
+from cdc_kafka_project_spark.functions import fround, tokens
 from cdc_kafka_project_spark.registry import query
 
 N_SALT = 8
@@ -120,12 +120,12 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
-           ROUND((CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+           floor(((CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
                            * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                   - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                     * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                     / COUNT(*))
-                 / (COUNT(*) - 1), 2) AS var_samp_exact
+                 / (COUNT(*) - 1)) * 1e2 + 0.5) / 1e2 AS var_samp_exact
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -148,7 +148,7 @@ def exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.groupBy("o_orderpriority").agg(
         n.alias("n"),
         s1.alias("s1"),
-        F.round((s2 - s1 * s1 / n) / (n - 1), 2).alias("var_samp_exact"),
+        fround((s2 - s1 * s1 / n) / (n - 1), 2).alias("var_samp_exact"),
     )
 
 
@@ -237,7 +237,7 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sketch_percentiles",
     # Exact-twin oracle: exact interpolated percentiles match DuckDB's
-    # quantile_cont bit-for-bit at ROUND(...,4) (the percentile_prices
+    # quantile_cont bit-for-bit at floor((...) * 1e4 + 0.5) / 1e4 (the percentile_prices
     # precedent); the GK-sketch values ride through a 1%-relative
     # bound flag (oracle: literal TRUE). GK rank error at accuracy
     # 10000 is <= n/10000 ranks, far inside 1% of value here.
@@ -246,12 +246,12 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile lands within ~1e-5 of a .00005 boundary. Green at
     # sf0.01 and sf0.1 on the current generation; if a future testdata
     # generation ever flips this hash, drop BOTH sides to
-    # ROUND(...,2) (the original percentile_prices precision) rather
+    # floor((...) * 1e2 + 0.5) / 1e2 (the original percentile_prices precision) rather
     # than debugging the engines' rounding paths.
     oracle="""
-    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
-           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
-           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS exact_p99,
+    SELECT floor((quantile_cont(o_totalprice, 0.5)) * 1e4 + 0.5) / 1e4 AS exact_p50,
+           floor((quantile_cont(o_totalprice, 0.95)) * 1e4 + 0.5) / 1e4 AS exact_p95,
+           floor((quantile_cont(o_totalprice, 0.99)) * 1e4 + 0.5) / 1e4 AS exact_p99,
            TRUE AS approx_within_1pct
     FROM orders
     """,
@@ -278,9 +278,9 @@ def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return agg.select(
-        F.round(F.col("exact_p")[0], 4).alias("exact_p50"),
-        F.round(F.col("exact_p")[1], 4).alias("exact_p95"),
-        F.round(F.col("exact_p")[2], 4).alias("exact_p99"),
+        fround(F.col("exact_p")[0], 4).alias("exact_p50"),
+        fround(F.col("exact_p")[1], 4).alias("exact_p95"),
+        fround(F.col("exact_p")[2], 4).alias("exact_p99"),
         (within[0] & within[1] & within[2]).alias("approx_within_1pct"),
     )
 
@@ -1115,7 +1115,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl_cur_vs_ref
     FROM (
         SELECT event_type,
-               CAST(ROUND(pc * ln(pc / pr), 12) AS DECIMAL(30,12)) AS term
+               CAST(floor((pc * ln(pc / pr)) * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12)) AS term
         FROM (
             SELECT event_type,
                    COALESCE(p_cur, 1.0 / (max_tn_cur + 10.0)) AS pc,
@@ -1176,7 +1176,7 @@ def event_value_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_ref = F.coalesce(F.col("p_ref"), F.lit(1.0) / (F.col("max_tn_ref") + 10.0))
     # per-cell KL terms round into DECIMAL before the sum so the
     # ~10-term addition is order-independent (float sums are not)
-    term = F.round(p_cur * F.log(p_cur / p_ref), 12).cast("decimal(30,12)")
+    term = fround(p_cur * F.log(p_cur / p_ref), 12).cast("decimal(30,12)")
     kl = F.sum(term).cast("double")
     return probs.groupBy("event_type").agg(
         (F.floor(kl * 1e6 + F.lit(0.5)) / 1e6).alias("kl_cur_vs_ref")
@@ -1193,10 +1193,10 @@ def event_value_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(SUM(cnt) AS BIGINT) AS total_rows,
            CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
-           ROUND(MAX(cnt) / SUM(cnt), 6) AS top1_share,
-           ROUND(quantile_cont(cnt, 0.50), 4) AS p50_key_rows,
-           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_key_rows,
-           ROUND(MAX(cnt) / quantile_cont(cnt, 0.50), 4) AS skew_ratio
+           floor((MAX(cnt) / SUM(cnt)) * 1e6 + 0.5) / 1e6 AS top1_share,
+           floor((quantile_cont(cnt, 0.50)) * 1e4 + 0.5) / 1e4 AS p50_key_rows,
+           floor((quantile_cont(cnt, 0.99)) * 1e4 + 0.5) / 1e4 AS p99_key_rows,
+           floor((MAX(cnt) / quantile_cont(cnt, 0.50)) * 1e4 + 0.5) / 1e4 AS skew_ratio
     FROM freq
     """,
 )
@@ -1224,10 +1224,10 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("total_rows"),
         F.max("cnt").alias("max_key_rows"),
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
-        F.round(p50, 4).alias("p50_key_rows"),
-        F.round(p99, 4).alias("p99_key_rows"),
-        F.round(F.max("cnt") / p50, 4).alias("skew_ratio"),
+        fround(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+        fround(p50, 4).alias("p50_key_rows"),
+        fround(p99, 4).alias("p99_key_rows"),
+        fround(F.max("cnt") / p50, 4).alias("skew_ratio"),
     )
 
 
@@ -1249,7 +1249,7 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(out_rows) AS BIGINT) AS est_join_rows,
            CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
            CAST(MAX(out_rows) AS BIGINT) AS hottest_key_rows,
-           ROUND(MAX(out_rows) / SUM(out_rows), 6) AS hottest_share
+           floor((MAX(out_rows) / SUM(out_rows)) * 1e6 + 0.5) / 1e6 AS hottest_share
     FROM prod
     """,
 )
@@ -1284,7 +1284,7 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("out_rows").alias("est_join_rows"),
         F.count("*").alias("n_matching_keys"),
         F.max("out_rows").alias("hottest_key_rows"),
-        F.round(F.max("out_rows") / F.sum("out_rows"), 6).alias(
+        fround(F.max("out_rows") / F.sum("out_rows"), 6).alias(
             "hottest_share"
         ),
     )
@@ -1308,9 +1308,9 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(ANY_VALUE(d.med), 6) AS med,
-           ROUND(ANY_VALUE(m.mad), 6) AS mad,
-           CAST(SUM(CASE WHEN ROUND(d.absdev - 4.4478 * m.mad, 6) > 0
+           floor((ANY_VALUE(d.med)) * 1e6 + 0.5) / 1e6 AS med,
+           floor((ANY_VALUE(m.mad)) * 1e6 + 0.5) / 1e6 AS mad,
+           CAST(SUM(CASE WHEN floor((d.absdev - 4.4478 * m.mad) * 1e6 + 0.5) / 1e6 > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type
@@ -1345,11 +1345,11 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = dev.join(F.broadcast(mad), "event_type")
     return flagged.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.any_value("med"), 6).alias("med"),
-        F.round(F.any_value("mad"), 6).alias("mad"),
+        fround(F.any_value("med"), 6).alias("med"),
+        fround(F.any_value("mad"), 6).alias("mad"),
         F.sum(
             F.when(
-                F.round(
+                fround(
                     F.col("absdev") - F.lit(4.4478) * F.col("mad"), 6
                 )
                 > 0,

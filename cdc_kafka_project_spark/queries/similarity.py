@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import fround
 from cdc_kafka_project_spark.operators import similarity as sim
 from cdc_kafka_project_spark.registry import query
 
@@ -75,7 +76,7 @@ def _index_dir(sf_dir: str, name: str) -> str:
                SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
         FROM pairs GROUP BY vec_id
     )
-    SELECT vec_id, ROUND(dp / (na * nb), 4) AS cos_sim
+    SELECT vec_id, floor((dp / (na * nb)) * 1e4 + 0.5) / 1e4 AS cos_sim
     FROM dots
     ORDER BY cos_sim DESC, vec_id
     LIMIT {TOP_K}
@@ -94,8 +95,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           ROUND(SQRT(list_sum(list_transform(embedding,
-                 u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))), 4) AS l2_norm
+           floor((SQRT(list_sum(list_transform(embedding,
+                 u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) * 1e4 + 0.5) / 1e4 AS l2_norm
     FROM embeddings
     """,
 )
@@ -187,7 +188,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM a
     )
     SELECT vec_id,
-           ROUND(scale, 8) AS scale,
+           floor((scale) * 1e8 + 0.5) / 1e8 AS scale,
            CAST(list_sum(codes) AS BIGINT) AS code_sum,
            list_min(codes) AS code_min,
            list_max(codes) AS code_max,
@@ -216,8 +217,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
         FROM pairs GROUP BY vec_a, vec_b
     )
-    SELECT vec_a, vec_b, ROUND(dp / (na * nb), 4) AS cos_sim
-    FROM dots WHERE ROUND(dp / (na * nb), 4) >= 0.45
+    SELECT vec_a, vec_b, floor((dp / (na * nb)) * 1e4 + 0.5) / 1e4 AS cos_sim
+    FROM dots WHERE floor((dp / (na * nb)) * 1e4 + 0.5) / 1e4 >= 0.45
     """,
 )
 def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,7 +249,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
     SELECT label, pos,
-           ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_v,
+           floor((CAST(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS VARCHAR) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_v,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM (
         SELECT label, unnest(embedding) AS v,
@@ -333,8 +334,8 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # negative cases are pinned in tests/test_similarity.py.
     oracle="""
     SELECT vec_id,
-           ROUND(SQRT(list_sum(list_transform(embedding,
-                 u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))), 4)
+           floor((SQRT(list_sum(list_transform(embedding,
+                 u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) * 1e4 + 0.5) / 1e4
                AS in_l2_norm,
            TRUE AS dims_ok, TRUE AS norm_contract_ok
     FROM embeddings
@@ -368,7 +369,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return proj.select(
         "vec_id",
-        F.round(l2_norm(to_double_array(F.col("embedding"))), 4).alias(
+        fround(l2_norm(to_double_array(F.col("embedding"))), 4).alias(
             "in_l2_norm"
         ),
         (F.size("pca") == 8).alias("dims_ok"),
@@ -675,7 +676,7 @@ def embedding_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
         FROM pairs GROUP BY vec_id, hamming
     )
-    SELECT vec_id, hamming, ROUND(dp / (na * nb), 4) AS cos_sim
+    SELECT vec_id, hamming, floor((dp / (na * nb)) * 1e4 + 0.5) / 1e4 AS cos_sim
     FROM dots
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
@@ -726,7 +727,7 @@ SEMANTIC_DECON_THRESHOLD = 0.95
         FROM pairs GROUP BY vec_id, ev_id
     ),
     best AS (
-        SELECT vec_id, MAX(ROUND(dp / (na * nb), 4)) AS max_eval_cos
+        SELECT vec_id, MAX(floor((dp / (na * nb)) * 1e4 + 0.5) / 1e4) AS max_eval_cos
         FROM dots GROUP BY vec_id
     )
     SELECT vec_id, max_eval_cos,
@@ -770,7 +771,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .unionByName(injected)
     )
-    cos = F.round(cosine_pd(F.col("embedding"), F.col("ev_emb")), 4)
+    cos = fround(cosine_pd(F.col("embedding"), F.col("ev_emb")), 4)
     best = (
         sim.spread(train)
         .crossJoin(F.broadcast(ev))
@@ -800,8 +801,8 @@ OUTLIERS_PER_LABEL = 5
     ),
     cent AS (
         SELECT label, pos,
-               ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS VARCHAR) AS DOUBLE)
-                     / COUNT(*), 6) AS c
+               floor((CAST(CAST(SUM(CAST(v AS DECIMAL(25,9))) AS VARCHAR) AS DOUBLE)
+                     / COUNT(*)) * 1e6 + 0.5) / 1e6 AS c
         FROM pe GROUP BY label, pos
     ),
     dots AS (

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table, register_views
+from cdc_kafka_project_spark.functions import fround
 from cdc_kafka_project_spark.operators import text as text_ops
 from cdc_kafka_project_spark.registry import query
 
@@ -168,7 +169,7 @@ _STOPS_SQL = ", ".join(f"'{w}'" for w in _ALL_STOPS)
                 WHEN stop_hits / CAST(n_tok AS DOUBLE) < 0.02
                     THEN 'low_stopword_ratio'
            END AS reason,
-           ROUND(CASE WHEN n_tok > 0 THEN stop_hits / CAST(n_tok AS DOUBLE) END, 6)
+           floor((CASE WHEN n_tok > 0 THEN stop_hits / CAST(n_tok AS DOUBLE) END) * 1e6 + 0.5) / 1e6
                AS stopword_ratio
     FROM t
     """,
@@ -330,11 +331,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT doc_id, word, tf, df, score FROM (
         SELECT t.doc_id, t.word, t.tf, d.df,
-               ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS score,
+               floor((t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) * 1e6 + 0.5) / 1e6 AS score,
                row_number() OVER (
                    PARTITION BY t.doc_id
-                   ORDER BY ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)),
-                                  6) DESC,
+                   ORDER BY floor((t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) * 1e6 + 0.5) / 1e6 DESC,
                             t.word
                ) AS rn
         FROM tf t JOIN dfq d USING (word) CROSS JOIN n
@@ -524,7 +524,7 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vocab
     ), scored AS (
         SELECT tf.doc_id, tf.tf,
-               CAST(ROUND(ln((vocab.c + 1.0) / (tot.n + tot.v)), 6)
+               CAST(floor((ln((vocab.c + 1.0) / (tot.n + tot.v))) * 1e6 + 0.5) / 1e6
                     AS DECIMAL(25,6)) AS logp
         FROM tf JOIN vocab USING (word) CROSS JOIN tot
     )
@@ -566,7 +566,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(
         F.sum("c").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
-    logp = F.round(
+    logp = fround(
         F.log((F.col("c") + F.lit(1.0)) / (F.col("__n") + F.col("__v"))), 6
     ).cast("decimal(25,6)")
     scored = (
@@ -1162,7 +1162,7 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT d.doc_id, d.tf,
-               CAST(ROUND(ln((bigram_c.c12 + 1.0) / (unigram_c.c1 + vocab.v)), 6)
+               CAST(floor((ln((bigram_c.c12 + 1.0) / (unigram_c.c1 + vocab.v))) * 1e6 + 0.5) / 1e6
                     AS DECIMAL(25,6)) AS logp
         FROM doc_bg d
         JOIN bigram_c USING (w1, w2) JOIN unigram_c USING (w1)
@@ -1220,7 +1220,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram_c = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).persist()
     unigram_c = bigram_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = bigram_c.agg(F.countDistinct("w2").alias("v"))
-    logp = F.round(
+    logp = fround(
         F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
     ).cast("decimal(25,6)")
     scored = (
@@ -1321,20 +1321,20 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     model AS (
         SELECT word,
-               CAST(ROUND(ln((SUM(CASE WHEN keep THEN 1 ELSE 0 END) + 1.0)
+               CAST(floor((ln((SUM(CASE WHEN keep THEN 1 ELSE 0 END) + 1.0)
                              / (ANY_VALUE(n.n_keep) + 2.0))
                           - ln((SUM(CASE WHEN keep THEN 0 ELSE 1 END) + 1.0)
-                               / (ANY_VALUE(n.n_drop) + 2.0)), 6)
+                               / (ANY_VALUE(n.n_drop) + 2.0))) * 1e6 + 0.5) / 1e6
                     AS DECIMAL(25,6)) AS llr
         FROM dtok CROSS JOIN n GROUP BY word
     )
     SELECT dtok.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_terms,
            CAST(CAST(SUM(model.llr)
-                + ANY_VALUE(CAST(ROUND(ln((n.n_keep + 1.0) / (n.n_drop + 1.0)), 6)
+                + ANY_VALUE(CAST(floor((ln((n.n_keep + 1.0) / (n.n_drop + 1.0))) * 1e6 + 0.5) / 1e6
                                  AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS nb_score,
            (SUM(model.llr)
-            + ANY_VALUE(CAST(ROUND(ln((n.n_keep + 1.0) / (n.n_drop + 1.0)), 6)
+            + ANY_VALUE(CAST(floor((ln((n.n_keep + 1.0) / (n.n_drop + 1.0))) * 1e6 + 0.5) / 1e6
                              AS DECIMAL(25,6)))) > 0 AS pred_keep,
            ANY_VALUE(dtok.keep) AS teacher_keep
     FROM dtok JOIN model USING (word) CROSS JOIN n
@@ -1380,7 +1380,7 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("keep").cast("int")).alias("df_keep"),
         F.sum((~F.col("keep")).cast("int")).alias("df_drop"),
     )
-    llr = F.round(
+    llr = fround(
         F.log((F.col("df_keep") + F.lit(1.0)) / (F.col("n_keep") + F.lit(2.0)))
         - F.log(
             (F.col("df_drop") + F.lit(1.0)) / (F.col("n_drop") + F.lit(2.0))
@@ -1392,7 +1392,7 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", llr.alias("llr"))
         .persist()
     )
-    prior = F.round(
+    prior = fround(
         F.log((F.col("n_keep") + F.lit(1.0)) / (F.col("n_drop") + F.lit(1.0))),
         6,
     ).cast("decimal(25,6)")
@@ -1694,8 +1694,8 @@ ZIPF_TOP_N = 200
         SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r FROM freq
     ),
     xy AS (
-        SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(25,6)) AS x,
-               CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(25,6)) AS y
+        SELECT CAST(floor((ln(CAST(r AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS x,
+               CAST(floor((ln(CAST(c AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS y
         FROM ranked
     ),
     s AS (
@@ -1744,8 +1744,8 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(25,6)"
     xy = ranked.select(
-        F.round(F.log(F.col("r").cast("double")), 6).cast(dec).alias("x"),
-        F.round(F.log(F.col("c").cast("double")), 6).cast(dec).alias("y"),
+        fround(F.log(F.col("r").cast("double")), 6).cast(dec).alias("x"),
+        fround(F.log(F.col("c").cast("double")), 6).cast(dec).alias("y"),
     )
     s = xy.agg(
         F.count(F.lit(1)).alias("n"),
