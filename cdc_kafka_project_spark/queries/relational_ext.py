@@ -354,7 +354,11 @@ def q12_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_share",
     oracle="""
-    SELECT CAST(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    -- 100.0 multiplies AFTER the varchar-routed decimal->double cast
+    -- (100.0 * SUM(decimal) would convert via DuckDB's double-rounding
+    -- decimal->double path before the wrap), mirroring the Spark side:
+    -- lit(100.0) * sum(promo).cast(double) / sum(rev).cast(double)
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                    THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))
                    ELSE CAST(0 AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE)
            / CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
