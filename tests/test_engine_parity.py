@@ -135,6 +135,39 @@ def test_revenue_dec_matches_oracle_expression(spark):
     assert got6 == want6
 
 
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_money_columns_are_2dp_at_every_sf(sf_dir):
+    """The exact-decimal money pipeline (functions.revenue_dec et al.)
+    is engine-unambiguous ONLY because the inputs are 2dp-valued: a 2dp
+    double is ~1e-13 from its decimal value, far inside the 5e-3
+    rounding half-step, so Spark's repr-reading cast and DuckDB's
+    binary-rounding cast agree. A future generation with >2dp money
+    would reopen the divergence — fail here, before the driver gate."""
+    con = duckdb.connect()
+    for tbl, cols in [
+        ("lineitem", ["l_extendedprice", "l_discount", "l_tax"]),
+        ("orders", ["o_totalprice"]),
+        ("customer", ["c_acctbal"]),
+        ("events", ["value"]),
+    ]:
+        for c in cols:
+            (n,) = con.execute(
+                f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+                f" WHERE {c} <> ROUND({c}, 2)"
+            ).fetchone()
+            assert n == 0, f"{sf_dir}/{tbl}.{c}: {n} non-2dp rows"
+    # q17's AVG(l_quantity) is order-independent only because the
+    # quantities are integral (exact double sums)
+    (n,) = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        " WHERE l_quantity <> FLOOR(l_quantity)"
+    ).fetchone()
+    assert n == 0, f"{sf_dir}: {n} non-integral quantities"
+
+
 def _source_files():
     for sub in ("queries", "operators", "streaming", "functions"):
         yield from (PKG / sub).glob("*.py")
