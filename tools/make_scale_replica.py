@@ -22,11 +22,14 @@ Replica design (deterministic, no RNG):
   near-dup threshold; no byte-identical pairs), so dedup tiers see a
   10x corpus, not a pathological 10-clique per document. n_chars is
   recomputed.
-* ``embeddings.embedding``: replica i > 0 flips the sign of every
-  dimension j with (j + i) % 7 == 0 — norms preserved, cosine to the
-  source ~0.71 (well under the 0.95 near-dup threshold), replicas
-  mutually distinct. The similarity tiers get a 10x corpus of
-  honest vectors.
+* ``embeddings.embedding``: replica i > 0 flips the sign of a DENSE
+  pseudorandom half of the dimensions (``xxhash64(dim, i)`` parity) —
+  norms preserved, replica-vs-source and replica-vs-replica cosines
+  concentrate near 0 with a ~5-sigma gap to the 0.95 near-dup bar
+  (measured: 0 same-source pairs >= 0.95, max 0.766 at 10x). Sparse
+  masks fail in the tail — see LOCAL_SCALE_r08.md "replica v2" for
+  the two designs this replaced and the measurements that killed
+  them. The similarity tiers get a Kx corpus of honest vectors.
 * ``events``: ids shift; timestamps keep their range (a 10x-denser
   stream over the same window — the realistic scale-up for
   sessionization and watermarks).
