@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
-from cdc_kafka_project_spark.functions import revenue_dec
+from cdc_kafka_project_spark.functions import REVENUE_DEC_SQL, revenue_dec
 from cdc_kafka_project_spark.operators import cdc
 from cdc_kafka_project_spark.registry import query
 
@@ -595,10 +595,10 @@ IVM_WATERMARK = "2001-10-01 00:00:00"
 
 @query(
     "ivm_join_delta_revenue",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey AS orderkey, o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))
+           CAST(CAST(SUM(CAST({REVENUE_DEC_SQL}
                          AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1, 2

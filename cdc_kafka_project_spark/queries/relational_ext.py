@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
 from cdc_kafka_project_spark.functions import (
+    DISCOUNT_AMOUNT_DEC_SQL,
+    REVENUE_DEC_SQL,
     davg,
     discount_amount_dec,
     dsum,
@@ -44,8 +46,8 @@ def _dec(col) -> F.Column:
 
 @query(
     "q6_revenue_delta",
-    oracle="""
-    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    oracle=f"""
+    SELECT CAST(CAST(SUM(CAST({DISCOUNT_AMOUNT_DEC_SQL} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
@@ -247,10 +249,10 @@ def q2_min_price_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q15_top_suppliers",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
         SELECT l_suppkey,
-               SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6)))
+               SUM(CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6)))
                AS total_rev
         FROM lineitem GROUP BY l_suppkey
     )
@@ -353,15 +355,15 @@ def q12_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_share",
-    oracle="""
+    oracle=f"""
     -- 100.0 multiplies AFTER the varchar-routed decimal->double cast
     -- (100.0 * SUM(decimal) would convert via DuckDB's double-rounding
     -- decimal->double path before the wrap), mirroring the Spark side:
     -- lit(100.0) * sum(promo).cast(double) / sum(rev).cast(double)
     SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
-                   THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))
+                   THEN CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6))
                    ELSE CAST(0 AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE)
-           / CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
+           / CAST(CAST(SUM(CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -419,8 +421,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q19_disjunctive_pred",
-    oracle="""
-    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    oracle=f"""
+    SELECT CAST(CAST(SUM(CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -753,9 +755,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q10_returned_revenue",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN orders ON o_custkey = c_custkey
@@ -792,13 +794,13 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q7_nation_volume",
-    oracle="""
+    oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
            CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
+               {REVENUE_DEC_SQL} AS volume
         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
                       JOIN orders ON o_orderkey = l_orderkey
                       JOIN customer ON c_custkey = o_custkey
@@ -905,14 +907,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
            CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
                          THEN CAST(volume AS DECIMAL(25,6)) ELSE 0 END) AS VARCHAR) AS DOUBLE)
            / CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+               {REVENUE_DEC_SQL} AS volume,
                n2.n_name AS supp_nation
         FROM part JOIN lineitem ON p_partkey = l_partkey
              JOIN orders ON o_orderkey = l_orderkey
@@ -969,9 +971,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q9_product_profit",
-    oracle="""
+    oracle=f"""
     SELECT nation, o_year,
-           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS profit
+           CAST(CAST(SUM(CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS profit
     FROM part JOIN lineitem ON p_partkey = l_partkey
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN orders ON o_orderkey = l_orderkey
@@ -1011,13 +1013,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q11_part_value_share",
-    oracle="""
+    oracle=f"""
     SELECT l_partkey,
-           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS value
+           CAST(CAST(SUM(CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) >
-      (SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))
+    HAVING CAST(CAST(SUM(CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) >
+      (SELECT CAST(CAST(SUM(CAST({REVENUE_DEC_SQL}
                             AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) * 0.0006
        FROM lineitem)
     """,

@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
-from cdc_kafka_project_spark.functions import dsum, revenue_dec
+from cdc_kafka_project_spark.functions import (
+    REVENUE_DEC_SQL,
+    dsum,
+    revenue_dec,
+)
 from cdc_kafka_project_spark.operators.bloom import bloom_semi_join
 from cdc_kafka_project_spark.registry import query
 
@@ -576,9 +580,9 @@ def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bloom_semi_join_revenue",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST({REVENUE_DEC_SQL} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                          WHERE o_orderpriority = '1-URGENT')
