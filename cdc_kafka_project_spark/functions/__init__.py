@@ -73,10 +73,22 @@ def fround(col: Column | str, scale: int = 0) -> Column:
     oracle twins use ``floor((x) * 1eS + 0.5) / 1eS``. Meaningful for
     \\|x\\|*10^s below 2^53 (all current uses are far below); ties round
     toward +inf on both engines.
+
+    Non-finite inputs pass through untouched: Spark's ``F.floor`` on
+    double returns LongType (NaN -> 0, +/-Inf -> Long.MAX/MIN) while
+    DuckDB's floor keeps them as doubles, so without the guard a NaN
+    (e.g. a zero-norm cosine) would silently become a plausible 0.0 on
+    the Spark side only.
     """
     c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**scale))
-    return F.floor(c * p + F.lit(0.5)) / p
+    nonfinite = (
+        c.isNull()
+        | F.isnan(c)
+        | (c == F.lit(float("inf")))
+        | (c == F.lit(float("-inf")))
+    )
+    return F.when(nonfinite, c).otherwise(F.floor(c * p + F.lit(0.5)) / p)
 
 
 def dec2(col: Column | str) -> Column:
@@ -93,11 +105,21 @@ def dec2(col: Column | str) -> Column:
     return c.cast("decimal(12,2)")
 
 
-#: DuckDB oracle twin of :func:`revenue_dec` — keep in sync.
-REVENUE_DEC_SQL = (
-    "(CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2))))"
-)
+def revenue_dec_sql(prefix: str = "") -> str:
+    """DuckDB oracle twin of :func:`revenue_dec` — keep in sync.
+
+    ``prefix`` is a table-alias prefix (e.g. ``"l."``) for oracles that
+    join lineitem under an alias; there is exactly one source of truth
+    for the exact-decimal revenue recipe.
+    """
+    return (
+        f"(CAST({prefix}l_extendedprice AS DECIMAL(12,2))"
+        f" * (CAST(1 AS DECIMAL(1,0)) - CAST({prefix}l_discount AS DECIMAL(4,2))))"
+    )
+
+
+#: Unaliased form of :func:`revenue_dec_sql`.
+REVENUE_DEC_SQL = revenue_dec_sql()
 
 #: DuckDB oracle twin of :func:`charge_dec` — keep in sync.
 CHARGE_DEC_SQL = (

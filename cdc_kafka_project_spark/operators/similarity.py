@@ -1424,7 +1424,11 @@ def quantize_int8_stats_arrow(embeddings: DataFrame) -> DataFrame:
                 codes = np.clip(
                     np.floor(x / safe + 0.5), -127.0, 127.0
                 ).astype(np.int64)
-                out_scale.append(round(scale, 8))
+                # floor-form half-up, bit-identical to the JVM twin's
+                # fround(scale, 8) (Python round() is half-even over the
+                # exact binary value — a different rounding on boundary
+                # straddles).
+                out_scale.append(np.floor(scale * 1e8 + 0.5) / 1e8)
                 out_sum.append(int(codes.sum()))
                 out_min.append(int(codes.min()) if codes.size else None)
                 out_max.append(int(codes.max()) if codes.size else None)

@@ -429,14 +429,11 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     trunc = F.slice(F.col("embedding"), 1, 16)
     cf = cosine_pd(F.col("embedding"), q_full)
     ct = cosine_pd(trunc, q_t)
-    def fr4(c):
-        return F.floor(c * 1e4 + F.lit(0.5)) / 1e4
-
     return emb.select(
         "vec_id",
-        fr4(cf).alias("cos_full"),
-        fr4(ct).alias("cos_trunc16"),
-        fr4(F.abs(cf - ct)).alias("fidelity_gap"),
+        fround(cf, 4).alias("cos_full"),
+        fround(ct, 4).alias("cos_trunc16"),
+        fround(F.abs(cf - ct), 4).alias("fidelity_gap"),
     )
 
 

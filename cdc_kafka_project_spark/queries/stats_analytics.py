@@ -27,6 +27,7 @@ from cdc_kafka_project_spark.functions import (
     REVENUE_DEC_SQL,
     dsum,
     revenue_dec,
+    revenue_dec_sql,
 )
 from cdc_kafka_project_spark.operators.bloom import bloom_semi_join
 from cdc_kafka_project_spark.registry import query
@@ -1658,10 +1659,10 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "supplier_hhi_by_nation",
-    oracle="""
+    oracle=f"""
     WITH sr AS (
         SELECT s.s_nationkey AS nationkey, l.l_suppkey,
-               CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l.l_discount AS DECIMAL(4,2)))
+               CAST(CAST(SUM(CAST({revenue_dec_sql("l.")}
                              AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS rev
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2

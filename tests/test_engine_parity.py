@@ -91,6 +91,45 @@ def test_fround_matches_duckdb_floor_form(spark):
     assert got == want
 
 
+def test_fround_nonfinite_passthrough(spark):
+    """NaN/Inf/NULL pass through fround untouched — Spark's F.floor on
+    double returns LongType (NaN -> 0, +/-Inf -> Long.MAX/MIN) while
+    DuckDB's floor keeps them as doubles; the when-guard keeps the two
+    engines agreeing and stops a NaN (e.g. a zero-norm cosine) from
+    silently becoming a plausible 0.0."""
+    import math
+
+    from cdc_kafka_project_spark.functions import fround
+
+    sdf = spark.createDataFrame(
+        [
+            (1, float("nan")),
+            (2, float("inf")),
+            (3, float("-inf")),
+            (4, None),
+            (5, 1.23456),
+        ],
+        "id long, x double",
+    )
+    got = {
+        r.id: r.y
+        for r in sdf.select("id", fround(F.col("x"), 2).alias("y")).collect()
+    }
+    assert math.isnan(got[1])
+    assert got[2] == float("inf")
+    assert got[3] == float("-inf")
+    assert got[4] is None
+    assert got[5] == pytest.approx(1.23)
+    # DuckDB's floor form makes the same choices
+    con = duckdb.connect()
+    dd = con.execute(
+        "SELECT floor(CAST('NaN' AS DOUBLE) * 1e2 + 0.5) / 1e2,"
+        " floor(CAST('Infinity' AS DOUBLE) * 1e2 + 0.5) / 1e2,"
+        " floor(CAST(NULL AS DOUBLE) * 1e2 + 0.5) / 1e2"
+    ).fetchone()
+    assert math.isnan(dd[0]) and dd[1] == float("inf") and dd[2] is None
+
+
 def test_revenue_dec_matches_oracle_expression(spark):
     # per-row parity of the exact-decimal revenue/charge expressions vs
     # the oracle SQL fragments, on 2dp fixtures INCLUDING values whose
@@ -184,33 +223,65 @@ def test_no_f_round_anywhere():
     assert hits == [], f"F.round reintroduced (use functions.fround): {hits}"
 
 
+def _unrouted_decimal_sum_casts(src: str) -> list[int]:
+    """Line numbers of CAST(SUM(..decimal..) ...) expressions cast to
+    DOUBLE without the VARCHAR route. Two offender shapes: the direct
+    CAST(SUM(..dec..) AS DOUBLE) carries AS DOUBLE inside the matched
+    cast; the nested CAST(CAST(SUM(..) AS DECIMAL) AS DOUBLE) puts it
+    just after it."""
+    pat = re.compile(r"CAST\(\s*SUM\(", re.IGNORECASE)
+    offenders = []
+    for m in pat.finditer(src):
+        j = m.start()
+        k = j + src[j:].index("(") + 1
+        depth = 1
+        while depth:
+            if src[k] == "(":
+                depth += 1
+            elif src[k] == ")":
+                depth -= 1
+            k += 1
+        inner = src[j:k]
+        tail = src[k : k + 40]
+        routed = re.search(r"AS\s+(VARCHAR|STRING)\s*\)\s*$", inner)
+        double_inside = re.search(r"AS\s+DOUBLE\s*\)\s*$", inner)
+        double_after = re.match(r"\s*AS\s+DOUBLE", tail)
+        if (
+            not routed
+            and (double_inside or double_after)
+            and "DECIMAL" in inner
+        ):
+            offenders.append(src[:j].count(chr(10)) + 1)
+    return offenders
+
+
+def test_unrouted_cast_guard_catches_both_offender_shapes():
+    """Self-test of the guard's matcher: both bad shapes flagged, the
+    VARCHAR-routed shape not (a vacuous guard is worse than none)."""
+    direct = "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+    nested = (
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DECIMAL(25,6))"
+        " AS DOUBLE)"
+    )
+    routed = (
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR)"
+        " AS DOUBLE)"
+    )
+    assert _unrouted_decimal_sum_casts(direct) == [1]
+    assert _unrouted_decimal_sum_casts(nested) == [1]
+    assert _unrouted_decimal_sum_casts(routed) == []
+
+
 def test_no_unrouted_decimal_sum_casts_in_oracles():
     """Every CAST(<SUM-containing decimal expr> AS DOUBLE) in oracle
     SQL must route through VARCHAR (DuckDB's direct cast double-rounds
     past 2^53 scaled units)."""
-    pat = re.compile(r"CAST\(\s*SUM\(", re.IGNORECASE)
     offenders = []
     for p in (PKG / "queries").glob("*.py"):
-        src = p.read_text()
-        for m in pat.finditer(src):
-            j = m.start()
-            k = j + src[j:].index("(") + 1
-            depth = 1
-            while depth:
-                if src[k] == "(":
-                    depth += 1
-                elif src[k] == ")":
-                    depth -= 1
-                k += 1
-            inner = src[j:k]
-            tail = src[k : k + 40]
-            routed = re.search(r"AS\s+(VARCHAR|STRING)\s*\)\s*$", inner)
-            if (
-                not routed
-                and re.match(r"\s*AS\s+DOUBLE", tail)
-                and "DECIMAL" in inner
-            ):
-                offenders.append(f"{p.name}:{src[:j].count(chr(10)) + 1}")
+        offenders += [
+            f"{p.name}:{ln}"
+            for ln in _unrouted_decimal_sum_casts(p.read_text())
+        ]
     assert offenders == [], (
         "direct CAST(SUM(decimal) AS DOUBLE) in oracle SQL — route "
         f"through VARCHAR (see functions.dsum docstring): {offenders}"

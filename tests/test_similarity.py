@@ -682,6 +682,29 @@ def test_quantize_int8_arrow_twin_bit_parity(spark):
     assert jvm == arrow
 
 
+def test_quantize_int8_arrow_twin_parity_on_rounding_boundary(spark):
+    """Bit parity on a CONSTRUCTED boundary straddle, not just organic
+    data: absmax 3.1749999999999997e-06 makes scale exactly 2.5e-8
+    after the /127 divide, where Python's half-even round() gives
+    2e-8 but the shared floor form gives 3e-8 — the exact divergence
+    class that would split the twins if either side regressed to
+    round()/F.round."""
+    boundary = [
+        (1, [3.1749999999999997e-06, -1e-07, 0.0]),
+        (2, [5.7149999999999995e-06, 2e-06, -5.7149999999999995e-06]),
+        (3, [0.5, -0.25, 0.125]),  # ordinary vector as control
+    ]
+    df = spark.createDataFrame(boundary, "vec_id long, embedding array<double>")
+    jvm = {r["vec_id"]: tuple(r)[1:] for r in sim.quantize_int8_stats(df).collect()}
+    arrow = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in sim.quantize_int8_stats_arrow(df).collect()
+    }
+    assert jvm == arrow
+    # and the straddle really is a straddle: half-even round() disagrees
+    assert round(3.1749999999999997e-06 / 127.0, 8) != jvm[1][0]
+
+
 def test_label_outliers_flag_bottom_five(spark):
     from cdc_kafka_project_spark.queries.similarity import (
         OUTLIERS_PER_LABEL,

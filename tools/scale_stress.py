@@ -82,7 +82,6 @@ def main() -> int:
         " plan shape base -> big |",
         "|---|---|---|---|---|---|---|",
     ]
-    results = []
     for name in STRESS_QUERIES:
         fn = queries[name]
         # untimed warmup on BOTH sides (symmetric protocol): builds
@@ -115,7 +114,6 @@ def main() -> int:
             f" {ratio:.1f}x | {rows_b} | {mark}: {shape(ps)} ->"
             f" {shape(pb)} |"
         )
-        results.append((name, med_s, med_b, ratio, mark))
         print(
             f"{name}: base {med_s:.2f}s  big {med_b:.2f}s (min {mn_b:.2f},"
             f" warmup {warm:.1f})  x{ratio:.1f}  plans {mark}",
