@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.functions import spread
 from cdc_kafka_project_spark.operators import dedup as dd
 from cdc_kafka_project_spark.operators import text as text_ops
 from cdc_kafka_project_spark.queries.dedup import _DECON_N, _DECON_SETUP
@@ -130,11 +131,17 @@ def build_curation_pipeline(
         return df.observe(obs[stage], F.count(F.lit(1)).alias("rows"))
 
     docs = _t(spark, sf_dir, "documents")
-    train = tap(docs.filter(F.col("doc_id") % 97 != 0), "input")
+    train = tap(spread(docs).filter(F.col("doc_id") % 97 != 0), "input")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
 
-    keep_ids = text_ops.quality_filter(train).filter(F.col("keep")).select("doc_id")
-    q = tap(train.join(keep_ids, "doc_id"), "quality_gate")
+    # The gate is the predicate itself (quality_reason_expr), fused
+    # into the corpus scan — same move as the streaming twin
+    # (streaming/curation.py). The earlier join-back against
+    # quality_filter's doc_id list re-scanned the corpus and became a
+    # full sort-merge self-join once the keep list outgrew the
+    # broadcast threshold (observed live at the 100x replica).
+    reason, _ = text_ops.quality_reason_expr("text")
+    q = tap(train.filter(reason.isNull()), "quality_gate")
 
     w = Window.partitionBy(
         F.md5(dd.normalize_for_dedup(F.col("text")))
