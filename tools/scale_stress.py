@@ -7,6 +7,7 @@ the dim side, a quadratic tier exploding, an OOM) that the
 sf0.1 -> 100 TB extrapolation would paper over.
 
     python tools/scale_stress.py BIG_SF_DIR [BASE_SF_DIR] [--out FILE]
+        [--only QUERY ...]
 
 Protocol mirrors bench.py: materialized-index builds are an untimed
 warmup pass (first run discarded), then each query is timed
@@ -52,7 +53,7 @@ def main() -> int:
     if len(sys.argv) < 2 or not os.path.isdir(sys.argv[1]):
         print(
             "usage: python tools/scale_stress.py BIG_SF_DIR [BASE_SF_DIR]"
-            " [--out FILE]"
+            " [--out FILE] [--only QUERY ...]"
         )
         return 2
     big = sys.argv[1]
@@ -68,6 +69,14 @@ def main() -> int:
             print("error: --out requires a file argument")
             return 2
         out_path = sys.argv[i + 1]
+    stress_queries = STRESS_QUERIES
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        names = [a for a in sys.argv[i + 1 :] if not a.startswith("--")]
+        if not names:
+            print("error: --only requires at least one query name")
+            return 2
+        stress_queries = names
 
     from cdc_kafka_project_spark.plans import plan_summary
     from cdc_kafka_project_spark.registry import all_queries
@@ -76,13 +85,17 @@ def main() -> int:
     spark = get_spark("scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    unknown = [n for n in stress_queries if n not in queries]
+    if unknown:
+        print(f"error: unknown query name(s): {', '.join(unknown)}")
+        return 2
 
     lines = [
         "| query | base_s | big_med_s | big_min_s | ratio | rows(big) |"
         " plan shape base -> big |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name in STRESS_QUERIES:
+    for name in stress_queries:
         fn = queries[name]
         # untimed warmup on BOTH sides (symmetric protocol): builds
         # materialized indexes/models (bench.py's cold-build exclusion)
