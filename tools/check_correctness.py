@@ -94,6 +94,15 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # ~10 registered queries persist() intermediates (vocab /
+            # bigram counts / CC edges) and nothing here unpersists
+            # them — across a couple hundred queries the accumulated
+            # blocks overflowed the 16g driver heap at the 100x
+            # replica (dedup_ngram_jaccard OOMed ~26 queries in).
+            # One cache per query, then gone — matches how the driver
+            # gate runs each query in isolation.
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
