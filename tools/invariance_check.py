@@ -154,6 +154,11 @@ def main() -> int:
                 out[name] = _digest(qs[name](spark, sf_dir).toPandas())
             except Exception as e:  # noqa: BLE001 — audit must finish
                 out[name] = f"ERROR: {type(e).__name__}: {str(e)[:120]}"
+            finally:
+                # persisted intermediates accumulate across a full-
+                # registry session and overflow the heap at replica
+                # scale (see check_correctness.py) — drop per query
+                spark.catalog.clearCache()
             print(
                 f"# pass[{cfg['shuffle']}p] {name}: {time.time()-t0:.1f}s",
                 file=sys.stderr,
