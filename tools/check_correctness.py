@@ -61,10 +61,61 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     if not os.path.isdir(sf_dir):
-        print(f"usage: python {sys.argv[0]} [sf_dir] [query ...]")
+        print(f"usage: python {sys.argv[0]} [sf_dir] [query ...] [--chunk N]")
         print(f"error: sf_dir is not a directory: {sf_dir!r}")
         return 2
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    chunk = 0
+    if "--chunk" in args:
+        i = args.index("--chunk")
+        try:
+            chunk = int(args[i + 1])
+        except (IndexError, ValueError):
+            print("error: --chunk requires an integer")
+            return 2
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+
+    if chunk > 0:
+        # replica-scale sweeps: a single long-lived session dies even
+        # with per-query clearCache — collect buffers and py4j-pinned
+        # broadcast blocks accumulate until the fixed driver heap OOMs
+        # (observed twice at the 100x replica, ~26 queries in each
+        # time). Run the list in fresh subprocesses of `chunk` names
+        # so accumulation is bounded and a JVM death costs one chunk.
+        import subprocess
+
+        from cdc_kafka_project_spark.registry import all_queries
+
+        names = [n for n in all_queries() if not only or n in only]
+        totals = [0, 0, 0]
+        for lo in range(0, len(names), chunk):
+            batch = names[lo : lo + chunk]
+            proc = subprocess.run(
+                [sys.executable, sys.argv[0], sf_dir, *batch],
+                capture_output=True,
+                text=True,
+            )
+            out = proc.stdout
+            sys.stdout.write(
+                "".join(
+                    ln + "\n"
+                    for ln in out.splitlines()
+                    if ln.startswith(("PASS", "FAIL", "rows "))
+                )
+            )
+            sys.stdout.flush()
+            tail = [ln for ln in out.splitlines() if ln.endswith("rows-only")]
+            if tail:
+                p, f, r = (int(x) for x in tail[-1].split() if x.isdigit())
+                totals[0] += p
+                totals[1] += f
+                totals[2] += r
+            else:
+                print(f"FAIL  chunk {lo//chunk}: no summary (rc {proc.returncode})")
+                totals[1] += len(batch)
+        print(f"\n{totals[0]} pass, {totals[1]} fail, {totals[2]} rows-only")
+        return 1 if totals[1] else 0
 
     import duckdb
 
