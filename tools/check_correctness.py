@@ -125,6 +125,13 @@ def main() -> int:
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
+    # DuckDB's default memory_limit is ~80% of host RAM; alongside a
+    # multi-GB Spark JVM that invites the kernel OOM killer on
+    # replica-scale oracles (chunk kills observed at the 100x replica
+    # on the shingle-join oracles). Cap it and let DuckDB spill.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SWEEP_DUCKDB_MEM', '24GB')}'"
+    )
     for t in TESTDATA_TABLES:
         # driver testdata ships flat files; Spark-written replicas
         # (tools/make_scale_replica.py) are part-file directories
