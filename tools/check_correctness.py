@@ -112,8 +112,19 @@ def main() -> int:
                 totals[1] += f
                 totals[2] += r
             else:
-                print(f"FAIL  chunk {lo//chunk}: no summary (rc {proc.returncode})")
-                totals[1] += len(batch)
+                # chunk process died mid-run (e.g. kernel OOM kill):
+                # credit the per-query lines it DID flush, fail the rest
+                lines = out.splitlines()
+                p = sum(ln.startswith("PASS") for ln in lines)
+                f = sum(ln.startswith("FAIL") for ln in lines)
+                r = sum(ln.startswith("rows ") for ln in lines)
+                print(
+                    f"FAIL  chunk {lo//chunk}: died after"
+                    f" {p + f + r}/{len(batch)} queries (rc {proc.returncode})"
+                )
+                totals[0] += p
+                totals[1] += f + (len(batch) - p - f - r)
+                totals[2] += r
         print(f"\n{totals[0]} pass, {totals[1]} fail, {totals[2]} rows-only")
         return 1 if totals[1] else 0
 
