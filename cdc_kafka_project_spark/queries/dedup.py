@@ -92,12 +92,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("est_jaccard") >= 0.2)
 
 
-#: doc_id offset for dedup_simhash_pairs' fixture-injected copies —
-#: far above any organic doc_id at every driver sf (same constant as
-#: the MinHash index probe's injection tier). Safe even for re-keyed
-#: replica corpora: the pairs membership is computed relationally on
-#: BOTH sides (text-equality joins), never by id-range classification.
-SIMHASH_DUP_OFFSET = 10_000_000
+#: dedup_simhash_pairs' fixture-injected copies carry NEGATIVE ids
+#: (-doc_id - 1), the same scheme dedup_simhash uses: organic doc_ids
+#: are non-negative at every sf and in any re-keyed replica, so the
+#: injected key space can never collide with organic ids (a fixed
+#: additive offset could — e.g. a corpus with organic ids in
+#: [1e7, 2e7) would make the union carry duplicate ids and let the
+#: text-equality verify attach the wrong row's text).
 N_SIMHASH_DUPS = 5
 
 
@@ -195,7 +196,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus AS (
         SELECT doc_id, text FROM docs
         UNION ALL
-        SELECT doc_id + {SIMHASH_DUP_OFFSET}, text FROM src
+        SELECT -doc_id - 1, text FROM src
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
     FROM corpus a JOIN corpus b
@@ -218,10 +219,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected = (
         docs.orderBy("doc_id")
         .limit(N_SIMHASH_DUPS)
-        .select(
-            (F.col("doc_id") + F.lit(SIMHASH_DUP_OFFSET)).alias("doc_id"),
-            "text",
-        )
+        .select((-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text")
     )
     full = docs.unionByName(injected)
     fps = dd.simhash(full)

@@ -434,7 +434,6 @@ def test_simhash_pairs_exact_twin_membership(spark):
     from tests.conftest import SF_SMOKE
     from cdc_kafka_project_spark.queries.dedup import (
         N_SIMHASH_DUPS,
-        SIMHASH_DUP_OFFSET,
         _docs,
         dedup_simhash_pairs,
     )
@@ -445,7 +444,9 @@ def test_simhash_pairs_exact_twin_membership(spark):
     by_id = {r.doc_id: r.text for r in rows}
     full = dict(by_id)
     for i in first:
-        full[i + SIMHASH_DUP_OFFSET] = by_id[i]
+        # copies carry negative ids (-doc_id - 1) so the injected key
+        # space can never collide with organic ids in any corpus
+        full[-i - 1] = by_id[i]
     expected = {
         (a, b, 0)
         for a in full
@@ -457,7 +458,7 @@ def test_simhash_pairs_exact_twin_membership(spark):
         for r in dedup_simhash_pairs(spark, SF_SMOKE).collect()
     }
     assert got == expected
-    assert {(i, i + SIMHASH_DUP_OFFSET, 0) for i in first} <= got
+    assert {(-i - 1, i, 0) for i in first} <= got
 
 
 def test_dedup_simhash_flag_catches_impure_signature(spark, monkeypatch):

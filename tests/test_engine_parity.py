@@ -286,3 +286,23 @@ def test_no_unrouted_decimal_sum_casts_in_oracles():
         "direct CAST(SUM(decimal) AS DOUBLE) in oracle SQL — route "
         f"through VARCHAR (see functions.dsum docstring): {offenders}"
     )
+
+
+def test_no_unrouted_decimal_sum_casts_in_registered_oracles():
+    """Registry-level twin of the source scan (round-8 advice): lint
+    the ASSEMBLED oracle strings from all_oracles(), so an offender
+    built by f-string interpolation (e.g. a shared *_SQL constant or a
+    computed fragment) cannot slip past the file-level grep. The
+    divergence this guards is invisible at driver scale — it appears
+    only past ~9e9 scaled units, where bisecting is expensive."""
+    from cdc_kafka_project_spark.registry import all_oracles
+
+    offenders = [
+        name
+        for name, sql in all_oracles().items()
+        if _unrouted_decimal_sum_casts(sql)
+    ]
+    assert offenders == [], (
+        "direct CAST(SUM(decimal) AS DOUBLE) in assembled oracle SQL — "
+        f"route through VARCHAR (functions.dsum docstring): {offenders}"
+    )

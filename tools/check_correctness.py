@@ -83,11 +83,13 @@ def main() -> int:
         # (observed twice at the 100x replica, ~26 queries in each
         # time). Run the list in fresh subprocesses of `chunk` names
         # so accumulation is bounded and a JVM death costs one chunk.
+        import re
         import subprocess
 
-        from cdc_kafka_project_spark.registry import all_queries
+        from cdc_kafka_project_spark.registry import all_oracles, all_queries
 
         names = [n for n in all_queries() if not only or n in only]
+        oracles = all_oracles()
         totals = [0, 0, 0]
         for lo in range(0, len(names), chunk):
             batch = names[lo : lo + chunk]
@@ -97,34 +99,56 @@ def main() -> int:
                 text=True,
             )
             out = proc.stdout
+            lines = out.splitlines()
             sys.stdout.write(
                 "".join(
                     ln + "\n"
-                    for ln in out.splitlines()
+                    for ln in lines
                     if ln.startswith(("PASS", "FAIL", "rows "))
                 )
             )
             sys.stdout.flush()
-            tail = [ln for ln in out.splitlines() if ln.endswith("rows-only")]
-            if tail:
-                p, f, r = (int(x) for x in tail[-1].split() if x.isdigit())
-                totals[0] += p
-                totals[1] += f
-                totals[2] += r
+            # Parse the child's summary with an anchored regex — a
+            # free-text split-and-unpack broke whenever the wording
+            # gained an extra number. No match => treat as died-mid-run.
+            m = None
+            for ln in reversed(lines):
+                m = re.match(r"^(\d+) pass, (\d+) fail, (\d+) rows-only$", ln)
+                if m:
+                    break
+            if m:
+                totals[0] += int(m.group(1))
+                totals[1] += int(m.group(2))
+                totals[2] += int(m.group(3))
             else:
                 # chunk process died mid-run (e.g. kernel OOM kill):
-                # credit the per-query lines it DID flush, fail the rest
-                lines = out.splitlines()
+                # credit the per-query lines it DID flush. Unreported
+                # names with an oracle are real (synthetic) failures;
+                # unreported no-oracle names could only ever have been
+                # rows-only, so count them there — crediting them as
+                # failures overstated real oracle failures after a kill.
                 p = sum(ln.startswith("PASS") for ln in lines)
                 f = sum(ln.startswith("FAIL") for ln in lines)
                 r = sum(ln.startswith("rows ") for ln in lines)
+                reported = {
+                    ln.split()[1].rstrip(":")
+                    for ln in lines
+                    if ln.startswith(("PASS", "FAIL", "rows "))
+                    and len(ln.split()) > 1
+                }
+                unreported = [n for n in batch if n not in reported]
+                un_oracle = [n for n in unreported if n in oracles]
+                un_rows = [n for n in unreported if n not in oracles]
                 print(
                     f"FAIL  chunk {lo//chunk}: died after"
-                    f" {p + f + r}/{len(batch)} queries (rc {proc.returncode})"
+                    f" {p + f + r}/{len(batch)} queries (rc {proc.returncode});"
+                    f" {len(un_oracle)} unreported oracle-backed counted as"
+                    f" synthetic FAIL, {len(un_rows)} unreported no-oracle"
+                    f" counted as rows-only"
                 )
                 totals[0] += p
-                totals[1] += f + (len(batch) - p - f - r)
-                totals[2] += r
+                totals[1] += f + len(un_oracle)
+                totals[2] += r + len(un_rows)
         print(f"\n{totals[0]} pass, {totals[1]} fail, {totals[2]} rows-only")
         return 1 if totals[1] else 0
 
