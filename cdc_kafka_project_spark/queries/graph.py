@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_kafka_project_spark.cache import scoped_persist
 from cdc_kafka_project_spark.catalog import load_table
 from cdc_kafka_project_spark.registry import query
 
@@ -101,15 +102,16 @@ def pagerank_brand_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + pair join) replays per iteration — the plan audit showed 49
     # exchanges unpersisted vs a handful with the materialized edges.
     # At cluster scale this is "checkpoint the edge list, iterate on it".
-    e = (
+    e = scoped_persist(
         a.join(b, (F.col("a.okey") == F.col("b.okey"))
                & (F.col("a.brand") != F.col("b.brand")))
         .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
     )
-    wout = e.groupBy("src").agg(F.sum("w").cast("long").alias("wout")).persist()
-    nodes = nodes.persist()
+    wout = scoped_persist(
+        e.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    )
+    nodes = scoped_persist(nodes)
 
     def round6(c):
         return F.floor(c * 1e6 + F.lit(0.5)) / 1e6

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cdc_kafka_project_spark.cache import scoped_persist
 from cdc_kafka_project_spark.catalog import load_table, register_views
 from cdc_kafka_project_spark.functions import fround, tokens
 from cdc_kafka_project_spark.registry import query
@@ -1151,11 +1152,10 @@ def event_value_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell table persisted: consumed by the totals AND the probs join
     # — without it each branch re-scans the events (the re-scan
     # pathology doc_bigram_logprob documents)
-    cells = (
+    cells = scoped_persist(
         ev.select("event_type", half.alias("half"), bin_.alias("bin"))
         .groupBy("event_type", "half", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
     )
     tot = cells.groupBy("event_type", "half").agg(F.sum("n").alias("tn"))
     j = cells.join(tot, ["event_type", "half"])

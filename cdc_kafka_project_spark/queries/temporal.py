@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_kafka_project_spark.cache import scoped_persist
 from cdc_kafka_project_spark.catalog import load_table
 from cdc_kafka_project_spark.functions import dsum
 from cdc_kafka_project_spark.operators import intervals as iv
@@ -185,13 +186,11 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg branch is persisted — three consumers would otherwise each
     # re-scan orders; see doc_bigram_logprob for the measured version
     # of this pathology)
-    agg = (
-        orders.groupBy("o_orderpriority", day)
-        .agg(
+    agg = scoped_persist(
+        orders.groupBy("o_orderpriority", day).agg(
             F.count(F.lit(1)).alias("n_raw"),
             dsum("o_totalprice").alias("rev_raw"),
         )
-        .persist()
     )
     bounds = agg.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = bounds.select(
@@ -274,10 +273,9 @@ def gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     day = F.to_date("o_orderdate").alias("day")
-    agg = (
+    agg = scoped_persist(
         orders.groupBy("o_orderpriority", day)
         .agg(dsum("o_totalprice").alias("rev"))
-        .persist()
     )
     bounds = agg.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = bounds.select(

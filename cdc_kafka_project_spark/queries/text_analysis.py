@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cdc_kafka_project_spark.cache import scoped_persist
 from cdc_kafka_project_spark.catalog import load_table, register_views
 from cdc_kafka_project_spark.functions import fround
 from cdc_kafka_project_spark.operators import text as text_ops
@@ -562,7 +563,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar totals — without it each branch re-explodes the corpus
     # (same measured pathology as doc_bigram_logprob; see that
     # docstring for the scan-count analysis)
-    vocab = tf.groupBy("word").agg(F.sum("tf").alias("c")).persist()
+    vocab = scoped_persist(tf.groupBy("word").agg(F.sum("tf").alias("c")))
     tot = vocab.agg(
         F.sum("c").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
@@ -925,10 +926,9 @@ def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell table persisted: four consumers (marginals x2, total, the
     # final join) would otherwise each re-scan the corpus — the same
     # measured pathology doc_bigram_logprob documents
-    cells = (
+    cells = scoped_persist(
         docs.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .persist()
     )
     lang_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_l"))
     src_tot = cells.groupBy("source").agg(F.sum("n_docs").alias("n_s"))
@@ -1217,7 +1217,9 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus explosions to 2 — the same materialize-the-model pattern
     # the ANN index builders use, just session-cached instead of
     # parquet because the model is query-scoped.
-    bigram_c = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).persist()
+    bigram_c = scoped_persist(
+        doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    )
     unigram_c = bigram_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = bigram_c.agg(F.countDistinct("w2").alias("v"))
     logp = fround(
@@ -1387,10 +1389,8 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     ).cast("decimal(25,6)")
-    model = (
-        counts.join(F.broadcast(n))
-        .select("word", llr.alias("llr"))
-        .persist()
+    model = scoped_persist(
+        counts.join(F.broadcast(n)).select("word", llr.alias("llr"))
     )
     prior = fround(
         F.log((F.col("n_keep") + F.lit(1.0)) / (F.col("n_drop") + F.lit(1.0))),
@@ -1838,10 +1838,9 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.transform(tokens("text"), F.lower)).alias("word"),
     )
-    sw = (
+    sw = scoped_persist(
         toks.groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("y_sw"))
-        .persist()
     )
     marg = sw.groupBy("word").agg(F.sum("y_sw").alias("y_w"))
     stot = sw.groupBy("source").agg(F.sum("y_sw").alias("n_s"))

@@ -25,9 +25,12 @@ name):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cdc_kafka_project_spark import cache
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -36,12 +39,29 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and its DuckDB oracle) under ``name``."""
+    """Register a query (and its DuckDB oracle) under ``name``.
+
+    The REGISTERED callable is wrapped with the scoped-persist
+    lifecycle (``cache.begin_query``): invoking a different query
+    through the registry releases the persisted intermediates the
+    previous query left behind, so a long-lived session serving many
+    queries holds at most one query's cached blocks (the round-8 100x
+    sweep OOMed a 16 GB driver heap on exactly this accumulation).
+    The decorator returns the UNWRAPPED builder, so direct module
+    imports (tests, composition inside other builders) see no
+    lifecycle side effects.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            cache.begin_query(name)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = run
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
