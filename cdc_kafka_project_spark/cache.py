@@ -1,39 +1,55 @@
-"""Scoped persist lifecycle for query-builder intermediates.
+"""Scoped lifecycle for persisted / checkpointed query intermediates.
 
-~12 registered query builders persist() a small model-sized
-intermediate (vocab counts, PMI cells, CC edge lists) that two or more
-downstream branches consume — without the cache each branch re-scans
-the corpus (the measured pathology `doc_bigram_logprob` documents).
-Before round 9 those blocks had no release path: the builder returns a
-lazy DataFrame, the caller materializes it, and nothing ever
-unpersisted the intermediates. A long-lived serving session therefore
-accumulated cached blocks query after query until the driver heap
-overflowed — observed live at the 100x replica sweep
-(LOCAL_SCALE_r08.md "Cache accumulation": 16 GB heap OOM ~26 queries
-in), and the exact deployment shape a 1000-executor cluster serving
-many queries per session implies.
+Two classes of materialized intermediate exist in the engine, and both
+need a deterministic release path (without one, a long-lived serving
+session accumulates executor/driver storage query after query until
+the heap overflows — observed live at the 100x replica sweep,
+LOCAL_SCALE_r08.md "Cache accumulation": 16 GB heap OOM ~26 queries
+in, and the exact deployment shape a 1000-executor cluster serving
+many queries per session implies):
 
-The fix is deterministic ownership at the registry call boundary (the
-one place every query invocation passes through):
+* ``.persist()`` blocks (vocab counts, PMI cells, PageRank edges) —
+  registered via :func:`scoped_persist`. CacheManager matches
+  canonicalized plans, so re-running the SAME query hits the warm
+  blocks; releasing is always safe (a released intermediate recomputes
+  from lineage if an old handle is re-collected).
+* ``localCheckpoint(eager=True)`` blocks (BPE merge loops, CC label
+  propagation, LSH signature materializations) — registered via
+  :func:`scoped_localcheckpoint`. These are invisible to
+  ``spark.catalog.clearCache()`` AND survive :func:`release_caches`'s
+  predecessor (round-9 verdict: blocks freed only by nondeterministic
+  Python-GC -> ContextCleaner). A checkpoint truncates lineage, so —
+  unlike a persist — its blocks CANNOT recompute after release: the
+  release points below only fire after the owning query's output is
+  materialized, which is the standing contract (the driver gate,
+  bench.py, and every serving loop materialize each query's output
+  before building the next).
 
-* builders persist through :func:`scoped_persist`, which tracks the
-  handle against the query name being built;
+Release points, all deterministic:
+
+* builders persist/checkpoint through the ``scoped_*`` wrappers, which
+  track the handle against the query being built;
 * the registry wrapper calls :func:`begin_query` before each builder —
-  entering a DIFFERENT query releases every block the previous query
-  left behind, so a session never holds more than one query's
-  intermediates no matter how many queries it serves;
-* re-entering the SAME query keeps its caches: Spark's CacheManager
-  matches canonicalized plans, so repeat invocations (the bench's
-  median-of-3 protocol, a dashboard refresh) hit the warm blocks
-  instead of paying a release + rebuild per run;
+  entering a DIFFERENT query (or the same name against a different
+  ``sf_dir``: the scale-stress big/base protocol) releases every block
+  the previous query left behind;
+* re-entering the SAME (name, sf_dir) keeps pure-persist queries warm
+  (plan-canonical cache reuse — the bench's median-of-3 protocol) but
+  releases everything when the previous run checkpointed: checkpoint
+  RDDs are new objects per build, so their plans can never re-match,
+  and a kept persist downstream of a released checkpoint could not
+  recompute — the conservative rule is a cold rebuild;
+* loop bodies that supersede a checkpoint mid-build (BPE's merge
+  rounds, CC's label rounds) release the superseded handle immediately
+  via :func:`release_checkpoint`;
 * callers that want a clean session NOW (test teardown, the end of a
   serving loop) call :func:`release_caches` explicitly.
 
-Unpersisting is always safe — a released intermediate recomputes from
-lineage if an old result handle is re-collected — so the contract
-callers must hold is about performance only: materialize a query's
-output before building the next one (the driver gate, bench.py, and
-every serving loop already do).
+Single-threaded by design: the module-global registries assume one
+query builds at a time (the registry call boundary, the driver gate,
+bench.py, and pytest all serialize builds). Two queries building
+concurrently in one session would interleave ownership — run them in
+separate sessions instead.
 """
 
 from __future__ import annotations
@@ -41,46 +57,121 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-#: live persisted intermediates, owned by the query named in _OWNER
-_LIVE: list[DataFrame] = []
-_OWNER: str | None = None
+#: live persisted intermediates as (jvm analyzed plan | None, handle),
+#: owned by the query keyed in _OWNER; the plan reference powers the
+#: same-plan dedupe in scoped_persist
+_LIVE: list[tuple[object, DataFrame]] = []
+#: live localCheckpoint frames (LogicalRDD-backed), same ownership
+_LIVE_CK: list[DataFrame] = []
+_OWNER: tuple[str, str | None] | None = None
+
+
+def _analyzed(df: DataFrame):
+    try:
+        return df._jdf.queryExecution().analyzed()
+    except Exception:
+        return None
 
 
 def scoped_persist(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     """persist() with registry-scoped lifetime (released when a
-    different query begins, or on :func:`release_caches`)."""
-    df = df.persist(level) if level is not None else df.persist()
-    _LIVE.append(df)
-    return df
+    different query begins, or on :func:`release_caches`). Re-persisting
+    a plan already tracked for the current query (a same-name re-run)
+    does not grow the handle list — CacheManager dedupes the blocks and
+    the dedupe here keeps ``_LIVE`` bounded across unbounded re-runs."""
+    jplan = _analyzed(df)
+    out = df.persist(level) if level is not None else df.persist()
+    if jplan is not None:
+        for other, _ in _LIVE:
+            try:
+                if other is not None and other.sameResult(jplan):
+                    return out
+            except Exception:
+                break
+    _LIVE.append((jplan, out))
+    return out
 
 
-def begin_query(name: str) -> None:
-    """Mark the start of a registered query build: release the
-    previous query's intermediates unless it is the same query being
-    re-run (plan-canonical cache reuse keeps repeat runs warm)."""
+def scoped_localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint() with registry-scoped lifetime. The returned
+    frame's blocks are freed deterministically at the next
+    :func:`begin_query` / :func:`release_caches` (or earlier via
+    :func:`release_checkpoint`); after release the frame CANNOT be
+    re-collected — lineage is truncated by construction."""
+    out = df.localCheckpoint(eager=eager)
+    _LIVE_CK.append(out)
+    return out
+
+
+def release_checkpoint(df: DataFrame | None) -> bool:
+    """Release ONE tracked checkpoint early — the superseded-state
+    pattern: an iterative builder (BPE merges, CC labels) re-checkpoints
+    its loop state and the previous round's blocks are dead weight the
+    moment the new checkpoint is materialized. Returns True iff ``df``
+    was tracked. No-op on None / untracked frames."""
+    if df is None:
+        return False
+    for i, d in enumerate(_LIVE_CK):
+        if d is df:
+            _LIVE_CK.pop(i)
+            _free_checkpoint_blocks(d)
+            return True
+    return False
+
+
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    # A checkpointed Dataset's analyzed plan IS the LogicalRDD holding
+    # the persisted RDD — unpersisting it removes the blocks from the
+    # JVM persistent-RDD map immediately (catalog.clearCache and
+    # DataFrame.unpersist never see this RDD; GC + ContextCleaner was
+    # the only other path, and it is nondeterministic).
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        # session already stopped — the blocks are gone either way
+        pass
+
+
+def begin_query(name: str, sf_dir: str | None = None) -> None:
+    """Mark the start of a registered query build: release the previous
+    query's intermediates unless it is the same (name, sf_dir) being
+    re-run AND the previous run left no checkpoints (checkpoint RDDs
+    are per-build objects — never plan-matched, so keeping them buys
+    nothing and costs their blocks)."""
     global _OWNER
-    if _OWNER is not None and _OWNER != name:
+    key = (name, sf_dir)
+    if (_OWNER is not None and _OWNER != key) or _LIVE_CK:
         release_caches()
-    _OWNER = name
+    _OWNER = key
 
 
 def release_caches() -> int:
-    """Unpersist every tracked intermediate; returns how many handles
-    were released. Idempotent; safe after clearCache/session stop."""
+    """Unpersist every tracked intermediate (persists AND checkpoint
+    blocks); returns how many handles were released. Idempotent; safe
+    after clearCache/session stop."""
     global _OWNER
-    n = len(_LIVE)
+    n = len(_LIVE) + len(_LIVE_CK)
     while _LIVE:
-        df = _LIVE.pop()
+        _, df = _LIVE.pop()
         try:
             df.unpersist(blocking=False)
         except Exception:
             # session already stopped or cache already cleared — the
             # blocks are gone either way
             pass
+    while _LIVE_CK:
+        _free_checkpoint_blocks(_LIVE_CK.pop())
     _OWNER = None
     return n
 
 
 def live_count() -> int:
-    """Number of tracked (not yet released) persist handles."""
-    return len(_LIVE)
+    """Number of tracked (not yet released) handles, both classes."""
+    return len(_LIVE) + len(_LIVE_CK)
+
+
+def live_checkpoint_count() -> int:
+    """Number of tracked (not yet released) checkpoint frames."""
+    return len(_LIVE_CK)

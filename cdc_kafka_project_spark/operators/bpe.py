@@ -30,6 +30,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from cdc_kafka_project_spark import cache
+
 __all__ = [
     "BpeMerge",
     "word_freq_table",
@@ -141,8 +143,11 @@ def train_bpe(
     # the logical plan keeps its full lineage, so round N's analysis /
     # optimization cost compounds over N nested lambda rewrites and the
     # loop grinds to a halt around rank ~15. Checkpointing truncates
-    # the plan itself — every round starts from a leaf.
-    words = word_freq_table(docs, text_col).localCheckpoint(eager=True)
+    # the plan itself — every round starts from a leaf. All checkpoints
+    # go through cache.scoped_localcheckpoint (deterministic release);
+    # superseded loop states are freed immediately — at most one live
+    # word-table checkpoint at any time, regardless of n_merges.
+    words = cache.scoped_localcheckpoint(word_freq_table(docs, text_col))
     # Right-size the loop's parallelism to the STATE size, not the
     # corpus size: after the collapse to distinct words the table is
     # |vocab| rows, and running every round's rewrite + pair-agg at
@@ -152,7 +157,10 @@ def train_bpe(
     n_vocab = words.count()
     parts = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                        n_vocab // 25_000 + 1))
-    words = words.coalesce(parts).localCheckpoint(eager=True)
+    prev = words
+    words = cache.scoped_localcheckpoint(words.coalesce(parts))
+    cache.release_checkpoint(prev)  # rematerialized at `parts` width
+    last_ck = words
     merges: list[BpeMerge] = []
     for rank in range(n_merges):
         top = (
@@ -169,7 +177,10 @@ def train_bpe(
             _apply_merge(m.left, m.right).alias("symbols"), "freq"
         )
         if (rank + 1) % _CHECKPOINT_EVERY == 0:
-            words = words.localCheckpoint(eager=True)
+            words = cache.scoped_localcheckpoint(words)
+            cache.release_checkpoint(last_ck)
+            last_ck = words
+    cache.release_checkpoint(last_ck)  # merges are driver-side now
     return merges
 
 

@@ -25,6 +25,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from cdc_kafka_project_spark import cache
 from cdc_kafka_project_spark.functions import fround, tokens
 from cdc_kafka_project_spark.operators.text import py_tokens
 
@@ -278,11 +279,12 @@ def minhash_lsh_candidates(
     # The self-join below references the signature pipeline twice;
     # signatures are tiny (num_perm ints per doc) relative to the corpus
     # that produced them, so materialize once rather than recompute both
-    # sides. localCheckpoint (not cache): blocks are released by the
-    # ContextCleaner when the plan is garbage-collected, so repeated
-    # invocations (bench runs every query twice) don't accumulate
-    # executor storage the way CacheManager entries do.
-    signatures = signatures.localCheckpoint(eager=True)
+    # sides. localCheckpoint (not persist): checkpointing avoids
+    # CacheManager entries entirely; the blocks are released
+    # deterministically by the scoped lifecycle (cache.py) when the
+    # owning query ends, so repeated invocations (bench runs every
+    # query twice) don't accumulate executor storage.
+    signatures = cache.scoped_localcheckpoint(signatures)
     banded = signatures.select(
         "doc_id",
         "sig",
@@ -373,9 +375,10 @@ def simhash_hamming_pairs(
     width = 64 // bands
     mask = (1 << width) - 1
     # Referenced twice by the self-join; localCheckpoint materializes
-    # once and is ContextCleaner-freed on GC (a .cache() here leaked
-    # storage across repeated invocations).
-    fingerprints = fingerprints.localCheckpoint(eager=True)
+    # once and the scoped lifecycle (cache.py) frees the blocks when
+    # the owning query ends (a .cache() here leaked storage across
+    # repeated invocations; bare localCheckpoint leaked until GC).
+    fingerprints = cache.scoped_localcheckpoint(fingerprints)
     banded = fingerprints.select(
         "doc_id",
         "simhash",
@@ -441,7 +444,7 @@ def near_dedup_keep(
     list itself is pair-graph-sized — small relative to the corpus by
     construction. Empty pair graph short-circuits: nothing to drop.
     """
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = cache.scoped_localcheckpoint(pairs)
     if pairs.isEmpty():
         return df
     comp = connected_components(pairs, a_col, b_col)
@@ -478,18 +481,17 @@ def connected_components(
     rev = pairs.select(b.alias("src"), a.alias("dst"))
     nodes = fwd.select("src").union(rev.select("src")).distinct()
     self_loops = nodes.select("src", F.col("src").alias("dst"))
-    edges = fwd.union(rev).union(self_loops).localCheckpoint(eager=True)
+    edges = cache.scoped_localcheckpoint(fwd.union(rev).union(self_loops))
 
-    labels = nodes.select("src", F.col("src").alias("label")).localCheckpoint(
-        eager=True
+    labels = cache.scoped_localcheckpoint(
+        nodes.select("src", F.col("src").alias("label"))
     )
     converged = False
     for _ in range(max_iters):
-        new_labels = (
+        new_labels = cache.scoped_localcheckpoint(
             edges.join(labels, "src")
             .groupBy(F.col("dst").alias("src"))
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "src")
@@ -497,10 +499,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the old label table fed both joins above and is now
+        # superseded — free its blocks before the next round
+        cache.release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             converged = True
             break
+    cache.release_checkpoint(edges)  # only `labels` outlives the loop
     if not converged:
         # A silent exit here returns WRONG clusters (graph diameter >
         # max_iters). Near-dup graphs are short-diameter in practice;
@@ -721,13 +727,18 @@ def build_minhash_index(
     fp = fingerprint if fingerprint is not None else corpus_fingerprint(
         docs, _minhash_params(n, num_perm, bands, rows)
     )
-    sigs = minhash_signatures(docs, n=n, num_perm=num_perm).localCheckpoint(
-        eager=True
+    sigs = cache.scoped_localcheckpoint(
+        minhash_signatures(docs, n=n, num_perm=num_perm)
     )
-    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
-    minhash_band_table(sigs, bands=bands, rows=rows).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "bands"))
+    try:
+        sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+        minhash_band_table(sigs, bands=bands, rows=rows).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "bands"))
+    finally:
+        # both consumers (the two writes) are done — the signature
+        # blocks are dead weight the moment this function returns
+        cache.release_checkpoint(sigs)
     _write_model(
         path, {"kind": "minhash", "n": n, "num_perm": num_perm,
                "bands": bands, "rows": rows, "fingerprint": fp}
@@ -786,13 +797,16 @@ def append_to_minhash_index(new_docs: DataFrame, path: str) -> None:
     from cdc_kafka_project_spark.operators.similarity import read_model
 
     m = read_model(path)
-    sigs = minhash_signatures(
-        new_docs, n=m["n"], num_perm=m["num_perm"]
-    ).localCheckpoint(eager=True)
-    sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
-    minhash_band_table(sigs, bands=m["bands"], rows=m["rows"]).write.mode(
-        "append"
-    ).parquet(os.path.join(path, "bands"))
+    sigs = cache.scoped_localcheckpoint(
+        minhash_signatures(new_docs, n=m["n"], num_perm=m["num_perm"])
+    )
+    try:
+        sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+        minhash_band_table(sigs, bands=m["bands"], rows=m["rows"]).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "bands"))
+    finally:
+        cache.release_checkpoint(sigs)
 
 
 def probe_minhash_index(
@@ -812,9 +826,9 @@ def probe_minhash_index(
     from cdc_kafka_project_spark.operators.similarity import read_model
 
     m = read_model(path)
-    sigs = minhash_signatures(
-        new_docs, n=m["n"], num_perm=m["num_perm"]
-    ).localCheckpoint(eager=True)
+    sigs = cache.scoped_localcheckpoint(
+        minhash_signatures(new_docs, n=m["n"], num_perm=m["num_perm"])
+    )
     probe_bands = minhash_band_table(sigs, bands=m["bands"], rows=m["rows"])
     idx_bands = spark.read.parquet(os.path.join(path, "bands"))
     idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark.cache import scoped_localcheckpoint
 from cdc_kafka_project_spark.functions import (
     DISCOUNT_AMOUNT_DEC_SQL,
     REVENUE_DEC_SQL,
@@ -1134,8 +1135,11 @@ def brand_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # referenced three times below (marginals, pair self-join);
+    # scoped checkpoint: materialize once, blocks released when the
+    # owning query ends (cache.py lifecycle)
+    ob = scoped_localcheckpoint(ob)
     n = ob.agg(F.countDistinct("okey").alias("n_orders"))
     cb = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
     a, b = ob.alias("a"), ob.alias("b")

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_kafka_project_spark.cache import scoped_persist
+from cdc_kafka_project_spark.cache import scoped_localcheckpoint, scoped_persist
 from cdc_kafka_project_spark.catalog import load_table, register_views
 from cdc_kafka_project_spark.functions import fround
 from cdc_kafka_project_spark.operators import text as text_ops
@@ -1525,9 +1525,11 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sh = (
-        word_shingles(docs, n=5)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .localCheckpoint(eager=True)
+        scoped_localcheckpoint(
+            word_shingles(docs, n=5).join(
+                docs.select("doc_id", "source"), "doc_id"
+            )
+        )
     )
     boiler = (
         sh.groupBy("shingle")

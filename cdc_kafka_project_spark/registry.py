@@ -58,7 +58,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            cache.begin_query(name)
+            # ownership keyed on (name, sf_dir): the scale-stress
+            # big/base protocol runs one name against two datasets —
+            # a name-only key would keep both datasets' blocks live
+            cache.begin_query(name, sf_dir)
             return fn(spark, sf_dir)
 
         QUERIES[name] = run

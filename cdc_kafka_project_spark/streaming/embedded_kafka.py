@@ -43,6 +43,7 @@ import json
 import os
 import shutil
 
+from cdc_kafka_project_spark import cache
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -172,12 +173,16 @@ class EmbeddedLog:
                 "offset",
                 F.current_timestamp().alias("timestamp"),
             )
-            # freeze the routing/offset assignment so the write below
-            # and the count after it see the same rows
-            .localCheckpoint(eager=True)
         )
-        out.write.mode("append").parquet(self._data_dir(topic))
-        counts = out.groupBy("partition").count().collect()
+        # freeze the routing/offset assignment so the write below and
+        # the count after it see the same rows; released in `finally`
+        # — both consumers live inside this method
+        out = cache.scoped_localcheckpoint(out)
+        try:
+            out.write.mode("append").parquet(self._data_dir(topic))
+            counts = out.groupBy("partition").count().collect()
+        finally:
+            cache.release_checkpoint(out)
         for r in counts:
             meta["next_offsets"][r.partition] += int(r["count"])
         self._write_meta(topic, meta)
@@ -243,12 +248,14 @@ class EmbeddedLog:
             .filter(F.col("offset") >= commit_expr)
             .orderBy("partition", "offset")
             .limit(max_messages)
-            # Pin the delivered set NOW: the poll window must not shift if a
-            # producer appends between poll and commit (commit() aggregates
-            # this same DataFrame — re-scanning the log would advance offsets
-            # past records the consumer never received).
-            .localCheckpoint(eager=True)
         )
+        # Pin the delivered set NOW: the poll window must not shift if
+        # a producer appends between poll and commit (commit()
+        # aggregates this same DataFrame — re-scanning the log would
+        # advance offsets past records the consumer never received).
+        # Scoped: blocks released at the next begin_query /
+        # release_caches, after the poll->process->commit cycle.
+        batch = cache.scoped_localcheckpoint(batch)
         self._register(group, member)
         return batch
 
