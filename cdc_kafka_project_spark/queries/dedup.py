@@ -588,8 +588,11 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
     ),
     injected AS (
-        SELECT doc_id + 10000000 AS doc_id, text
-        FROM corpus ORDER BY doc_id LIMIT 5
+        -- order on the ORGANIC id before negating: an outer ORDER BY
+        -- doc_id would bind to the negated output alias and pick the
+        -- largest sources instead of the first five
+        SELECT -doc_id - 1 AS doc_id, text
+        FROM (SELECT doc_id, text FROM corpus ORDER BY doc_id LIMIT 5)
     ),
     batch AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
@@ -608,8 +611,9 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 10 != 0) is indexed once on disk — fingerprint-checked,
     so a regenerated corpus forces a rebuild instead of serving stale
     signatures; the arriving batch (doc_id % 10 == 0, plus injected
-    copies of 5 corpus docs under offset ids — the fixture-injection
-    pattern, since the synthetic corpus has no cross-split duplicates)
+    copies of 5 corpus docs under negative ids (-doc_id - 1, the
+    collision-free scheme every fixture injection uses), since the
+    synthetic corpus has no cross-split duplicates)
     is signed, banded, and equi-joined against the stored band table.
     Nothing recomputes for the corpus; the only shuffle is
     proportional to the batch.
@@ -636,9 +640,7 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected = (
         corpus.orderBy("doc_id")
         .limit(5)
-        .select(
-            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
-        )
+        .select((-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text")
     )
     batch = (
         docs.filter(F.col("doc_id") % 10 == 0)

@@ -164,7 +164,7 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_plus AS (
         SELECT media_id, kind, n, ords FROM media
         UNION ALL
-        SELECT media_id + 10000000, kind, n, ords
+        SELECT -media_id - 1, kind, n, ords
         FROM media WHERE kind = 'image' AND media_id < 18
     ),
     rz AS (
@@ -219,14 +219,15 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes only the decode.
 
     The corpus carries no byte-identical images, so fixture prep
-    re-emits the first 6 images under offset ids (the
-    _with_injected_dups pattern, oracle-mirrored) — each copy must
+    re-emits the first 6 images under negative ids (-media_id - 1,
+    the collision-free fixture-injection scheme, oracle-mirrored) —
+    each copy must
     surface as a Hamming-0 pair, making the driver row exercise a real
     match path instead of an empty result."""
     media = _media(spark, sf_dir)
     dups = media.filter(
         (F.col("kind") == "image") & (F.col("media_id") < 18)
-    ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+    ).withColumn("media_id", -F.col("media_id") - F.lit(1))
     return mm.phash_dup_pairs(
         mm.phash_bands(media.unionByName(dups)), max_hamming=3
     )

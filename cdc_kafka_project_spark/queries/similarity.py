@@ -25,10 +25,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-#: vec_id offset for fixture-injected near-duplicates — far above any
-#: real vec_id at every shipped scale factor
-DUP_OFFSET = 10_000_000
+#: fixture-injected near-duplicates carry NEGATIVE ids (-vec_id - 1,
+#: the same scheme the simhash fixtures use): organic vec_ids are
+#: non-negative at every sf and in any re-keyed replica, so the
+#: injected key space can never collide with organic ids (a fixed
+#: additive offset could — e.g. a corpus with organic ids in
+#: [1e7, 2e7) would alias an injected id onto a real row)
 N_INJECTED_DUPS = 8
+
+
+def dup_vec_id(i: int) -> int:
+    """The injected-copy id for source vec_id ``i`` (collision-free)."""
+    return -i - 1
 
 
 def _with_injected_dups(emb: DataFrame, n: int = N_INJECTED_DUPS) -> DataFrame:
@@ -42,7 +50,7 @@ def _with_injected_dups(emb: DataFrame, n: int = N_INJECTED_DUPS) -> DataFrame:
     the LSH-bucketed and the cluster-scoped paths must find the pairs.
     One filter + projection — negligible next to the operator it feeds."""
     dups = emb.filter(F.col("vec_id") < n).select(
-        (F.col("vec_id") + F.lit(DUP_OFFSET)).alias("vec_id"),
+        (-F.col("vec_id") - F.lit(1)).alias("vec_id"),
         F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")).alias(
             "embedding"
         ),
@@ -129,11 +137,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # theta 0), so it collides in all 16 bands with probability 1 and
     # the exact verify rounds its cosine to 1.0. No organic pair
     # clears 0.95 (measured max organic cosine 0.51-0.60), so the
-    # full result is exactly the N_INJECTED_DUPS (source, copy)
-    # pairs. A banding, verify, or threshold bug flips the hash.
+    # full result is exactly the N_INJECTED_DUPS (copy, source)
+    # pairs — the negative-id copy sorts first in the (a < b) pair
+    # convention. A banding, verify, or threshold bug flips the hash.
     oracle=f"""
-    SELECT vec_id AS vec_a,
-           vec_id + {DUP_OFFSET} AS vec_b,
+    SELECT -vec_id - 1 AS vec_a,
+           vec_id AS vec_b,
            1.0 AS cos_sim
     FROM embeddings WHERE vec_id < {N_INJECTED_DUPS}
     """,
@@ -267,16 +276,21 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_semdedup_keep",
-    # Exact-twin oracle (r7): the k-means model is engine-side, but
-    # the END RESULT is fully determined by the fixture contract —
-    # every injected copy (vec_id >= DUP_OFFSET) drops in favor of its
-    # lower-id source, and no organic pair clears the 0.95 threshold
-    # (measured max organic cosine: 0.51 at sf0.01, 0.60 at sf0.1 —
-    # near-orthogonal-by-construction corpus, enormous margin), so the
-    # keep set is EXACTLY the original corpus. Any clustering / pair /
-    # component / keep-policy bug that drops an original or keeps a
-    # copy flips the hash.
-    oracle="SELECT vec_id FROM embeddings",
+    # Exact-twin oracle (r7; id scheme updated r10): the k-means model
+    # is engine-side, but the END RESULT is fully determined by the
+    # fixture contract — each (source, injected copy) pair forms one
+    # component whose min-id representative is the NEGATIVE-id copy,
+    # so the source drops and the copy survives; no organic pair
+    # clears the 0.95 threshold (measured max organic cosine: 0.51 at
+    # sf0.01, 0.60 at sf0.1 — near-orthogonal-by-construction corpus,
+    # enormous margin). Keep set = corpus with the first
+    # N_INJECTED_DUPS ids swapped for their negative twins. Any
+    # clustering / pair / component / keep-policy bug flips the hash.
+    oracle=f"""
+    SELECT CASE WHEN vec_id < {N_INJECTED_DUPS} THEN -vec_id - 1
+                ELSE vec_id END AS vec_id
+    FROM embeddings
+    """,
 )
 def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end (semantic dedup policy): cluster-scoped
@@ -286,9 +300,10 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus plus injected fixture near-duplicates (see
     _with_injected_dups — on the raw near-orthogonal embeddings the
     keep set equaled the full corpus, proving nothing about the drop
-    path). Each injected copy must be dropped in favor of its
-    lower-id source, so expected keep = corpus size (injected rows all
-    removed); drop behavior on organically duplicated corpora is
+    path). Exactly one of each (source, copy) pair must drop — the
+    min-id keep policy retains the negative-id copy — so expected
+    keep size = corpus size with the paired sources swapped for their
+    twins; drop behavior on organically duplicated corpora is
     additionally pinned by tests/test_similarity.py."""
     from cdc_kafka_project_spark.operators.dedup import near_dedup_keep
 
@@ -702,10 +717,12 @@ SEMANTIC_DECON_THRESHOLD = 0.95
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
     ),
     injected AS (
-        SELECT vec_id + {DUP_OFFSET} AS vec_id,
+        -- order on the ORGANIC id before negating (the output alias
+        -- would capture the ORDER BY otherwise)
+        SELECT -vec_id - 1 AS vec_id,
                list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT))
                    AS embedding
-        FROM ev ORDER BY vec_id LIMIT 3
+        FROM (SELECT vec_id, embedding FROM ev ORDER BY vec_id LIMIT 3)
     ),
     train AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0
@@ -757,7 +774,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.orderBy("ev_id")
         .limit(3)
         .select(
-            (F.col("ev_id") + F.lit(DUP_OFFSET)).alias("vec_id"),
+            (-F.col("ev_id") - F.lit(1)).alias("vec_id"),
             F.transform(
                 "ev_emb", lambda x: (x * F.lit(1.001)).cast("float")
             ).alias("embedding"),

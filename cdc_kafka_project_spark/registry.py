@@ -95,89 +95,36 @@ def load_all() -> None:
 # dict order and covers a bounded prefix (exactly 50 names in r5), so
 # the registry orders the checked dict explicitly rather than relying on
 # module import order.
-# ROUND-8 ORDER (round-7 verdict item 1): never-checked/converted names
-# front the window (7 never-checked + 2 simhash conversions), then all
-# remaining oracle-backed names by staleness — the 9 r3-era rows and
-# the 32 oldest r4-era rows fill the 50 slots, so afterward nothing is
-# older than r4 and never-checked = 0.
+# ROUND-10 ORDER (round-9 verdict item 2 — the window was not rotated
+# in round 9, so the r4-era staleness debt is cleared here): the five
+# id-scheme conversions front the window, then the 14 r4-era rows and
+# the oldest r5-era rows fill the 50 slots.
 # STANDING RULES: never-checked or changed-this-round names front the
 # window; after that order by staleness (oldest driver row first);
 # no-oracle names always sort after every oracle-backed name.
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- ROUND-8 WINDOW (round-7 verdict item 1 + the standing
-    #    rules above). Tier 1: never-driver-checked or
-    #    converted-this-round names — the six r7 oracle conversions,
-    #    the r7 skew fixture, and the three r8 conversions
-    #    (bpe_merge_ranks structural oracle; dedup_simhash
-    #    content-function oracle; dedup_simhash_pairs exact-twin
-    #    text-verified tier). --
-    "sketch_incremental_distinct",
-    "similarity_ann_recall",
-    "text_index_topk",
-    "skewed_salted_segment_revenue",
-    "embedding_index_pipeline",
-    "doc_bpe_token_counts",
-    "bpe_merge_ranks",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    # -- Tier 2: remaining oracle-backed names by staleness —
-    #    the 9 r3-era rows (media, embedding scalars, similarity
-    #    pair tiers), then the 32 oldest r4-era rows.
-    #    9 + 9 + 32 = 50 = the driver gate window; afterward no
-    #    oracle-backed name's driver row is older than r4 and
-    #    never-checked = 0. --
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "media_audio_features",
-    "media_catalog",
-    "media_decode_features",
-    "media_frame_sample",
-    "media_resize",
+    # -- ROUND-10 WINDOW (round-9 verdict item 2 + the standing
+    #    rules above). Tier 1: the five queries whose OUTPUT changed
+    #    this round — fixture injections moved from the additive
+    #    +1e7 id offset to the collision-free negative-id scheme
+    #    (-id - 1), so their driver rows must be re-established. --
+    "media_phash_dup_pairs",
     "similarity_near_dup",
-    "similarity_pairs_above",
-    "asof_join_next_purchase",
-    "asof_join_purchases",
-    "cdc_snapshot_diff",
-    "column_profile",
-    "corr_lineitem_measures",
-    "curation_pipeline",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_keep_longest",
-    "dedup_levenshtein_verify",
-    "dedup_ngram_jaccard",
-    "dedup_normalized_groups",
-    "doc_chunks",
-    "doc_fingerprint_md5",
-    "doc_host_stats",
-    "doc_ngram_novelty",
-    "doc_pack_assignments",
-    "doc_pii_redact",
-    "doc_quality_filter",
-    "doc_repetition_stats",
-    "doc_source_quality_gate",
-    "doc_split_assign",
-    "doc_uniform_sample",
-    "doc_unigram_logprob",
-    "doc_url_canonical",
-    "doc_winnow_fingerprints",
-    "embedding_label_centroids",
-    "embedding_pca_project",
-    "event_value_anomalies",
-    "funnel_view_click_purchase",
-    "group_minmax_norm",
-    "heavy_hitter_tokens",
-    # -- BEHIND THE ROTATION, by staleness (oldest driver row
-    #    first): the 14 r4-era rows left over lead the r9 window,
-    #    then r5 / r6 / r7 tiers. --
+    "semantic_decontaminate",
+    "dedup_minhash_index_probe",
+    "similarity_semdedup_keep",
+    # -- Tier 2: the 14 r4-era rows (stale since round 4; the judge
+    #    re-ran them green at sf0.01 in round 9, this records it
+    #    driver-side), then the oldest r5-era rows by name — 14 + 34
+    #    + 2 non-r5 names in tier 1 = the 50-slot window; afterward
+    #    no oracle-backed name's driver row is older than r5. --
     "histogram_prices",
     "lang_id",
     "salted_join_segment_revenue",
     "session_stats",
     "sessionize",
-    "similarity_semdedup_keep",
     "sketch_distinct_users",
     "sketch_percentiles",
     "source_quota_sample",
@@ -197,7 +144,6 @@ _GATE_PRIORITY: list[str] = [
     "customer_rfm_quantile_scores",
     "customer_rfm_segments",
     "daily_revenue_acf",
-    "dedup_minhash_index_probe",
     "doc_boilerplate_fraction",
     "doc_nb_quality_score",
     "doc_readability",
@@ -219,6 +165,9 @@ _GATE_PRIORITY: list[str] = [
     "order_priority_chi2",
     "pagerank_brand_copurchase",
     "part_pareto_frontier",
+    # -- BEHIND THE ROTATION, by staleness (oldest driver row
+    #    first, alphabetical within a round): the 16 r5-era rows
+    #    left over, then r6 / r7 / r9 tiers. --
     "price_qty_regression",
     "purchase_click_attribution",
     "purchase_rate_wilson_ci",
@@ -226,7 +175,6 @@ _GATE_PRIORITY: list[str] = [
     "revenue_gini_by_segment",
     "revenue_seasonality_decomp",
     "rolling_median_revenue",
-    "semantic_decontaminate",
     "sketch_user_overlap",
     "source_distinctive_terms",
     "source_token_quota_sample",
@@ -266,7 +214,6 @@ _GATE_PRIORITY: list[str] = [
     "interval_incident_overlap_pairs",
     "lang_source_pmi",
     "lang_temperature_sample",
-    "media_phash_dup_pairs",
     "q12_priority_case_agg",
     "q14_promo_share",
     "q15_top_suppliers",
@@ -336,10 +283,58 @@ _GATE_PRIORITY: list[str] = [
     "window_running_sum",
     "window_topn_per_group",
     "word_bigrams_top100",
+    "asof_join_next_purchase",
+    "asof_join_purchases",
+    "bpe_merge_ranks",
+    "cdc_snapshot_diff",
+    "column_profile",
+    "corr_lineitem_measures",
+    "curation_pipeline",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_keep_longest",
+    "dedup_levenshtein_verify",
+    "dedup_ngram_jaccard",
+    "dedup_normalized_groups",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_bpe_token_counts",
+    "doc_chunks",
+    "doc_fingerprint_md5",
+    "doc_host_stats",
+    "doc_ngram_novelty",
+    "doc_pack_assignments",
+    "doc_pii_redact",
+    "doc_quality_filter",
+    "doc_repetition_stats",
+    "doc_source_quality_gate",
+    "doc_split_assign",
+    "doc_uniform_sample",
+    "doc_unigram_logprob",
+    "doc_url_canonical",
+    "doc_winnow_fingerprints",
+    "embedding_index_pipeline",
+    "embedding_label_centroids",
+    "embedding_norms",
+    "embedding_pca_project",
+    "embedding_quantize_int8",
+    "event_value_anomalies",
+    "funnel_view_click_purchase",
+    "group_minmax_norm",
+    "heavy_hitter_tokens",
+    "media_audio_features",
+    "media_catalog",
+    "media_decode_features",
+    "media_frame_sample",
+    "media_resize",
+    "similarity_ann_recall",
+    "similarity_pairs_above",
+    "sketch_incremental_distinct",
+    "skewed_salted_segment_revenue",
+    "text_index_topk",
     # -- no-oracle names, ALWAYS LAST (the driver has no rows-only
     #    fallback — a no-oracle name in the window burns a slot and
-    #    records err). Down to 5 after the r8 simhash/BPE
-    #    conversions; each is seed-bound engine-side and pinned by
+    #    records err). Each is seed-bound engine-side and pinned by
     #    pytest bounds and/or an oracle-green exact twin. --
     "dedup_minhash_lsh",
     "doc_fingerprint_xx",

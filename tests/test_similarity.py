@@ -509,24 +509,29 @@ def test_driver_near_dup_fixtures_are_not_vacuous(spark):
     """Round-4 verdict: the raw synthetic embeddings are near-orthogonal,
     so the registered near-dup/SemDeDup queries passed at the driver
     without ever exercising a drop. The fixture-injected duplicates must
-    make both non-vacuous: each injected copy pairs with exactly its
-    source, and SemDeDup drops every injected copy (keep == corpus)."""
+    make both non-vacuous: each injected copy (negative id, -i - 1)
+    pairs with exactly its source, and SemDeDup drops exactly one of
+    each (source, copy) pair — the min-id policy keeps the copy."""
     from tests.conftest import SF_SMOKE
     from cdc_kafka_project_spark.queries.similarity import (
-        DUP_OFFSET,
         N_INJECTED_DUPS,
+        dup_vec_id,
         similarity_near_dup,
         similarity_semdedup_keep,
     )
 
     pairs = similarity_near_dup(spark, SF_SMOKE).collect()
     assert len(pairs) == N_INJECTED_DUPS
-    assert all(r.vec_b == r.vec_a + DUP_OFFSET for r in pairs)
+    assert all(r.vec_a == dup_vec_id(r.vec_b) for r in pairs)
 
     corpus_n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
     kept = {r.vec_id for r in similarity_semdedup_keep(spark, SF_SMOKE).collect()}
-    assert len(kept) == corpus_n          # all injected copies dropped
-    assert all(v < DUP_OFFSET for v in kept)  # sources won every group
+    assert len(kept) == corpus_n          # exactly one of each pair dropped
+    # the negative-id copies won their groups; their sources dropped
+    assert {v for v in kept if v < 0} == {
+        dup_vec_id(i) for i in range(N_INJECTED_DUPS)
+    }
+    assert not (kept & set(range(N_INJECTED_DUPS)))
 
 
 def test_ann_recall_query_bounds_and_determinism(spark):
@@ -738,11 +743,11 @@ def test_fixture_margins_for_exact_twin_oracles(spark):
 
     from tests.conftest import SF_SMOKE
     from cdc_kafka_project_spark.queries.similarity import (
-        DUP_OFFSET,
         N_INJECTED_DUPS,
         _emb,
         _index_dir,
         _with_injected_dups,
+        dup_vec_id,
     )
 
     emb = _emb(spark, SF_SMOKE)
@@ -766,7 +771,7 @@ def test_fixture_margins_for_exact_twin_oracles(spark):
     )
     a = {r.vec_id: r.cid for r in cid.collect()}
     for i in range(N_INJECTED_DUPS):
-        assert a[i] == a[i + DUP_OFFSET], (
+        assert a[i] == a[dup_vec_id(i)], (
             f"injected copy {i} left its source's k-means cell — the "
             "semdedup exact-twin oracle no longer holds"
         )

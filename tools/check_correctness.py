@@ -91,6 +91,7 @@ def main() -> int:
         names = [n for n in all_queries() if not only or n in only]
         oracles = all_oracles()
         totals = [0, 0, 0]
+        died = False
         for lo in range(0, len(names), chunk):
             batch = names[lo : lo + chunk]
             proc = subprocess.run(
@@ -149,8 +150,13 @@ def main() -> int:
                 totals[0] += p
                 totals[1] += f + len(un_oracle)
                 totals[2] += r + len(un_rows)
+                # a died chunk is a gate failure even when every
+                # unreported name was no-oracle (the realistic tail
+                # shape: the 5 no-oracle names sort last) — without
+                # this flag such a crash exited 0
+                died = True
         print(f"\n{totals[0]} pass, {totals[1]} fail, {totals[2]} rows-only")
-        return 1 if totals[1] else 0
+        return 1 if totals[1] or died else 0
 
     import duckdb
 
