@@ -197,14 +197,26 @@ class EmbeddedLog:
             return spark.createDataFrame([], RECORD_SCHEMA)
         return spark.read.schema(RECORD_SCHEMA).parquet(d)
 
-    def raw_stream(self, spark: SparkSession, topic: str) -> DataFrame:
+    def raw_stream(
+        self,
+        spark: SparkSession,
+        topic: str,
+        max_files_per_trigger: int | None = None,
+    ) -> DataFrame:
         """The topic as a Structured Streaming source. File-source
         checkpointing tracks consumed files — the offset/commit story
         ``consumer.py:16``'s auto-commit approximated, made exactly-once
-        by the checkpoint."""
-        return spark.readStream.schema(RECORD_SCHEMA).parquet(
-            self._data_dir(topic)
-        )
+        by the checkpoint. ``max_files_per_trigger`` bounds each
+        micro-batch (maxOffsetsPerTrigger's file-source analog) so an
+        availableNow replay of a long log runs as many bounded batches
+        instead of one giant one — the knob that keeps per-batch state
+        updates and sink commits executor-memory-sized at scale."""
+        reader = spark.readStream.schema(RECORD_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        return reader.parquet(self._data_dir(topic))
 
     def write_stream(
         self,
