@@ -207,3 +207,18 @@ def test_release_is_idempotent_and_safe_after_clearcache(spark):
     assert cache.release_caches() >= 1
     assert cache.release_caches() == 0
     assert _n_persistent(spark) == 0
+
+
+def test_same_name_different_dataset_releases(spark):
+    """Scale-stress shape: one query name run against TWO sf_dirs
+    (big/base protocol). Ownership is keyed on (name, sf_dir), so the
+    second dataset's build releases the first's blocks — a name-only
+    key silently kept both datasets' intermediates live."""
+    cache.begin_query("stress_q", "/data/base")
+    a = cache.scoped_persist(spark.range(10).selectExpr("id as a"))
+    a.count()
+    assert _n_persistent(spark) == 1
+    cache.begin_query("stress_q", "/data/big")
+    assert cache.live_count() == 0
+    assert _n_persistent(spark) == 0
+    cache.release_caches()
