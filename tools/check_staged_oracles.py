@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Replica-scale oracle checks with a STAGED DuckDB side (round-8
+verdict item 3 / round-9 item 3).
+
+Three registered oracles are single statements whose spill at the
+30x/100x replicas exceeded the sandbox's free disk in round 8:
+``pagerank_brand_copurchase`` (the distinct (order, brand) self-join
+recomputed inside the unrolled rank CTEs) and ``dedup_components`` /
+``dedup_near_keep`` (the word-3-gram shingle self-join feeding a
+recursive CTE). The engine side completed everywhere; the limit was
+purely DuckDB's one-pipeline spill.
+
+This checker keeps the oracle INDEPENDENT — every relation is still
+computed by DuckDB from the base parquet, never taken from Spark —
+but materializes the fact-table-sized prefix as temp tables, so each
+statement's spill is bounded by its own pipeline: the SQL analog of
+"checkpoint the edge list, iterate on it", exactly the shape the
+Spark side uses (graph.py persists ``e``; dedup.py checkpoints the
+pair frame). The iteration / pair SQL is IMPORTED from the query
+modules (``_pr_iteration_sql``, ``_PAIRS_SQL``) so the staged oracle
+can never drift from the registered one.
+
+    python tools/check_staged_oracles.py spark-warehouse/scale/sf3.0 [names...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _connect(sf_dir: str, tables: tuple[str, ...]):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SWEEP_DUCKDB_MEM', '24GB')}'"
+    )
+    for t in tables:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _oracle_pagerank(sf_dir: str):
+    from cdc_kafka_project_spark.queries.graph import (
+        PR_ITERS,
+        _pr_iteration_sql,
+    )
+
+    con = _connect(sf_dir, ("lineitem", "part"))
+    con.execute(
+        """CREATE TEMP TABLE ob AS
+           SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE e AS
+           SELECT a.brand AS src, b.brand AS dst,
+                  CAST(COUNT(*) AS BIGINT) AS w
+           FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand
+           GROUP BY a.brand, b.brand"""
+    )
+    con.execute(
+        "CREATE TEMP TABLE nodes_t AS SELECT DISTINCT brand FROM ob"
+    )  # from ob, not e: a brand with no co-purchase edge still ranks
+    con.execute("DROP TABLE ob")
+    con.execute(
+        """CREATE TEMP TABLE wout AS
+           SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY src"""
+    )
+    return con.execute(
+        f"""
+        WITH nodes AS (SELECT brand FROM nodes_t),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (
+            SELECT brand, floor(1.0 / nn.n * 1e6 + 0.5) / 1e6 AS r
+            FROM nodes CROSS JOIN nn
+        ),
+        {",".join(_pr_iteration_sql(i) for i in range(1, PR_ITERS + 1))}
+        SELECT brand, r AS pagerank FROM r{PR_ITERS} ORDER BY brand
+        """
+    ).df()
+
+
+def _stage_pairs(sf_dir: str):
+    """Materialize the word-3-gram Jaccard edge set (the registered
+    oracles' _PAIRS_SQL prefix) as a temp table."""
+    from cdc_kafka_project_spark.queries.dedup import _PAIRS_SQL
+
+    con = _connect(sf_dir, ("documents",))
+    con.execute(
+        f"CREATE TEMP TABLE pairs_t AS WITH {_PAIRS_SQL} "
+        "SELECT doc_a, doc_b FROM pairs"
+    )
+    return con
+
+
+_RECURSE = """
+    WITH RECURSIVE
+    bi AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs_t
+        UNION ALL SELECT doc_b, doc_a FROM pairs_t
+    ),
+    nodes AS (SELECT DISTINCT s FROM bi),
+    reach(src, dst) AS (
+        SELECT s, s FROM nodes
+        UNION
+        SELECT r.src, b.d FROM reach r JOIN bi b ON b.s = r.dst
+    )
+"""
+
+
+def _oracle_components(sf_dir: str):
+    con = _stage_pairs(sf_dir)
+    return con.execute(
+        _RECURSE
+        + """
+        SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+        FROM reach GROUP BY src
+        """
+    ).df()
+
+
+def _oracle_near_keep(sf_dir: str):
+    con = _stage_pairs(sf_dir)
+    return con.execute(
+        _RECURSE
+        + """,
+        comp AS (SELECT src, MIN(dst) AS component FROM reach GROUP BY src)
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT src FROM comp WHERE src <> component)
+        """
+    ).df()
+
+
+STAGED = {
+    "pagerank_brand_copurchase": _oracle_pagerank,
+    "dedup_components": _oracle_components,
+    "dedup_near_keep": _oracle_near_keep,
+}
+
+
+def main() -> int:
+    from cdc_kafka_project_spark.registry import all_queries
+    from cdc_kafka_project_spark.session import get_spark
+    from tools.check_correctness import normalize
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(STAGED)
+    unknown = [n for n in names if n not in STAGED]
+    if unknown:
+        print(f"error: no staged oracle for {unknown}; have {list(STAGED)}")
+        return 2
+
+    spark = get_spark("check-staged-oracles")
+    queries = all_queries()
+    rc = 0
+    for name in names:
+        t0 = time.time()
+        sdf = queries[name](spark, sf_dir).toPandas()
+        spark.catalog.clearCache()
+        t_spark = time.time() - t0
+        try:
+            odf = STAGED[name](sf_dir)
+        except Exception as e:
+            print(f"FAIL  {name}[staged]: duckdb raised {type(e).__name__}: {e}")
+            rc = 1
+            continue
+        scols, srows = normalize(sdf)
+        ocols, orows = normalize(odf)
+        if scols != ocols:
+            print(f"FAIL  {name}[staged]: columns {scols} != {ocols}")
+            rc = 1
+        elif len(srows) != len(orows):
+            print(f"FAIL  {name}[staged]: rowcount {len(srows)} != {len(orows)}")
+            rc = 1
+        elif srows != orows:
+            diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            print(f"FAIL  {name}[staged]: values differ; first: {diffs}")
+            rc = 1
+        else:
+            print(
+                f"PASS  {name}[staged]: {len(srows)} rows "
+                f"[spark {t_spark:.1f}s, total {time.time()-t0:.1f}s]"
+            )
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
