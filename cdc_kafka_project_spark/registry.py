@@ -41,12 +41,14 @@ ORACLES: dict[str, str] = {}
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query (and its DuckDB oracle) under ``name``.
 
-    The REGISTERED callable is wrapped with the scoped-persist
-    lifecycle (``cache.begin_query``): invoking a different query
-    through the registry releases the persisted intermediates the
+    The REGISTERED callable is wrapped with the materialization
+    lifecycle (``cache.begin_query``): invoking a different query —
+    or the same name against a different sf_dir — through the registry
+    releases the persisted AND localCheckpoint intermediates the
     previous query left behind, so a long-lived session serving many
-    queries holds at most one query's cached blocks (the round-8 100x
-    sweep OOMed a 16 GB driver heap on exactly this accumulation).
+    queries holds at most one query's blocks (the round-8 100x sweep
+    OOMed a 16 GB driver heap on exactly this accumulation, and the
+    checkpoint class additionally survives clearCache).
     The decorator returns the UNWRAPPED builder, so direct module
     imports (tests, composition inside other builders) see no
     lifecycle side effects.
