@@ -222,3 +222,18 @@ def test_same_name_different_dataset_releases(spark):
     assert cache.live_count() == 0
     assert _n_persistent(spark) == 0
     cache.release_caches()
+
+
+def test_rerun_does_not_grow_handle_list(spark):
+    """N same-name re-runs must not grow the tracked-handle list:
+    scoped_persist dedupes an already-tracked plan (sameResult), so a
+    dashboard-refresh / bench loop re-running one query holds a
+    CONSTANT number of handles, not one batch per run."""
+    q = all_queries()
+    q["doc_unigram_logprob"](spark, SF_SMOKE).count()
+    n1 = cache.live_count()
+    assert n1 >= 1
+    for _ in range(3):
+        q["doc_unigram_logprob"](spark, SF_SMOKE).count()
+        assert cache.live_count() == n1
+    cache.release_caches()
