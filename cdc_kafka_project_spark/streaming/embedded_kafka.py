@@ -67,6 +67,11 @@ class EmbeddedLog:
     def __init__(self, root: str) -> None:
         self.root = root
         os.makedirs(root, exist_ok=True)
+        #: last pinned poll batch per (group, topic) — superseded (and
+        #: its checkpoint blocks freed) by the next poll of the same
+        #: consumer, so an unbounded poll/commit loop holds at most one
+        #: batch's blocks per consumer
+        self._last_poll: dict[tuple[str, str], object] = {}
 
     # -- paths --------------------------------------------------------------
     def _topic_dir(self, topic: str) -> str:
@@ -266,8 +271,13 @@ class EmbeddedLog:
         # aggregates this same DataFrame — re-scanning the log would
         # advance offsets past records the consumer never received).
         # Scoped: blocks released at the next begin_query /
-        # release_caches, after the poll->process->commit cycle.
+        # release_caches — or, for a long-lived consumer loop, by the
+        # SAME consumer's next poll (per the kafka contract the
+        # previous batch is processed + committed before re-polling,
+        # so its pinned blocks are dead weight by then).
         batch = cache.scoped_localcheckpoint(batch)
+        cache.release_checkpoint(self._last_poll.get((group, topic)))
+        self._last_poll[(group, topic)] = batch
         self._register(group, member)
         return batch
 

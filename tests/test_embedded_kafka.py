@@ -238,3 +238,29 @@ def test_commit_pinned_to_delivered_batch_despite_interleaved_publish(
         for r in log.poll(spark, "t", "g", max_messages=100).collect()
     }
     assert rest == {"v4", "v5", "v6", "v7"}  # nothing lost, nothing re-read
+
+
+def test_poll_loop_bounds_pinned_batches(spark, tmp_path):
+    """A long-lived poll/commit loop must not accumulate pinned batch
+    checkpoints: each poll supersedes the same consumer's previous
+    batch (processed + committed by contract), so N cycles hold at
+    most one batch's blocks per (group, topic)."""
+    from cdc_kafka_project_spark import cache
+    from cdc_kafka_project_spark.streaming.embedded_kafka import EmbeddedLog
+
+    cache.release_caches()
+    log = EmbeddedLog(str(tmp_path / "log"))
+    log.create_topic("t", num_partitions=2)
+    rows = spark.range(60).selectExpr(
+        "CAST(id AS STRING) AS key", "CAST(id * 2 AS STRING) AS value"
+    )
+    log.publish(rows, "t")
+    baseline = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    for _ in range(6):
+        batch = log.poll(spark, "t", group="g", max_messages=10)
+        batch.count()
+        log.commit("g", "t", batch)
+        n = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+        assert n <= baseline + 1, f"poll loop accumulated blocks: {n}"
+    cache.release_caches()
+    assert int(spark.sparkContext._jsc.getPersistentRDDs().size()) == 0
