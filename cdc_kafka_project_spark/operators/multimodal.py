@@ -42,6 +42,8 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, functions as F
 
+from cdc_kafka_project_spark import cache
+
 if TYPE_CHECKING:  # pragma: no cover - typing only
     import pandas as pd
 
@@ -341,7 +343,14 @@ def phash_dup_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     survivors. (Round-5 verdict item 4: this replaces a distinct() on
     raw candidates plus two band-table re-joins — 2 exchanges and a
     re-scan fewer.)
+
+    The band table is materialized once (scoped checkpoint, the same
+    shape as the MinHash/SimHash signature tables): it is tiny — five
+    longs per image — while each self-join side otherwise re-derives
+    it from a full corpus scan + Pandas-UDF hash pass (measured 4
+    corpus scans at sf0.1 through the fixture-union query; 1 after).
     """
+    bands = cache.scoped_localcheckpoint(bands)
     long = bands.select(
         "media_id",
         "b0",
