@@ -341,3 +341,30 @@ def test_curation_gate_fused_into_scan_no_self_join(spark, queries):
     assert s["scans"] == 3, s
     assert s["sort_merge_joins"] == 0, s
     assert not s["cartesian"], s
+
+
+def test_pair_queries_scan_corpus_at_most_twice(spark):
+    """Executed-scan discipline for the signature/band pair family:
+    the derived table (signatures, fingerprints, phash bands) is
+    materialized once before its self-join, so the corpus parquet is
+    scanned at most twice per execution (organic + fixture-injected
+    branch) — without the materialization each self-join side re-runs
+    the scan plus the hashing pass above it (tools/scan_audit.py is
+    the registry-wide version of this pin)."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark import cache
+    from cdc_kafka_project_spark.registry import all_queries
+    from tools.scan_audit import real_scans
+
+    q = all_queries()
+    for name, table in [
+        ("media_phash_dup_pairs", "documents"),
+        ("dedup_simhash_pairs", "documents"),
+        ("dedup_minhash_lsh", "documents"),
+        ("similarity_near_dup", "embeddings"),
+    ]:
+        df = q[name](spark, SF_SMOKE)
+        df.count()
+        n = real_scans(df).get(table, 0)
+        cache.release_caches()
+        assert n <= 2, f"{name} executes {n} scans of {table}"
