@@ -237,3 +237,18 @@ def test_rerun_does_not_grow_handle_list(spark):
         q["doc_unigram_logprob"](spark, SF_SMOKE).count()
         assert cache.live_count() == n1
     cache.release_caches()
+
+
+def test_released_checkpoint_cannot_recompute(spark):
+    """The sharpened release contract, pinned: persists recompute from
+    lineage after release, but a localCheckpoint TRUNCATES lineage —
+    collecting a stale handle after release must raise (not silently
+    return wrong data), which is why release points only fire after
+    the owning query's output is materialized."""
+    df = cache.scoped_localcheckpoint(
+        spark.range(100).selectExpr("id", "id * 2 AS x")
+    )
+    assert df.count() == 100
+    cache.release_caches()
+    with pytest.raises(Exception, match="CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"):
+        df.count()
