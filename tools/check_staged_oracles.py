@@ -139,8 +139,45 @@ def _oracle_near_keep(sf_dir: str):
     ).df()
 
 
+def _oracle_brand_lift(sf_dir: str):
+    from cdc_kafka_project_spark.queries.relational_ext import (
+        MIN_COPURCHASE_SUPPORT,
+    )
+
+    con = _connect(sf_dir, ("lineitem", "part"))
+    con.execute(
+        """CREATE TEMP TABLE ob AS
+           SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"""
+    )
+    return con.execute(
+        f"""
+        WITH n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+                   FROM ob),
+        cb AS (
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY brand
+        ),
+        pairs AS (
+            SELECT a.brand AS brand_a, b.brand AS brand_b,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+            GROUP BY a.brand, b.brand
+        )
+        SELECT brand_a, brand_b, c_ab,
+               floor(CAST(c_ab AS DOUBLE) * n.n_orders
+                     / (ca.c * cb2.c) * 1e6 + 0.5) / 1e6 AS lift
+        FROM pairs
+        JOIN cb ca ON ca.brand = pairs.brand_a
+        JOIN cb cb2 ON cb2.brand = pairs.brand_b
+        CROSS JOIN n
+        WHERE c_ab >= {MIN_COPURCHASE_SUPPORT}
+        """
+    ).df()
+
+
 STAGED = {
     "pagerank_brand_copurchase": _oracle_pagerank,
+    "brand_copurchase_lift": _oracle_brand_lift,
     "dedup_components": _oracle_components,
     "dedup_near_keep": _oracle_near_keep,
 }
