@@ -65,6 +65,31 @@ _LIVE: list[tuple[object, DataFrame]] = []
 _LIVE_CK: list[DataFrame] = []
 _OWNER: tuple[str, str | None] | None = None
 
+#: audit-only trail of PRE-materialization frames (the input df of each
+#: scoped_persist / scoped_localcheckpoint this query): a checkpoint
+#: truncates lineage to a LogicalRDD and a persist hides its subtree
+#: behind InMemoryTableScan, so the final frame's executed plan no
+#: longer shows the file scans that ran to materialize them — the
+#: executed-scan audit (tools/scan_audit.py) walks these frames' static
+#: plans to count that I/O. Off by default (serving sessions should not
+#: retain dead plan objects); cleared with the registry.
+_AUDIT_TRAIL: list[DataFrame] = []
+_AUDIT = False
+
+
+def set_audit(on: bool) -> None:
+    """Enable/disable the pre-materialization audit trail."""
+    global _AUDIT
+    _AUDIT = on
+    if not on:
+        _AUDIT_TRAIL.clear()
+
+
+def audit_trail() -> list[DataFrame]:
+    """Pre-materialization frames recorded since the last
+    begin_query/release_caches (empty unless :func:`set_audit` on)."""
+    return list(_AUDIT_TRAIL)
+
 
 def _analyzed(df: DataFrame):
     try:
@@ -89,6 +114,8 @@ def scoped_persist(df: DataFrame, level: StorageLevel | None = None) -> DataFram
             except Exception:
                 break
     _LIVE.append((jplan, out))
+    if _AUDIT:
+        _AUDIT_TRAIL.append(df)
     return out
 
 
@@ -100,7 +127,29 @@ def scoped_localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     re-collected — lineage is truncated by construction."""
     out = df.localCheckpoint(eager=eager)
     _LIVE_CK.append(out)
+    if _AUDIT:
+        _AUDIT_TRAIL.append(df)
     return out
+
+
+def owned_localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint whose lifetime is owned by the CALLER, not the
+    query-scoped registry — :func:`begin_query` / :func:`release_caches`
+    never sweep it. For long-lived handles that must stay valid across
+    registered-query invocations (the embedded-log consumer's pinned
+    poll batch: kafka's poll/process/commit contract lets arbitrary
+    work — including registry queries — run between poll and commit).
+    The caller MUST free it via :func:`free_owned_checkpoint`; an owned
+    checkpoint that is never freed leaks its blocks for the session."""
+    return df.localCheckpoint(eager=eager)
+
+
+def free_owned_checkpoint(df: DataFrame | None) -> None:
+    """Free an :func:`owned_localcheckpoint` frame's blocks NOW.
+    Idempotent; no-op on None. After this the frame cannot be
+    re-collected (lineage is truncated by construction)."""
+    if df is not None:
+        _free_checkpoint_blocks(df)
 
 
 def release_checkpoint(df: DataFrame | None) -> bool:
@@ -163,6 +212,7 @@ def release_caches() -> int:
             pass
     while _LIVE_CK:
         _free_checkpoint_blocks(_LIVE_CK.pop())
+    _AUDIT_TRAIL.clear()
     _OWNER = None
     return n
 

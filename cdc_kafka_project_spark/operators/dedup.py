@@ -331,54 +331,83 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """(doc_id, simhash long): weighted 64-bit SimHash over tokens.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    carry: tuple[str, ...] = (),
+    with_distinct_tokens: bool = False,
+) -> DataFrame:
+    """(doc_id, [carry...,] [n_distinct_tokens,] simhash long):
+    weighted 64-bit SimHash over tokens.
 
     Token hash bits vote +count/-count per position; the sign vector
     packs back into one int64 with bitwise shifts (no arithmetic
     overflow). Near-dup = small Hamming distance between fingerprints.
+
+    ``carry`` columns (functions of the document, e.g. a content
+    digest) ride the same shuffle keys through the one token pass, and
+    ``with_distinct_tokens`` emits the per-doc distinct-token count
+    from the same aggregation — both exist so callers never have to
+    re-scan the corpus for per-doc metadata next to the signature (at
+    100 TB every avoided corpus reference is a saved scan).
     """
     from cdc_kafka_project_spark.functions import spread
 
+    keys = ["doc_id", *carry]
     tok = (
-        spread(df.select("doc_id", F.col(text_col)))
-        .select("doc_id", F.explode(tokens(text_col)).alias("word"))
-        .groupBy("doc_id", "word")
+        spread(df.select(*keys, F.col(text_col)))
+        .select(*keys, F.explode(tokens(text_col)).alias("word"))
+        .groupBy(*keys, "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.xxhash64("word"))
     )
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                    F.col("cnt"),
-                ).otherwise(-F.col("cnt"))
-            ).alias(f"__v{i}")
-            for i in range(bits)
-        ]
-    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    if with_distinct_tokens:
+        # one row per (doc, distinct word) reaches this agg, so a plain
+        # count IS the distinct-token count — no second tokenize pass
+        aggs.append(F.count(F.lit(1)).alias("n_distinct_tokens"))
+    votes = tok.groupBy(*keys).agg(*aggs)
     packed = None
     for i in range(bits):
         bit = F.shiftleft((F.col(f"__v{i}") > 0).cast("long"), i)
         packed = bit if packed is None else packed.bitwiseOR(bit)
-    return votes.select("doc_id", packed.alias("simhash"))
+    out_cols = list(keys)
+    if with_distinct_tokens:
+        out_cols.append("n_distinct_tokens")
+    return votes.select(*out_cols, packed.alias("simhash"))
 
 
 def simhash_hamming_pairs(
-    fingerprints: DataFrame, max_distance: int = 8, bands: int = 4
+    fingerprints: DataFrame,
+    max_distance: int = 8,
+    bands: int = 4,
+    materialized: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into ``bands`` 16-bit
     chunks (pigeonhole: distance <= bands-1 guarantees a shared band;
     wider distances are caught with high probability), equi-join on
-    (band, chunk), verify exact Hamming distance with bit_count."""
+    (band, chunk), verify exact Hamming distance with bit_count.
+
+    Pass ``materialized=True`` when the caller already checkpointed /
+    persisted ``fingerprints`` (re-checkpointing an identical frame
+    would copy its blocks and double the storage footprint)."""
     width = 64 // bands
     mask = (1 << width) - 1
     # Referenced twice by the self-join; localCheckpoint materializes
     # once and the scoped lifecycle (cache.py) frees the blocks when
     # the owning query ends (a .cache() here leaked storage across
     # repeated invocations; bare localCheckpoint leaked until GC).
-    fingerprints = cache.scoped_localcheckpoint(fingerprints)
+    if not materialized:
+        fingerprints = cache.scoped_localcheckpoint(fingerprints)
     banded = fingerprints.select(
         "doc_id",
         "simhash",

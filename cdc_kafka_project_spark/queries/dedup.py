@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cdc_kafka_project_spark import cache
 from cdc_kafka_project_spark.catalog import load_table
 from cdc_kafka_project_spark.functions import fround
 from cdc_kafka_project_spark.operators import dedup as dd
@@ -130,9 +131,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature of a byte-identical re-keyed copy computed in the
     same job (content-function / partition-independence contract),
     alongside the SQL-mirrored distinct-token count. Raw signature
-    values stay pytest-pinned (tests/test_dedup.py)."""
-    from cdc_kafka_project_spark.functions import tokens
+    values stay pytest-pinned (tests/test_dedup.py).
 
+    Scan discipline (r11): ONE signature pass emits the signature AND
+    the distinct-token count (simhash(with_distinct_tokens=True) — the
+    count is the group cardinality the pass already computes; the
+    canonical tokenizer is simhash's own, so the mirrored column
+    tracks the signature's real input domain), and the narrow
+    (doc_id, n_distinct_tokens, simhash) table is checkpointed before
+    the orig/copy self-join. 2 executed scans of documents (the
+    union's two branches), down from 5."""
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.trim("text") != ""
     )
@@ -145,30 +153,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one signature pass over corpus + copies (2N docs, same shuffle
     # shape as the plain fingerprint job)
-    fps = dd.simhash(docs.unionByName(copies))
+    fps = cache.scoped_localcheckpoint(
+        dd.simhash(docs.unionByName(copies), with_distinct_tokens=True)
+    )
     orig = fps.filter(F.col("doc_id") >= 0)
     copy = fps.filter(F.col("doc_id") < 0).select(
         (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
         F.col("simhash").alias("__copy_sig"),
     )
-    ntok = docs.select(
+    return orig.join(copy, "doc_id").select(
         "doc_id",
-        # the canonical tokenizer (the same one simhash consumes), so
-        # the mirrored column tracks the signature's real input domain
-        F.size(F.array_distinct(tokens("text")))
-        .cast("long")
-        .alias("n_distinct_tokens"),
-    )
-    return (
-        orig.join(copy, "doc_id")
-        .join(ntok, "doc_id")
-        .select(
-            "doc_id",
-            "n_distinct_tokens",
-            (F.col("simhash") == F.col("__copy_sig")).alias(
-                "copy_sig_identical"
-            ),
-        )
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        (F.col("simhash") == F.col("__copy_sig")).alias("copy_sig_identical"),
     )
 
 
@@ -212,24 +208,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the same membership relationally). The
     approximate tier (0 < hamming <= 8, no text match) stays
     pytest-pinned (tests/test_dedup.py) because its membership depends
-    on the engine-side xxhash64 bit patterns."""
+    on the engine-side xxhash64 bit patterns.
+
+    Scan discipline (r11): the verify tier compares sha-256 content
+    digests carried through the ONE signature pass (simhash(carry=...))
+    instead of re-joining the corpus text onto both pair sides —
+    sha-256 equality is the same exact-content contract the digest
+    dedup tier uses (collision probability ~2^-128; a differing text
+    can only pass by breaking SHA-256 itself). The narrow fingerprint
+    table (doc_id, digest, simhash) is checkpointed ONCE and feeds the
+    band self-join and both verify sides. 2 executed scans of
+    documents (injected-copy materialization + union), down from 6."""
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.trim("text") != ""
     )
-    injected = (
+    # the injected frame is tiny (N rows) — checkpoint it so deriving
+    # `full` does not re-scan the corpus for the copies branch
+    injected = cache.scoped_localcheckpoint(
         docs.orderBy("doc_id")
         .limit(N_SIMHASH_DUPS)
         .select((-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text")
     )
-    full = docs.unionByName(injected)
-    fps = dd.simhash(full)
-    cand = dd.simhash_hamming_pairs(fps, max_distance=8, bands=4)
-    ta = full.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
-    tb = full.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    full = docs.unionByName(injected).withColumn(
+        "__digest", F.sha2("text", 256)
+    )
+    fps = cache.scoped_localcheckpoint(
+        dd.simhash(full, carry=("__digest",))
+    )
+    cand = dd.simhash_hamming_pairs(
+        fps.select("doc_id", "simhash"), max_distance=8, bands=4,
+        materialized=True,
+    )
+    da = fps.select(F.col("doc_id").alias("doc_a"), F.col("__digest").alias("__da"))
+    db = fps.select(F.col("doc_id").alias("doc_b"), F.col("__digest").alias("__db"))
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .filter(F.col("__ta") == F.col("__tb"))
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(F.col("__da") == F.col("__db"))
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
 

@@ -67,11 +67,15 @@ class EmbeddedLog:
     def __init__(self, root: str) -> None:
         self.root = root
         os.makedirs(root, exist_ok=True)
-        #: last pinned poll batch per (group, topic) — superseded (and
-        #: its checkpoint blocks freed) by the next poll of the same
-        #: consumer, so an unbounded poll/commit loop holds at most one
-        #: batch's blocks per consumer
-        self._last_poll: dict[tuple[str, str], object] = {}
+        #: last pinned poll batch per (group, topic) as
+        #: (frame, {partition -> max offset}) — the offsets captured
+        #: EAGERLY at poll time so commit never re-reads the frame.
+        #: Freed by the same consumer's next poll or by commit; owned
+        #: by the consumer, NOT the query-scoped cache registry, so a
+        #: registered-query invocation between poll and commit cannot
+        #: sweep the batch's blocks (kafka's poll/process/commit
+        #: contract allows arbitrary work in the processing gap).
+        self._last_poll: dict[tuple[str, str], tuple[object, dict[int, int]]] = {}
 
     # -- paths --------------------------------------------------------------
     def _topic_dir(self, topic: str) -> str:
@@ -267,32 +271,71 @@ class EmbeddedLog:
             .limit(max_messages)
         )
         # Pin the delivered set NOW: the poll window must not shift if
-        # a producer appends between poll and commit (commit()
-        # aggregates this same DataFrame — re-scanning the log would
-        # advance offsets past records the consumer never received).
-        # Scoped: blocks released at the next begin_query /
-        # release_caches — or, for a long-lived consumer loop, by the
-        # SAME consumer's next poll (per the kafka contract the
-        # previous batch is processed + committed before re-polling,
-        # so its pinned blocks are dead weight by then).
-        batch = cache.scoped_localcheckpoint(batch)
-        cache.release_checkpoint(self._last_poll.get((group, topic)))
-        self._last_poll[(group, topic)] = batch
+        # a producer appends between poll and commit (re-scanning the
+        # log would advance offsets past records the consumer never
+        # received). CONSUMER-OWNED, not query-scoped: kafka's
+        # poll/process/commit contract allows arbitrary work in the
+        # processing gap — including registered-query invocations whose
+        # begin_query sweeps the scoped registry — so the batch must
+        # survive that sweep. Freed by this consumer's next poll of the
+        # same (group, topic) or by commit(), whichever comes first; an
+        # unbounded poll/commit loop therefore holds at most one
+        # batch's blocks per consumer.
+        batch = cache.owned_localcheckpoint(batch)
+        # Capture the per-partition high offsets EAGERLY, while the
+        # checkpoint is certainly alive — commit() then never needs to
+        # re-read the frame. Bounded: <= max_messages rows.
+        hi = {
+            int(r.partition): int(r.hi)
+            for r in batch.groupBy("partition")
+            .agg(F.max("offset").alias("hi"))
+            .collect()
+        }
+        prev = self._last_poll.pop((group, topic), None)
+        if prev is not None:
+            cache.free_owned_checkpoint(prev[0])
+        self._last_poll[(group, topic)] = (batch, hi)
         self._register(group, member)
         return batch
 
     def commit(self, group: str, topic: str, batch: DataFrame) -> None:
-        """Advance the group's offsets past everything in ``batch``."""
+        """Advance the group's offsets past everything in ``batch``.
+
+        For the pinned batch of the consumer's own last poll the high
+        offsets were captured eagerly at poll time, so no Spark job
+        runs here and the call is safe even after the batch's blocks
+        were freed; committing any OTHER frame aggregates it live.
+        Releases the pinned batch: after commit it is dead weight
+        (kafka semantics — a committed batch is never re-delivered)."""
+        entry = self._last_poll.get((group, topic))
+        if entry is not None and entry[0] is batch:
+            hi = entry[1]
+        else:
+            hi = {
+                int(r.partition): int(r.hi)
+                for r in batch.groupBy("partition")
+                .agg(F.max("offset").alias("hi"))
+                .collect()
+            }
         state = self._group_state(group)
-        hi = (
-            batch.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
-        )
         offsets = state.setdefault("topics", {}).setdefault(topic, {})
-        for r in hi:
-            offsets[str(r.partition)] = max(
-                int(offsets.get(str(r.partition), 0)), int(r.hi) + 1
-            )
+        for part, h in hi.items():
+            offsets[str(part)] = max(int(offsets.get(str(part), 0)), h + 1)
         self._write_group(group, state)
+        if entry is not None and entry[0] is batch:
+            del self._last_poll[(group, topic)]
+            cache.free_owned_checkpoint(batch)
+
+    def close(self) -> None:
+        """Consumer teardown: free every still-pinned poll batch (the
+        explicit release point for consumers that polled but never
+        committed — owned checkpoints are invisible to the scoped
+        cache registry, so without this they pin blocks for the
+        session). Committed offsets are durable on disk and survive;
+        un-committed delivered frames become invalid."""
+        while self._last_poll:
+            _, (frame, _) = self._last_poll.popitem()
+            cache.free_owned_checkpoint(frame)
 
     # -- group state --------------------------------------------------------
     def _group_state(self, group: str) -> dict:

@@ -472,8 +472,8 @@ def test_dedup_simhash_flag_catches_impure_signature(spark, monkeypatch):
 
     real = dd.simhash
 
-    def impure(df, text_col="text", bits=64):
-        out = real(df, text_col=text_col, bits=bits)
+    def impure(df, text_col="text", bits=64, **kw):
+        out = real(df, text_col=text_col, bits=bits, **kw)
         return out.withColumn(
             "simhash", F.col("simhash").bitwiseXOR(F.col("doc_id"))
         )

@@ -21,7 +21,9 @@ from cdc_kafka_project_spark.streaming.full_pipeline import (
 
 @pytest.fixture()
 def log(tmp_path):
-    return EmbeddedLog(str(tmp_path / "broker"))
+    broker = EmbeddedLog(str(tmp_path / "broker"))
+    yield broker
+    broker.close()  # free pinned batches of polls never committed
 
 
 def test_topic_admin_surface(log):
@@ -262,5 +264,61 @@ def test_poll_loop_bounds_pinned_batches(spark, tmp_path):
         log.commit("g", "t", batch)
         n = int(spark.sparkContext._jsc.getPersistentRDDs().size())
         assert n <= baseline + 1, f"poll loop accumulated blocks: {n}"
+    log.close()
     cache.release_caches()
+    assert int(spark.sparkContext._jsc.getPersistentRDDs().size()) == baseline
+
+
+def test_poll_batch_survives_registry_query_before_commit(spark, log):
+    """Kafka's poll/process/commit contract allows ARBITRARY work in
+    the processing gap — including registered-query invocations whose
+    begin_query sweeps the scoped cache registry. The pinned poll
+    batch is consumer-owned, so that sweep must not free its blocks:
+    collect() and commit() after an interleaved registry query must
+    still see the delivered records (previously raised
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
+    from cdc_kafka_project_spark import cache
+
+    cache.release_caches()
+    log.create_topic("t", num_partitions=1)
+    df = spark.createDataFrame(
+        [("k", f"v{i}") for i in range(5)], "key string, value string"
+    )
+    log.publish(df, "t", order_col="value")
+    batch = log.poll(spark, "t", "g", max_messages=3)
+    # an unrelated registered query runs mid-processing: its
+    # begin_query -> release_caches sweeps the SCOPED registry
+    cache.begin_query("interleaved_query", "/root/testdata/sf0.001")
+    delivered = {bytes(r.value).decode() for r in batch.collect()}
+    assert delivered == {"v0", "v1", "v2"}
+    log.commit("g", "t", batch)  # offsets from poll-time capture
+    rest = {
+        bytes(r.value).decode()
+        for r in log.poll(spark, "t", "g", max_messages=100).collect()
+    }
+    assert rest == {"v3", "v4"}
+    cache.release_caches()
+
+
+def test_commit_frees_pinned_batch_and_drops_entry(spark, log):
+    """commit() is the contract point where the pinned batch becomes
+    dead weight (a committed batch is never re-delivered): it must
+    free the batch's blocks AND drop the (group, topic) entry, so a
+    session serving many distinct groups/topics does not accumulate
+    dead driver-side plan objects."""
+    from cdc_kafka_project_spark import cache
+
+    cache.release_caches()
+    log.create_topic("t", num_partitions=1)
+    rows = spark.range(20).selectExpr(
+        "CAST(id AS STRING) AS key", "CAST(id AS STRING) AS value"
+    )
+    log.publish(rows, "t")
+    for group in ("g1", "g2", "g3"):
+        batch = log.poll(spark, "t", group, max_messages=5)
+        batch.count()
+        log.commit(group, "t", batch)
+        assert (group, "t") not in log._last_poll
+    assert log._last_poll == {}
+    # owned checkpoints all freed on commit: nothing pinned
     assert int(spark.sparkContext._jsc.getPersistentRDDs().size()) == 0

@@ -356,15 +356,29 @@ def test_pair_queries_scan_corpus_at_most_twice(spark):
     from cdc_kafka_project_spark.registry import all_queries
     from tools.scan_audit import real_scans
 
+    from tools.scan_audit import executed_scans, self_check
+
+    # guard against the AQE-leaf trap: if the walker cannot see the
+    # real tree, every `n <= 2` below is vacuously true (0 <= 2)
+    self_check(spark, SF_SMOKE)
+
     q = all_queries()
-    for name, table in [
-        ("media_phash_dup_pairs", "documents"),
-        ("dedup_simhash_pairs", "documents"),
-        ("dedup_minhash_lsh", "documents"),
-        ("similarity_near_dup", "embeddings"),
-    ]:
-        df = q[name](spark, SF_SMOKE)
-        df.count()
-        n = real_scans(df).get(table, 0)
-        cache.release_caches()
-        assert n <= 2, f"{name} executes {n} scans of {table}"
+    cache.set_audit(True)
+    try:
+        for name, table in [
+            ("media_phash_dup_pairs", "documents"),
+            ("dedup_simhash_pairs", "documents"),
+            ("dedup_minhash_lsh", "documents"),
+            ("similarity_near_dup", "embeddings"),
+        ]:
+            df = q[name](spark, SF_SMOKE)
+            df.count()
+            counts = executed_scans(df, cache)
+            n = counts.get(table, 0)
+            cache.release_caches()
+            # every query here reads its corpus at least once; {} or a
+            # missing table entry means the walker went blind again
+            assert n >= 1, f"{name}: audit blind ({counts})"
+            assert n <= 2, f"{name} executes {n} scans of {table}"
+    finally:
+        cache.set_audit(False)

@@ -4,9 +4,15 @@
 A naive text count over the plan string overstates scans — an
 ``InMemoryRelation`` (persisted intermediate) prints its full child
 lineage including the original parquet scan, which executes at most
-once. This tool walks the PHYSICAL plan tree instead and counts
-``FileSourceScan`` nodes that are not beneath an ``InMemoryTableScan``
-boundary, i.e. scans that actually hit the source per execution.
+once. This tool counts scans that actually execute, from two places:
+
+* the final frame's EXECUTED physical tree (``FileSourceScan`` nodes
+  outside ``InMemoryTableScan`` boundaries), and
+* the pre-materialization frames recorded by ``cache.set_audit(True)``
+  — a ``localCheckpoint`` truncates lineage to a LogicalRDD and a
+  persist hides its subtree behind InMemoryTableScan, so the I/O that
+  ran to MATERIALIZE them is invisible in the final tree; their static
+  plans are walked once each (that is exactly how often they execute).
 
 A query reading one table N>=3 times is the 100 TB smell the round-10
 phash fix removed (each extra reference re-runs the scan + any
@@ -27,14 +33,36 @@ sys.path.insert(0, ".")
 _CACHED_BOUNDARIES = ("InMemoryTableScan",)
 
 
-def real_scans(df) -> dict[str, int]:
-    """table -> count of FileSourceScan nodes outside cached subtrees."""
-    counts: dict[str, int] = {}
+def _walk_counts(root, counts: dict[str, int]) -> None:
+    """Accumulate table -> FileSourceScan count outside cached subtrees.
+
+    With AQE enabled (the session default) ``executedPlan()`` is an
+    ``AdaptiveSparkPlanExec`` — a LEAF node (``children()`` is empty, no
+    ``plan()`` accessor), so a naive tree walk sees nothing and returns
+    ``{}`` for every query.  We descend via ``finalPhysicalPlan()`` at
+    every AdaptiveSparkPlan node (the root, and any nested ones inside
+    cached/subquery subtrees); ShuffleQueryStage/BroadcastQueryStage
+    wrappers are still entered via ``plan()``.
+    """
 
     def walk(node, under_cache: bool) -> None:
         name = node.nodeName()
         if any(b in name for b in _CACHED_BOUNDARIES):
             under_cache = True
+        if "AdaptiveSparkPlan" in name:
+            # leaf wrapper: the real tree hangs off finalPhysicalPlan().
+            # NOTE finalPhysicalPlan() on a never-executed frame would
+            # EXECUTE its query stages — only call real_scans on frames
+            # whose action has already run (static_scans avoids AQE
+            # entirely via sparkPlan()).
+            try:
+                walk(node.finalPhysicalPlan(), under_cache)
+            except Exception:
+                try:
+                    walk(node.initialPlan(), under_cache)
+                except Exception:
+                    pass
+            return
         if not under_cache and ("Scan parquet" in name or "FileScan" in name):
             try:
                 loc = node.relation().location().rootPaths().head().toString()
@@ -47,14 +75,70 @@ def real_scans(df) -> dict[str, int]:
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next(), under_cache)
-        # AQE wraps stages; recurse into plan children of query stages
+        # query-stage wrappers (ShuffleQueryStage/BroadcastQueryStage)
+        # expose their materialized subtree via plan(), not children()
         try:
-            walk(node.plan(), under_cache)  # ShuffleQueryStage/Broadcast
+            walk(node.plan(), under_cache)
         except Exception:
             pass
 
-    walk(df._jdf.queryExecution().executedPlan(), False)
+    walk(root, False)
+
+
+def real_scans(df) -> dict[str, int]:
+    """table -> executed FileSourceScan count in the final frame's tree.
+
+    Call only AFTER the frame's action has run (count/collect) — on a
+    never-executed frame the AQE descent would trigger execution."""
+    counts: dict[str, int] = {}
+    _walk_counts(df._jdf.queryExecution().executedPlan(), counts)
     return counts
+
+
+def static_scans(df) -> dict[str, int]:
+    """table -> FileSourceScan count in the STATIC physical plan
+    (``sparkPlan()``, pre-AQE — safe on never-executed frames). Used
+    for the pre-materialization audit trail: each trail frame's plan
+    executes exactly once, at persist/checkpoint materialization."""
+    counts: dict[str, int] = {}
+    _walk_counts(df._jdf.queryExecution().sparkPlan(), counts)
+    return counts
+
+
+def executed_scans(df, cache_mod=None) -> dict[str, int]:
+    """Total executed scans for a registered query run: the final
+    frame's tree PLUS one static walk per materialized intermediate
+    recorded in the cache audit trail (requires ``cache.set_audit(True)``
+    before the query builds; without it checkpoint-heavy queries report
+    {} because their corpus reads all happened in materialization jobs)."""
+    if cache_mod is None:
+        from cdc_kafka_project_spark import cache as cache_mod
+    counts = real_scans(df)
+    for src in cache_mod.audit_trail():
+        for t, n in static_scans(src).items():
+            counts[t] = counts.get(t, 0) + n
+    return counts
+
+
+def self_check(spark, sf_dir: str) -> None:
+    """Fail loudly if the walker has gone blind (the AQE-leaf trap).
+
+    A raw parquet self-join must report >=2 executed scans of the
+    table; an empty result means the walker is not reaching the real
+    tree and every downstream '0 flagged' claim would be vacuous.
+    """
+    path = f"{sf_dir.rstrip('/')}/region.parquet"
+    a = spark.read.parquet(path)
+    b = spark.read.parquet(path).withColumnRenamed("r_name", "r_name2")
+    j = a.join(b, "r_regionkey")
+    j.count()
+    counts = real_scans(j)
+    total = sum(counts.values())
+    if total < 2:
+        raise AssertionError(
+            f"scan_audit self-check FAILED: self-join reported {counts} "
+            "(expected >=2 scans) — walker is blind; refusing to audit"
+        )
 
 
 def main() -> int:
@@ -66,24 +150,29 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("scan-audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    self_check(spark, sf_dir)
+    cache.set_audit(True)
     flagged = 0
-    for name, fn in all_queries().items():
-        if only and name not in only:
-            continue
-        try:
-            df = fn(spark, sf_dir)
-            df.count()  # materialize so AQE finalizes + caches fill
-            counts = real_scans(df)
-        except Exception as e:
-            print(f"ERR   {name}: {type(e).__name__}: {e}")
-            flagged += 1
-            continue
-        finally:
-            cache.release_caches()
-        worst = {t: c for t, c in counts.items() if c >= 3}
-        if worst:
-            print(f"MULTI {name}: {worst}")
-            flagged += 1
+    try:
+        for name, fn in all_queries().items():
+            if only and name not in only:
+                continue
+            try:
+                df = fn(spark, sf_dir)
+                df.count()  # materialize so AQE finalizes + caches fill
+                counts = executed_scans(df, cache)
+            except Exception as e:
+                print(f"ERR   {name}: {type(e).__name__}: {e}")
+                flagged += 1
+                continue
+            finally:
+                cache.release_caches()
+            worst = {t: c for t, c in counts.items() if c >= 3}
+            if worst:
+                print(f"MULTI {name}: {worst}")
+                flagged += 1
+    finally:
+        cache.set_audit(False)
     print(f"done; {flagged} flagged (>=3 executed scans of one table)")
     return 0
 
