@@ -135,9 +135,17 @@ def train_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    word_freqs: DataFrame | None = None,
 ) -> list[BpeMerge]:
     """Learn ``n_merges`` BPE merge rules from the corpus. Stops early
-    when no adjacent pair remains. Returns merges in learned order."""
+    when no adjacent pair remains. Returns merges in learned order.
+
+    ``word_freqs``: an already-MATERIALIZED ``word_freq_table`` frame
+    (caller-scoped checkpoint) to train from instead of re-deriving it
+    from ``docs`` — callers that also need the word table elsewhere
+    (the apply tier's vocab segmentation) pass it so the corpus is
+    scanned once for both uses. The caller keeps ownership; train_bpe
+    never releases it."""
     spark = docs.sparkSession
     # localCheckpoint, not persist: caching materializes the DATA but
     # the logical plan keeps its full lineage, so round N's analysis /
@@ -147,7 +155,20 @@ def train_bpe(
     # go through cache.scoped_localcheckpoint (deterministic release);
     # superseded loop states are freed immediately — at most one live
     # word-table checkpoint at any time, regardless of n_merges.
-    words = cache.scoped_localcheckpoint(word_freq_table(docs, text_col))
+    caller_owned = word_freqs is not None
+    if caller_owned:
+        # accept a (word, freq) artifact (the shareable shape — the
+        # vocab segmentation tier needs the word string); the symbol
+        # split is a cheap projection over the materialized frame
+        words = (
+            word_freqs
+            if "symbols" in word_freqs.columns
+            else word_freqs.select(
+                F.split("word", "").alias("symbols"), "freq"
+            )
+        )
+    else:
+        words = cache.scoped_localcheckpoint(word_freq_table(docs, text_col))
     # Right-size the loop's parallelism to the STATE size, not the
     # corpus size: after the collapse to distinct words the table is
     # |vocab| rows, and running every round's rewrite + pair-agg at
@@ -159,7 +180,8 @@ def train_bpe(
                        n_vocab // 25_000 + 1))
     prev = words
     words = cache.scoped_localcheckpoint(words.coalesce(parts))
-    cache.release_checkpoint(prev)  # rematerialized at `parts` width
+    if not caller_owned:
+        cache.release_checkpoint(prev)  # rematerialized at `parts` width
     last_ck = words
     merges: list[BpeMerge] = []
     for rank in range(n_merges):
@@ -198,7 +220,10 @@ def bpe_merge_table(
 
 
 def bpe_vocab_table(
-    docs: DataFrame, merges: list[BpeMerge], text_col: str = "text"
+    docs: DataFrame,
+    merges: list[BpeMerge],
+    text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(word, tokens array<string>, n_tokens) for every distinct corpus
     word under the learned merges — the segmentation LOOKUP TABLE.
@@ -209,10 +234,20 @@ def bpe_vocab_table(
     downstream use broadcast-join the table. 100 TB of text re-uses a
     vocab-sized artifact instead of running n_merges folds per token
     occurrence.
+
+    ``words``: an optional materialized distinct-word frame (any frame
+    with a ``word`` column, e.g. the training word_freq_table) — pass
+    it to segment from the existing artifact instead of re-scanning
+    the corpus for the distinct-word pass.
     """
-    words = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
-    ).filter(F.col("word") != "").distinct()
+    if words is None:
+        words = docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word")
+        ).filter(F.col("word") != "").distinct()
+    else:
+        words = words.select("word")
     out = words.withColumn("tokens", F.split("word", ""))
     for m in merges:
         out = out.withColumn(
@@ -226,10 +261,15 @@ def bpe_token_counts(
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_word_count: bool = False,
 ) -> DataFrame:
     """Per-document BPE token count + chars-per-token compression:
     explode to words (map-side), broadcast-join the segmentation
-    table, one partial-agg shuffle on the doc id."""
+    table, one partial-agg shuffle on the doc id.
+
+    ``with_word_count`` adds ``n_words`` (whitespace word count) from
+    the SAME aggregation — the explode already enumerates every word
+    occurrence, so callers that need it avoid a second corpus scan."""
     words = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
@@ -237,14 +277,19 @@ def bpe_token_counts(
     joined = words.join(
         F.broadcast(vocab.select("word", "n_tokens")), "word"
     )
-    per_doc = joined.groupBy(id_col).agg(
+    aggs = [
         F.sum("n_tokens").alias("n_bpe_tokens"),
         F.sum(F.length("word")).alias("n_word_chars"),
-    )
+    ]
+    if with_word_count:
+        aggs.append(F.count(F.lit(1)).alias("n_words"))
+    per_doc = joined.groupBy(id_col).agg(*aggs)
+    extra = ["n_words"] if with_word_count else []
     return per_doc.select(
         id_col,
         "n_bpe_tokens",
         "n_word_chars",
+        *extra,
         (F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens"))
         .alias("chars_per_token"),
     )

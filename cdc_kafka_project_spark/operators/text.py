@@ -455,9 +455,15 @@ def tfidf_top_terms(
     Shape at scale: the explode fan-out is absorbed map-side by the
     (doc, word) partial count; the df join shuffles |vocab| rows, not
     |tokens|; N joins in as a broadcast single row; the final top-k is
-    a per-doc window over ≤|distinct words in doc| rows.
+    a per-doc window over ≤|distinct words in doc| rows. The (doc,
+    word, tf) postings table is checkpointed once — it feeds both the
+    document-frequency roll-up and the scoring join (the same
+    materialize-the-index move the BM25 tier makes), so the corpus is
+    scanned twice total, not once per postings reference.
     """
     from pyspark.sql import Window
+
+    from cdc_kafka_project_spark import cache
 
     toks = df.select(
         F.col(id_col),
@@ -465,7 +471,9 @@ def tfidf_top_terms(
             F.transform(tokens(text_col), lambda t: F.lower(t))
         ).alias("word"),
     )
-    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = cache.scoped_localcheckpoint(
+        toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     score = fround(

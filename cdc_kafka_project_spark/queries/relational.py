@@ -718,41 +718,65 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (product analytics): users who viewed, then
     clicked at-or-after their first view, then purchased at-or-after
-    that click. Three stage aggregations, each one keyed shuffle on
-    user_id — AQE reuses the co-partitioning, and each stage's input
-    shrinks to the survivors of the previous one. No window over the
-    whole event stream, no per-user event arrays collected."""
+    that click.
+
+    Scan discipline (r11): 2 executed scans of events, down from 5 —
+    scan 1 (filter-pushed to 'view') reduces to first-view per user;
+    scan 2 reads clicks AND purchases together (filter-pushed IN
+    list), joins the checkpointed first-view frame on user_id, and
+    one keyed aggregation computes first-qualifying-click per user
+    while collecting that user's purchase timestamps (purchases are
+    the rarest funnel stage, so the per-user array is the smallest of
+    the three types — views, the heavy type, are never collected).
+    The first purchase at-or-after the first click is then an array
+    lookup, no third pass over the stream."""
+    from cdc_kafka_project_spark import cache
+
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    fv = (
+    fv = cache.scoped_localcheckpoint(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
     )
-    fc = (
-        ev.filter(F.col("event_type") == "click")
-        .join(fv, "user_id")
-        .filter(F.col("ts") >= F.col("first_view"))
+    cp = ev.filter(F.col("event_type").isin("click", "purchase"))
+    per_user = (
+        cp.join(fv, "user_id")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("first_click"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                )
+            ).alias("__purchases"),
+        )
+        .withColumn(
+            "first_purchase",
+            F.when(
+                F.col("first_click").isNotNull(),
+                F.array_min(
+                    F.filter(
+                        "__purchases", lambda t: t >= F.col("first_click")
+                    )
+                ),
+            ),
+        )
     )
-    fp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(fc, "user_id")
-        .filter(F.col("ts") >= F.col("first_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    # one distributed job: tag each stage's survivors, conditional-count
-    tagged = (
-        fv.select(F.lit("view").alias("stage"))
-        .unionByName(fc.select(F.lit("click").alias("stage")))
-        .unionByName(fp.select(F.lit("purchase").alias("stage")))
-    )
-    return tagged.groupBy().agg(
-        F.count(F.when(F.col("stage") == "view", 1)).alias("n_view"),
-        F.count(F.when(F.col("stage") == "click", 1)).alias("n_click"),
-        F.count(F.when(F.col("stage") == "purchase", 1)).alias("n_purchase"),
-    )
+    return per_user.groupBy().agg(
+        # every per_user row joined fv, but fv rows with no click or
+        # purchase events don't reach per_user — count views from fv
+        F.count(F.lit(1)).alias("n_click_or_purchase"),
+        F.count("first_click").alias("n_click"),
+        F.count("first_purchase").alias("n_purchase"),
+    ).crossJoin(
+        F.broadcast(fv.groupBy().agg(F.count(F.lit(1)).alias("n_view")))
+    ).select("n_view", "n_click", "n_purchase")
 
 
 @query(

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from cdc_kafka_project_spark import cache
 from cdc_kafka_project_spark.catalog import load_table
 from cdc_kafka_project_spark.operators import dedup as dd
 from cdc_kafka_project_spark.operators import retrieval as rt
@@ -233,9 +234,14 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-language sqrt weights are rounded to integer micro-units before
     the denominator sum so the quota arithmetic is order-independent
     across engines. Two tiny aggregations + one rank window on lang;
-    the corpus is scanned once."""
+    the per-language count frame is checkpointed (it feeds both the
+    weight table and the denominator sum), so the corpus is scanned
+    twice total — once for counts, once for the ranked sample (r11,
+    was 3)."""
     docs = _docs(spark, sf_dir)
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    counts = cache.scoped_localcheckpoint(
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    )
     wm = counts.select(
         "lang",
         F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1e6) + F.lit(0.5))

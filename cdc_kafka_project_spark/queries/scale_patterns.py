@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_kafka_project_spark.cache import scoped_persist
+from cdc_kafka_project_spark.cache import scoped_localcheckpoint, scoped_persist
 from cdc_kafka_project_spark.catalog import load_table, register_views
 from cdc_kafka_project_spark.functions import fround, tokens
 from cdc_kafka_project_spark.registry import query
@@ -936,7 +936,14 @@ def sketch_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_kafka_project_spark.operators import sketches as sk
 
     ev = _t(spark, sf_dir, "events")
-    states = sk.hll_state_table(ev, F.to_date("ts"), "user_id", "day")
+    # the state table is tiny (one row per day) and referenced twice
+    # (daily rows + the ALL-row sketch union); checkpoint it so events
+    # is scanned once here + once for the exact total (2 executed
+    # scans, down from 3) — exactly how a production state table is
+    # served (persisted once, merged per question, history unread)
+    states = scoped_localcheckpoint(
+        sk.hll_state_table(ev, F.to_date("ts"), "user_id", "day")
+    )
     flag = (
         F.abs(F.col("est_distinct") - F.col("exact_distinct"))
         <= F.greatest(0.10 * F.col("exact_distinct"), F.lit(16.0))

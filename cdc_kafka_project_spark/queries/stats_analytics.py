@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_kafka_project_spark import cache
 from cdc_kafka_project_spark.catalog import load_table
 from cdc_kafka_project_spark.functions import (
     REVENUE_DEC_SQL,
@@ -1078,7 +1079,11 @@ def conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     two keyed aggregations of the fact table.
     """
     ev = load_table(spark, sf_dir, "events")
-    fc = (
+    # first-click per user is referenced twice (purchase join + the
+    # left join building the curve input); checkpoint the narrow
+    # (user_id, fc) frame so events is scanned once per event_type
+    # (2 executed scans, down from 3), both filter-pushed
+    fc = cache.scoped_localcheckpoint(
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("ts").alias("fc"))
@@ -1391,9 +1396,14 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded double division by cohort size at the end.
     """
     orders = load_table(spark, sf_dir, "orders")
-    fo = orders.groupBy("o_custkey").agg(
-        F.min(F.date_trunc("month", F.to_date("o_orderdate")).cast("date"))
-        .alias("cohort")
+    # the per-customer cohort frame feeds the revenue join AND the
+    # cohort-size roll-up; checkpoint it (narrow: custkey + month) so
+    # orders is scanned once per fact pass (2 executed scans, was 3)
+    fo = cache.scoped_localcheckpoint(
+        orders.groupBy("o_custkey").agg(
+            F.min(F.date_trunc("month", F.to_date("o_orderdate")).cast("date"))
+            .alias("cohort")
+        )
     )
     sz = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     rev = (
@@ -1807,45 +1817,49 @@ def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact. Laplace-style smoothing ((n+0.5)/(N+2.5)) keeps empty
     current-period bins finite and is applied identically on both
     engines before the one ln-based closed form per bin (5 rows).
+
+    Scan discipline (r11): after the edge pass, ONE scan of the full
+    table bins ref and cur rows together (conditional counts keyed on
+    which side of the split the row falls), and the 5-row per-bin
+    count frame is checkpointed so the totals derive from it instead
+    of re-scanning. 2 executed scans of events, down from 5.
     """
     ev = load_table(spark, sf_dir, "events")
-    ref = ev.filter(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp")).select(
-        "value"
-    )
-    cur = ev.filter(F.col("ts") >= F.lit(PSI_SPLIT).cast("timestamp")).select(
-        "value"
-    )
-    e = ref.agg(
-        *[
-            _round6(F.expr(f"percentile(value, {p})")).alias(f"e{i}")
-            for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
-        ]
-    )
-
-    def binned(df: DataFrame, cnt_name: str) -> DataFrame:
-        b = (
-            F.lit(1)
-            + (F.col("value") > F.col("e1")).cast("int")
-            + (F.col("value") > F.col("e2")).cast("int")
-            + (F.col("value") > F.col("e3")).cast("int")
-            + (F.col("value") > F.col("e4")).cast("int")
-        ).alias("bin")
-        return (
-            df.crossJoin(F.broadcast(e))
-            .select(b)
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(cnt_name))
+    is_ref = F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp")
+    e = (
+        ev.filter(is_ref)
+        .select("value")
+        .agg(
+            *[
+                _round6(F.expr(f"percentile(value, {p})")).alias(f"e{i}")
+                for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+            ]
         )
-
-    rc = binned(ref, "ref_n")
-    cc = binned(cur, "cur_n")
+    )
+    b = (
+        F.lit(1)
+        + (F.col("value") > F.col("e1")).cast("int")
+        + (F.col("value") > F.col("e2")).cast("int")
+        + (F.col("value") > F.col("e3")).cast("int")
+        + (F.col("value") > F.col("e4")).cast("int")
+    ).alias("bin")
+    counts = cache.scoped_localcheckpoint(
+        ev.select("value", is_ref.alias("__is_ref"))
+        .crossJoin(F.broadcast(e))
+        .select(b, "__is_ref")
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("__is_ref"), 1)).alias("ref_n"),
+            F.count(F.when(~F.col("__is_ref"), 1)).alias("cur_n"),
+        )
+    )
     bins = spark.range(1, 6).select(F.col("id").cast("int").alias("bin"))
-    tot = ref.agg(F.count(F.lit(1)).cast("double").alias("nr")).crossJoin(
-        cur.agg(F.count(F.lit(1)).cast("double").alias("nc"))
+    tot = counts.agg(
+        F.sum("ref_n").cast("double").alias("nr"),
+        F.sum("cur_n").cast("double").alias("nc"),
     )
     j = (
-        bins.join(F.broadcast(rc), on="bin", how="left")
-        .join(F.broadcast(cc), on="bin", how="left")
+        bins.join(F.broadcast(counts), on="bin", how="left")
         .crossJoin(F.broadcast(tot))
         .select(
             "bin",

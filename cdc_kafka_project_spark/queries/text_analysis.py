@@ -1059,19 +1059,32 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity with the reference encoder is pinned in tests/test_bpe.py;
     the drivable surface folds the count into the
     [n_words, n_word_chars] sandwich flag (oracle-mirrored chars)."""
+    from cdc_kafka_project_spark import cache
     from cdc_kafka_project_spark.operators.bpe import (
         bpe_token_counts,
         bpe_vocab_table,
         train_bpe,
     )
-    from cdc_kafka_project_spark.functions import token_count
 
     docs = _docs(spark, sf_dir)
-    merges = train_bpe(docs, n_merges=16)
-    vocab = bpe_vocab_table(docs, merges)
-    counts = bpe_token_counts(docs, vocab)
-    words = docs.select("doc_id", token_count("text").alias("n_words"))
-    return counts.join(words, "doc_id").select(
+    # ONE corpus pass builds the shared (word, freq) artifact; training
+    # folds over it, the segmentation table derives from it, and the
+    # apply pass emits n_words from its own aggregation — 2 executed
+    # scans of documents (artifact + apply), down from 3 (r11)
+    wf = cache.scoped_localcheckpoint(
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = train_bpe(docs, n_merges=16, word_freqs=wf)
+    vocab = bpe_vocab_table(docs, merges, words=wf)
+    counts = bpe_token_counts(docs, vocab, with_word_count=True)
+    return counts.select(
         "doc_id",
         "n_word_chars",
         (

@@ -164,8 +164,8 @@ def test_doc_bpe_token_bounds_flag_negative_case(spark, monkeypatch):
     )
     from pyspark.sql import functions as F
 
-    def exploding(docs, vocab, id_col="doc_id", text_col="text"):
-        out = real_counts(docs, vocab, id_col=id_col, text_col=text_col)
+    def exploding(docs, vocab, id_col="doc_id", text_col="text", **kw):
+        out = real_counts(docs, vocab, id_col=id_col, text_col=text_col, **kw)
         return out.withColumn(
             "n_bpe_tokens", F.col("n_word_chars") + F.lit(1)
         )
