@@ -52,6 +52,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — zero data scan.
+
+    The catalog-statistics read every warehouse offers: sizing
+    decisions (cluster counts, sample rates, partition targets) should
+    come from table stats, not from a counting job over the corpus —
+    at 100 TB a count(*) scan just to pick k is real I/O for a number
+    the footers already hold. Supports a single file or a directory of
+    part files."""
+    import pyarrow.parquet as pq
+
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}

@@ -192,7 +192,11 @@ SHINGLE_B = 1_000_003
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", n: int = 3, num_perm: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    with_digest: bool = False,
 ) -> DataFrame:
     """(doc_id, sig array<int>) MinHash signatures over word shingles.
 
@@ -211,6 +215,11 @@ def minhash_signatures(
 
     Docs with fewer than ``n`` words have no shingle set and are
     dropped.
+
+    ``with_digest`` adds a ``digest`` column (sha-256 hex of the raw
+    text) from the SAME kernel pass — the exact-duplicate tier of any
+    downstream consumer (index probes, pair verification) then never
+    re-reads the corpus for text comparison.
     """
     from cdc_kafka_project_spark.functions import spread
 
@@ -221,10 +230,12 @@ def minhash_signatures(
     B = np.array([b for _, b in coeffs], dtype=np.int64)
 
     def fn(batches):
+        import hashlib
+
         import pandas as pd
 
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, digests = [], [], []
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
                 ws = py_tokens(text)  # ASCII-\s+, == tokens()/oracle split
                 if len(ws) < n:
@@ -250,10 +261,20 @@ def minhash_signatures(
                 ).min(axis=0)
                 ids.append(int(did))
                 sigs.append(s.astype(np.int32))
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+                if with_digest:
+                    digests.append(
+                        hashlib.sha256(str(text).encode("utf-8")).hexdigest()
+                    )
+            out = {"doc_id": ids, "sig": sigs}
+            if with_digest:
+                out["digest"] = digests
+            yield pd.DataFrame(out)
 
+    schema = "doc_id long, sig array<int>"
+    if with_digest:
+        schema += ", digest string"
     src = spread(df.select("doc_id", text_col))
-    return src.mapInPandas(fn, "doc_id long, sig array<int>")
+    return src.mapInPandas(fn, schema)
 
 
 def _py_token_hash(w: str, b: int = 257, p: int = MERSENNE_P) -> int:
@@ -587,15 +608,64 @@ def decontaminate(
     eval_df: DataFrame,
     text_col: str = "text",
     n: int = 5,
+    keep_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Training corpus minus every doc flagged by ``contamination_hits``.
 
-    No forced broadcast on the flagged set: its size is data-dependent
-    (a heavily contaminated corpus can flag an unbounded number of
-    docs), so the join strategy is left to AQE — broadcast when the
-    runtime size is actually small, shuffle anti-join when it isn't."""
-    hits = contamination_hits(train, eval_df, text_col, n).select("doc_id")
-    return train.join(hits, "doc_id", "left_anti")
+    Two shapes:
+
+    * ``keep_cols=None`` (generic): flag pass + anti-join, returning
+      the full train rows. No forced broadcast on the flagged set: its
+      size is data-dependent (a heavily contaminated corpus can flag
+      an unbounded number of docs), so the join strategy is left to
+      AQE — broadcast when the runtime size is actually small, shuffle
+      anti-join when it isn't. Two passes over train.
+    * ``keep_cols=(...)`` (narrow output): ONE pass over train — the
+      named (small) columns ride the shingle explode, the distinct
+      eval shingles LEFT-broadcast-join in, and a per-doc aggregation
+      keeps exactly the docs with zero matches. Docs too short to
+      shingle explode_outer to a NULL shingle (they can never be
+      contaminated) and survive. At 100 TB this halves the corpus
+      I/O whenever the caller doesn't need the text back.
+    """
+    if keep_cols is None:
+        hits = contamination_hits(train, eval_df, text_col, n).select("doc_id")
+        return train.join(hits, "doc_id", "left_anti")
+
+    from cdc_kafka_project_spark.functions import spread
+
+    e = (
+        word_shingles(eval_df, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    words = spread(
+        train.select("doc_id", *keep_cols, tokens(text_col).alias("__ws"))
+    )
+    refs = ", ".join(f"__ws[i + {k}]" for k in range(n))
+    sh = words.select(
+        "doc_id",
+        *keep_cols,
+        F.explode_outer(
+            F.when(
+                F.size("__ws") >= n,
+                F.expr(
+                    f"transform(sequence(0, size(__ws) - {n}),"
+                    f" i -> concat_ws(' ', {refs}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    per_doc = (
+        sh.join(F.broadcast(e), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[F.first(c).alias(c) for c in keep_cols],
+            F.max(F.coalesce(F.col("__hit"), F.lit(0))).alias("__any_hit"),
+        )
+    )
+    return per_doc.filter(F.col("__any_hit") == 0).select("doc_id", *keep_cols)
 
 
 def normalize_for_dedup(text: Column) -> Column:
@@ -757,7 +827,7 @@ def build_minhash_index(
         docs, _minhash_params(n, num_perm, bands, rows)
     )
     sigs = cache.scoped_localcheckpoint(
-        minhash_signatures(docs, n=n, num_perm=num_perm)
+        minhash_signatures(docs, n=n, num_perm=num_perm, with_digest=True)
     )
     try:
         sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
@@ -780,8 +850,12 @@ def build_minhash_index(
 
 
 def _minhash_params(n: int, num_perm: int, bands: int, rows: int) -> dict:
+    # fmt 2 (r11): sigs/ carries a sha-256 content digest per doc, so
+    # exact-tier probe verification serves from the index instead of
+    # re-scanning the corpus; the bump makes pre-digest indexes read
+    # as stale and rebuild on the next ensure_*
     return {"kind": "minhash", "n": n, "num_perm": num_perm,
-            "bands": bands, "rows": rows}
+            "bands": bands, "rows": rows, "fmt": 2}
 
 
 def ensure_minhash_index(
@@ -827,7 +901,9 @@ def append_to_minhash_index(new_docs: DataFrame, path: str) -> None:
 
     m = read_model(path)
     sigs = cache.scoped_localcheckpoint(
-        minhash_signatures(new_docs, n=m["n"], num_perm=m["num_perm"])
+        minhash_signatures(
+            new_docs, n=m["n"], num_perm=m["num_perm"], with_digest=True
+        )
     )
     try:
         sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
@@ -839,7 +915,8 @@ def append_to_minhash_index(new_docs: DataFrame, path: str) -> None:
 
 
 def probe_minhash_index(
-    spark, new_docs: DataFrame, path: str, threshold: float = 0.5
+    spark, new_docs: DataFrame, path: str, threshold: float = 0.5,
+    with_digest: bool = False,
 ) -> DataFrame:
     """Near-duplicates of an arriving batch AGAINST the standing index:
     (new_doc_id, index_doc_id, est_jaccard >= threshold).
@@ -849,6 +926,11 @@ def probe_minhash_index(
     proportional to the batch's band rows plus matching buckets, never
     the corpus. Candidates verify on full signatures. Self-matches
     (same doc_id) are excluded so probe-after-append stays usable.
+
+    ``with_digest`` adds ``new_digest``/``index_digest`` (sha-256 of
+    the raw texts — the batch side from the probe's own signing pass,
+    the index side from the stored sigs table), so an exact-duplicate
+    tier (digest equality) costs ZERO extra corpus reads.
     """
     import os
 
@@ -856,7 +938,10 @@ def probe_minhash_index(
 
     m = read_model(path)
     sigs = cache.scoped_localcheckpoint(
-        minhash_signatures(new_docs, n=m["n"], num_perm=m["num_perm"])
+        minhash_signatures(
+            new_docs, n=m["n"], num_perm=m["num_perm"],
+            with_digest=with_digest,
+        )
     )
     probe_bands = minhash_band_table(sigs, bands=m["bands"], rows=m["rows"])
     idx_bands = spark.read.parquet(os.path.join(path, "bands"))
@@ -875,20 +960,27 @@ def probe_minhash_index(
         )
         .dropDuplicates(["new_doc_id", "index_doc_id"])
     )
+    extra = []
+    p_side = sigs.withColumnsRenamed({"doc_id": "new_doc_id", "sig": "__sp"})
+    x_side = idx_sigs.withColumnsRenamed(
+        {"doc_id": "index_doc_id", "sig": "__sx"}
+    )
+    if with_digest:
+        p_side = p_side.withColumnRenamed("digest", "new_digest")
+        x_side = x_side.withColumnRenamed("digest", "index_digest")
+        extra = ["new_digest", "index_digest"]
+    else:
+        x_side = x_side.drop("digest")
     verified = (
-        cand.join(sigs.withColumnsRenamed({"doc_id": "new_doc_id", "sig": "__sp"}), "new_doc_id")
-        .join(
-            idx_sigs.withColumnsRenamed(
-                {"doc_id": "index_doc_id", "sig": "__sx"}
-            ),
-            "index_doc_id",
-        )
+        cand.join(p_side, "new_doc_id")
+        .join(x_side, "index_doc_id")
         .select(
             "new_doc_id",
             "index_doc_id",
             fround(est_jaccard_expr(F.col("__sp"), F.col("__sx")), 4).alias(
                 "est_jaccard"
             ),
+            *extra,
         )
     )
     return verified.filter(F.col("est_jaccard") >= threshold)

@@ -70,18 +70,30 @@ def bm25_topk(
     """Exact BM25 top-``k``: (doc_id, n_terms_hit, score). Terms are
     matched lowercased; a document scores only on terms it contains
     (standard bag-of-words BM25). Deterministic: rank on the exact
-    micro-summed score, doc_id tiebreak."""
+    micro-summed score, doc_id tiebreak.
+
+    Scan discipline (r11): 2 executed scans of the corpus, down from
+    4 — one corpus-stats pass (N, avgdl), and one postings pass that
+    carries the doc length through the pruned term explode (only docs
+    containing a query term can score, so per-doc lengths for the
+    rest are never needed). The pruned postings frame (|matching
+    docs| x |terms| rows) is checkpointed once and feeds both the
+    document-frequency roll-up and the scoring join."""
+    from cdc_kafka_project_spark import cache
+
     terms = sorted({t.lower() for t in query_terms})
-    dl = df.select(
-        F.col(id_col), token_count(text_col).cast("double").alias("__dl")
+    tf = cache.scoped_localcheckpoint(
+        df.select(
+            F.col(id_col),
+            token_count(text_col).cast("double").alias("__dl"),
+            F.explode(
+                F.transform(tokens(text_col), lambda t: F.lower(t))
+            ).alias("word"),
+        )
+        .filter(F.col("word").isin(list(terms)))  # prune before any shuffle
+        .groupBy(id_col, "__dl", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias(
-            "word"
-        ),
-    ).filter(F.col("word").isin(list(terms)))   # prune before any shuffle
-    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     stats = df.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
@@ -89,7 +101,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "word")
-        .join(dl, id_col)
         .join(F.broadcast(stats))
         .select(
             F.col(id_col),

@@ -25,6 +25,8 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
+from cdc_kafka_project_spark import cache
+
 from cdc_kafka_project_spark.functions import (
     cosine_pd,
     fround,
@@ -804,7 +806,10 @@ def semdedup_pairs(
     # a single task
     B = max(1, -(-n // (block_rows * max(k, 1))))
     pre = threshold - 10.0 ** (-round_to)
-    packed = (
+    # the packed block table feeds BOTH sides of the block-pair join —
+    # checkpoint it so the corpus is scanned/assigned once, not once
+    # per join side (r11; the blocks are the shuffle payload anyway)
+    packed = cache.scoped_localcheckpoint(
         idx.withColumn(
             "__blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
         )

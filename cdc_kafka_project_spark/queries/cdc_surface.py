@@ -217,9 +217,18 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed-key set). The oracle is the full-log apply — proving
     incremental == recompute, the invariant MERGE must preserve.
     """
+    from cdc_kafka_project_spark import cache
+
     ev = _events(spark, sf_dir)
     old = ev.filter(F.col("ts") <= F.lit(WATERMARK))
-    new = ev.filter(F.col("ts") > F.lit(WATERMARK))
+    # the arriving micro-batch is referenced twice inside MERGE (the
+    # changed-key set for the anti-join + the change application);
+    # checkpoint it — a real incremental maintainer holds the bounded
+    # delta materialized anyway — so events is scanned once per side
+    # of the watermark (2 executed scans, was 3)
+    new = cache.scoped_localcheckpoint(
+        ev.filter(F.col("ts") > F.lit(WATERMARK))
+    )
     base = cdc.apply_changes(
         old, ["user_id"], ["ts", "event_id"], "event_type", "error"
     )
@@ -306,11 +315,19 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 'new' snapshot of customer (every 97th key deleted,
     every 5th balance bumped, every 101st key re-inserted shifted)
     against the original — one full outer join on the key emits
-    exactly the trigger's insert/update/delete events."""
+    exactly the trigger's insert/update/delete events.
+
+    Scan discipline (r11): the FIXTURE derives both snapshots from the
+    one customer table (a real diff reads two distinct snapshot
+    tables), so the 3-column snapshot input is checkpointed once and
+    both sides derive from it — 1 executed scan of customer, was 3."""
+    from cdc_kafka_project_spark import cache
     from cdc_kafka_project_spark.operators.cdc import snapshot_diff
 
-    cu = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_acctbal"
+    cu = cache.scoped_localcheckpoint(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
     )
     new = (
         cu.filter(F.col("c_custkey") % 97 != 0)

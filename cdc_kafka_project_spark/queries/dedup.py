@@ -390,11 +390,17 @@ def doc_contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination, removal tier: the training corpus
-    with every contaminated doc anti-joined away (broadcast anti-join
-    on the flagged ids)."""
+    """Benchmark decontamination, removal tier: the surviving
+    (doc_id, source) rows in ONE pass over the training corpus — the
+    narrow output columns ride the shingle explode, eval shingles
+    LEFT-broadcast-join in, and the per-doc aggregation keeps docs
+    with zero matches (r11: was flag pass + anti-join = two corpus
+    passes; 2 executed scans of documents now, the second being the
+    tiny filter-pushed eval split)."""
     train, ev = _decon_split(spark, sf_dir)
-    return dd.decontaminate(train, ev, n=_DECON_N).select("doc_id", "source")
+    return dd.decontaminate(
+        train, ev, n=_DECON_N, keep_cols=("source",)
+    )
 
 
 @query(
@@ -652,7 +658,9 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     dd.ensure_minhash_index(corpus, path, n=3, num_perm=64, bands=16, rows=4)
-    injected = (
+    # the injected frame is tiny (5 rows) — checkpoint it so deriving
+    # the batch does not re-scan the corpus for the copies branch
+    injected = cache.scoped_localcheckpoint(
         corpus.orderBy("doc_id")
         .limit(5)
         .select((-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text")
@@ -662,16 +670,15 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(injected)
     )
-    probed = dd.probe_minhash_index(spark, batch, path, threshold=0.5)
-    # exact tier: verify candidate pairs on full text (broadcastable
-    # batch side; corpus side re-read column-pruned to (doc_id, text))
-    bt = batch.withColumnsRenamed({"doc_id": "new_doc_id", "text": "__bt"})
-    ct = corpus.select(
-        F.col("doc_id").alias("index_doc_id"), F.col("text").alias("__ct")
+    probed = dd.probe_minhash_index(
+        spark, batch, path, threshold=0.5, with_digest=True
     )
-    return (
-        probed.join(bt, "new_doc_id")
-        .join(ct, "index_doc_id")
-        .filter(F.col("__bt") == F.col("__ct"))
-        .select("new_doc_id", "index_doc_id", "est_jaccard")
-    )
+    # exact tier: sha-256 digest equality, batch side from the probe's
+    # own signing pass, index side from the stored sigs table — the
+    # same exact-content contract as the digest dedup tier (collision
+    # probability ~2^-128), with ZERO extra corpus scans (r11: the
+    # text re-join read documents twice more; 2 executed scans now —
+    # injected-copy materialization + the batch's signing pass)
+    return probed.filter(
+        F.col("new_digest") == F.col("index_digest")
+    ).select("new_doc_id", "index_doc_id", "est_jaccard")

@@ -153,7 +153,16 @@ def build_curation_pipeline(
         "dedup",
     )
 
-    clean = tap(dd.decontaminate(k, ev, n=_DECON_N), "decontaminate")
+    # one-pass decontamination (r11): the narrow output columns ride
+    # the shingle explode and the eval shingles LEFT-broadcast-join in,
+    # so the gate + dedup window + shingle leg all fuse over ONE train
+    # scan — 2 executed scans of documents total (train leg + the tiny
+    # filter-pushed eval leg), down from 3 (the anti-join shape
+    # re-derived the train leg for the output pass)
+    clean = tap(
+        dd.decontaminate(k, ev, n=_DECON_N, keep_cols=("source",)),
+        "decontaminate",
+    )
     out = text_ops.hash_split_portable(
         clean, "doc_id", {"train": 8, "val": 1, "test": 1}
     ).select("doc_id", "source", "split")
@@ -202,44 +211,48 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     regressions get caught). The monitoring twin of
     `curation_pipeline`, which hash-checks the surviving ROWS.
 
-    Each stage is a counting aggregate over a progressively filtered
-    scan (Catalyst collapses the filter chain; the dedup stage is the
-    one digest-keyed shuffle); the report itself is 4 rows.
+    Scan discipline (r11): ONE executed scan of documents, down from
+    4 — every stage count is a conditional aggregate over the same
+    pass (the gates are nested predicates, so stage k's condition is
+    stage k-1's AND one more term), and the dedup stage is a
+    count(DISTINCT digest) restricted to the surviving rows. The 4-row
+    report then unpivots from the single aggregate row via a literal
+    stack, with share-of-raw computed against the same row's raw
+    count — no second scan for the denominator.
     """
     docs = load_table(spark, sf_dir, "documents")
-    nonempty = docs.filter(F.trim("text") != "")
-    longdocs = nonempty.filter(F.col("n_chars") >= FUNNEL_MIN_CHARS)
-    survivors = longdocs.groupBy(F.md5(F.trim("text"))).agg(
-        F.min("doc_id").alias("doc_id")
+    is_nonempty = F.trim("text") != ""
+    is_long = is_nonempty & (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+    counts = docs.select(
+        is_nonempty.alias("__ne"),
+        is_long.alias("__lg"),
+        F.when(is_long, F.md5(F.trim("text"))).alias("__fp"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("__ne"), 1)).alias("n_nonempty"),
+        F.count(F.when(F.col("__lg"), 1)).alias("n_long"),
+        F.countDistinct("__fp").alias("n_dedup"),
     )
-
-    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.col("n_docs"),
-        )
-
-    funnel = (
-        stage(docs, 1, "raw")
-        .unionAll(stage(nonempty, 2, "nonempty"))
-        .unionAll(stage(longdocs, 3, f"min_chars_{FUNNEL_MIN_CHARS}"))
-        .unionAll(stage(survivors, 4, "exact_dedup"))
+    funnel = counts.select(
+        F.expr(
+            f"""stack(4,
+              1, 'raw',                        n_raw,
+              2, 'nonempty',                   n_nonempty,
+              3, 'min_chars_{FUNNEL_MIN_CHARS}', n_long,
+              4, 'exact_dedup',                n_dedup)
+              AS (stage_idx, stage, n_docs)"""
+        ),
+        F.col("n_raw").cast("double").alias("__n_raw"),
     )
-    raw = docs.agg(F.count(F.lit(1)).cast("double").alias("n_raw"))
-    return (
-        funnel.crossJoin(F.broadcast(raw))
-        .select(
-            "stage_idx",
-            "stage",
-            "n_docs",
-            (
-                F.floor(
-                    F.col("n_docs").cast("double") / F.col("n_raw") * 1e6
-                    + F.lit(0.5)
-                )
-                / 1e6
-            ).alias("pct_of_raw"),
-        )
-        .orderBy("stage_idx")
-    )
+    return funnel.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        (
+            F.floor(
+                F.col("n_docs").cast("double") / F.col("__n_raw") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("pct_of_raw"),
+    ).orderBy("stage_idx")

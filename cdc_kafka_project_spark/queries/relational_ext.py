@@ -871,32 +871,70 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact
-    table (the last shipper in each multi-supplier order). Both
-    subqueries become self left-semi/anti joins on the orderkey with
-    non-equi residuals — the orderkey shuffle is shared by AQE."""
+    """TPC-H Q21 shape: the last shipper in each multi-supplier order.
+
+    Scan discipline (r11): the EXISTS / NOT-EXISTS pair is decided
+    from ONE per-(order, supplier) aggregate instead of two fact
+    self-joins. For a lineitem of supplier s in order o:
+
+    * EXISTS another supplier      ⟺ o has ≥ 2 suppliers;
+    * NOT EXISTS a later ship from ⟺ l_shipdate ≥ other_max(s), the
+      another supplier                max ship date over o's OTHER
+                                      suppliers,
+
+    where other_max(s) = m1 (the order's overall max) unless s is the
+    UNIQUE supplier whose latest ship hits m1, in which case it's the
+    runner-up distinct value m2. m1/m2 come from a sort_array over the
+    collect_set of per-supplier maxima — bounded by suppliers-per-
+    order, never corpus-wide. 2 executed scans of lineitem (aggregate
+    pass + row pass), down from 3, and one fact self-join eliminated."""
+    from cdc_kafka_project_spark import cache
+
     su = _t(spark, sf_dir, "supplier")
     od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
+    # per-(order, supplier) latest ship date — checkpointed: it feeds
+    # both the per-order summary and the per-supplier residual join
+    aux = cache.scoped_localcheckpoint(
+        li.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max("l_shipdate").alias("__smax")
+        )
+    )
+    stats = aux.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sort_array(F.collect_set("__smax"), asc=False).alias("__tops"),
+    )
+    per_supp = (
+        aux.join(
+            stats.select(
+                "l_orderkey",
+                "__n_supp",
+                F.col("__tops")[0].alias("__m1"),
+                F.get(F.col("__tops"), 1).alias("__m2"),  # null-safe (ANSI)
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("__n_supp") >= 2)  # EXISTS another supplier
+    )
+    # n_at_max: suppliers whose latest ship hits the order max
+    n_at_max = (
+        per_supp.filter(F.col("__smax") == F.col("__m1"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n_at_max"))
+    )
+    per_supp = per_supp.join(n_at_max, "l_orderkey").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            (F.col("__smax") == F.col("__m1")) & (F.col("__n_at_max") == 1),
+            F.col("__m2"),
+        )
+        .otherwise(F.col("__m1"))
+        .alias("__other_max"),
+    )
     l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("k3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("d3"),
-    )
-    cand = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("k3"))
-        & (F.col("l_suppkey") != F.col("s3"))
-        & (F.col("d3") > F.col("l_shipdate")),
-        "left_anti",
+    cand = l1.join(per_supp, ["l_orderkey", "l_suppkey"]).filter(
+        F.col("l_shipdate") >= F.col("__other_max")
     )
     return (
         cand.join(od, cand.l_orderkey == od.o_orderkey, "left_semi")

