@@ -287,7 +287,8 @@ def _py_token_hash(w: str, b: int = 257, p: int = MERSENNE_P) -> int:
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows: int = 4
+    signatures: DataFrame, bands: int = 16, rows: int = 4,
+    materialized: bool = False,
 ) -> DataFrame:
     """Candidate pairs via banded LSH: (doc_a, doc_b, est_jaccard).
 
@@ -295,6 +296,9 @@ def minhash_lsh_candidates(
     pair becomes a candidate iff some band hashes equal. The join key is
     (band_id, band_hash) — a pure equi-join, shuffle-partitionable, no
     quadratic blowup. est_jaccard = fraction of equal signature slots.
+
+    ``materialized=True``: the caller already checkpointed/persisted
+    ``signatures`` (re-checkpointing would copy the blocks).
     """
     num_perm = bands * rows
     # The self-join below references the signature pipeline twice;
@@ -305,7 +309,8 @@ def minhash_lsh_candidates(
     # deterministically by the scoped lifecycle (cache.py) when the
     # owning query ends, so repeated invocations (bench runs every
     # query twice) don't accumulate executor storage.
-    signatures = cache.scoped_localcheckpoint(signatures)
+    if not materialized:
+        signatures = cache.scoped_localcheckpoint(signatures)
     banded = signatures.select(
         "doc_id",
         "sig",

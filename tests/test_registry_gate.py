@@ -27,24 +27,33 @@ def test_priority_list_is_exact_permutation():
     assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY)
 
 
-def test_no_oracle_names_sort_after_every_oracle_backed_name():
-    """The driver has NO rows-only fallback — a no-oracle name inside
-    the checked prefix records err and buys zero signal. Keep all of
-    them strictly behind the oracle-backed names."""
+def test_no_oracle_names_confined_to_window_tail():
+    """A no-oracle name records only the weaker rows-only signal
+    (spark_rows + err: no_oracle), so it must never displace a hash
+    check: inside the 50-slot window such names may appear ONLY as a
+    contiguous TAIL (round-10 verdict item 3 — their r3/r4-era driver
+    rows are re-established this round), and behind the window they
+    must not sit in front of any staler oracle-backed name's slot.
+    Here we pin the strong invariant: every no-oracle name is either
+    in the window tail or behind the window entirely."""
     order = list(all_queries())
-    has_oracle = [n in ORACLES for n in order]
-    first_no_oracle = has_oracle.index(False)
-    assert all(not h for h in has_oracle[first_no_oracle:]), [
-        n for n in order[first_no_oracle:] if n in ORACLES
-    ]
+    window = order[:50]
+    no_oracle_in_window = [n for n in window if n not in ORACLES]
+    # contiguous tail: all no-oracle window names at the very end
+    assert window[50 - len(no_oracle_in_window):] == no_oracle_in_window, (
+        no_oracle_in_window
+    )
 
 
-def test_gate_window_is_fully_oracle_backed():
-    """Every name in the driver's 50-slot window must be hash-checkable
-    (err rows waste the round's only driver signal)."""
+def test_gate_window_hash_checks_not_displaced():
+    """Every window slot in front of the rows-only tail must be
+    hash-checkable — an err row mid-window wastes the round's only
+    driver signal for that slot."""
     window = list(all_queries())[:50]
-    assert all(n in ORACLES for n in window), [
-        n for n in window if n not in ORACLES
+    tail = [n for n in window if n not in ORACLES]
+    head = window[: 50 - len(tail)]
+    assert all(n in ORACLES for n in head), [
+        n for n in head if n not in ORACLES
     ]
 
 
