@@ -8,6 +8,19 @@ columns). Use while iterating so the per-round CORRECTNESS file holds
 no surprises.
 
     python tools/check_correctness.py [sf_dir] [query ...]
+        [--chunk N] [--skip a,b,...] [--digest]
+
+--digest (round-10 verdict item 2b): compare an exact ROW COUNT plus a
+deterministic ORDER-BY-prefix sample (top-PREFIX_K rows under a total
+order over every output column, NULLS FIRST both sides) instead of
+materializing the full output into the hash path. For the handful of
+output-heavy names (multi-million-row outputs at the 100x replica —
+sessionize & co), full-output toPandas() killed the chunk JVM; the
+prefix is TakeOrderedAndProject on the Spark side (per-partition
+heaps, no global sort materialization) and ORDER BY ... LIMIT on the
+oracle side. Weaker than the full hash (a mid-stream divergence with
+identical count and prefix escapes) — the per-round record marks these
+rows "digest".
 """
 
 from __future__ import annotations
@@ -74,6 +87,18 @@ def main() -> int:
             print("error: --chunk requires an integer")
             return 2
         args = args[:i] + args[i + 2 :]
+    skip: set[str] = set()
+    if "--skip" in args:
+        i = args.index("--skip")
+        try:
+            skip = set(args[i + 1].split(","))
+        except IndexError:
+            print("error: --skip requires a comma-separated name list")
+            return 2
+        args = args[:i] + args[i + 2 :]
+    digest = "--digest" in args
+    if digest:
+        args = [a for a in args if a != "--digest"]
     only = set(args)
 
     if chunk > 0:
@@ -88,14 +113,19 @@ def main() -> int:
 
         from cdc_kafka_project_spark.registry import all_oracles, all_queries
 
-        names = [n for n in all_queries() if not only or n in only]
+        names = [
+            n
+            for n in all_queries()
+            if (not only or n in only) and n not in skip
+        ]
         oracles = all_oracles()
         totals = [0, 0, 0]
         died = False
         for lo in range(0, len(names), chunk):
             batch = names[lo : lo + chunk]
+            extra = ["--digest"] if digest else []
             proc = subprocess.run(
-                [sys.executable, sys.argv[0], sf_dir, *batch],
+                [sys.executable, sys.argv[0], sf_dir, *batch, *extra],
                 capture_output=True,
                 text=True,
             )
@@ -183,12 +213,22 @@ def main() -> int:
 
     queries, oracles = all_queries(), all_oracles()
     n_pass = n_fail = n_rowsonly = 0
+    PREFIX_K = 2000
     for name, fn in queries.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            out = fn(spark, sf_dir)
+            if digest and name in oracles:
+                # exact count + ORDER-BY-prefix: TakeOrdered, never a
+                # full-output collect (Spark nulls-first asc default
+                # == the NULLS FIRST we force on the oracle side)
+                n_spark = out.count()
+                cols = sorted(out.columns)
+                sdf = out.orderBy(*cols).limit(PREFIX_K).toPandas()
+            else:
+                sdf = out.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
@@ -207,13 +247,29 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            odf = con.execute(oracles[name]).df()
+            if digest:
+                ob = ", ".join(
+                    f'"{c}" ASC NULLS FIRST' for c in sorted(sdf.columns)
+                )
+                n_oracle = con.execute(
+                    f"SELECT COUNT(*) FROM ({oracles[name]}) __q"
+                ).fetchone()[0]
+                odf = con.execute(
+                    f"SELECT * FROM ({oracles[name]}) __q"
+                    f" ORDER BY {ob} LIMIT {PREFIX_K}"
+                ).df()
+            else:
+                odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         scols, srows = normalize(sdf)
         ocols, orows = normalize(odf)
+        if digest and n_spark != n_oracle:
+            print(f"FAIL  {name}: rowcount {n_spark} != {n_oracle}")
+            n_fail += 1
+            continue
         if scols != ocols:
             print(f"FAIL  {name}: columns {scols} != {ocols}")
             n_fail += 1
@@ -226,6 +282,13 @@ def main() -> int:
             ][:3]
             print(f"FAIL  {name}: values differ; first diffs: {diffs}")
             n_fail += 1
+        elif digest:
+            print(
+                f"PASS  {name}: {n_spark} rows"
+                f" (digest: count + {len(srows)}-row prefix)"
+                f" [{time.time()-t0:.1f}s]"
+            )
+            n_pass += 1
         else:
             print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
