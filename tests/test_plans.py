@@ -328,17 +328,20 @@ def test_dedup_cached_subtrees_noop_without_cache():
 
 
 def test_curation_gate_fused_into_scan_no_self_join(spark, queries):
-    """The r8 fusion pin: the curation quality gate is a predicate on
-    the corpus scan, NOT a join-back against a doc_id keep list. The
-    join-back shape planned a second corpus scan that AQE flipped to a
-    full sort-merge self-join once the keep list outgrew the broadcast
-    threshold (measured at the 100x replica: 25.9 s -> 9.5 s min after
-    the fusion). Three scans = corpus leg + eval split leg + the
-    decontamination shingle leg; zero sort-merge joins at test scale
-    (every surviving join side broadcasts)."""
+    """The r8 fusion pin, tightened by the r11 one-pass
+    decontamination: the quality gate is a predicate on the corpus
+    scan, NOT a join-back against a doc_id keep list (the join-back
+    shape planned a second corpus scan that AQE flipped to a full
+    sort-merge self-join once the keep list outgrew the broadcast
+    threshold — measured at the 100x replica: 25.9 s -> 9.5 s min
+    after the fusion), and the decontamination shingle leg now FUSES
+    into the same corpus scan (decontaminate(keep_cols=...): output
+    columns ride the shingle explode, eval shingles LEFT-broadcast-
+    join). Two scans = corpus leg + eval split leg; zero sort-merge
+    joins at test scale (every surviving join side broadcasts)."""
     df = queries["curation_pipeline"](spark, SF_DIR)
     s = plan_summary(df)
-    assert s["scans"] == 3, s
+    assert s["scans"] == 2, s
     assert s["sort_merge_joins"] == 0, s
     assert not s["cartesian"], s
 
