@@ -388,6 +388,15 @@ def simhash(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.xxhash64("word"))
     )
+    # Re-cluster the REDUCED (doc, word, cnt) table on the doc key
+    # before the votes aggregation: the (doc, word) exchange above
+    # hash-partitions on BOTH columns, so every downstream task sees
+    # (nearly) every doc_id and the 64-column partial-agg hash map
+    # grows to |corpus| x ~600 B PER TASK — measured Java-heap OOM at
+    # the 100x replica (1 M docs x 32 tasks). Partitioned by doc, the
+    # map is bounded by docs-per-partition; the votes groupBy then
+    # needs no further exchange (hash(keys) satisfies its clustering).
+    tok = tok.repartition(*[F.col(k) for k in keys])
     aggs = [
         F.sum(
             F.when(

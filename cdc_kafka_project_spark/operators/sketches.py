@@ -108,11 +108,21 @@ def hll_state_table(
 
     The exact count rides along for test-SF error pinning; production
     drops it (computing it is the rescan the sketch avoids).
+
+    Shape (r11): the (bucket, value) pairs are DEDUPED FIRST, then the
+    sketch and the exact count are plain aggregates over the distinct
+    set. Mixing countDistinct with a non-distinct object aggregate in
+    ONE agg triggers Spark's Expand rewrite, which evaluates the HLL
+    agg keyed by (bucket, value) — one object buffer PER DISTINCT
+    VALUE (measured Java-heap OOM at the 100x replica, 10 M buffers);
+    HLL updates are idempotent per value, so the dedup-first sketch is
+    identical. The distinct() is an unsafe-row hash agg that spills.
     """
     b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
-    return df.groupBy(b.alias(bucket_name)).agg(
+    d = df.select(b.alias(bucket_name), F.col(value_col)).distinct()
+    return d.groupBy(bucket_name).agg(
         F.hll_sketch_agg(value_col).alias("sketch"),
-        F.countDistinct(value_col).alias("exact_distinct"),
+        F.count(F.lit(1)).alias("exact_distinct"),
     )
 
 

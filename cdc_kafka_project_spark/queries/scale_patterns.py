@@ -222,9 +222,14 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver hash-checks; raw estimate accuracy stays pytest-pinned
     (tests/test_text.py)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    # dedup-first (r11): countDistinct next to the HLL++ aggregate in
+    # one agg triggers the Expand rewrite — an HLL buffer per
+    # (type, user) group, measured heap-OOM at the 100x replica. Over
+    # the distinct pairs both aggregates are plain and bounded.
+    d = ev.select("event_type", "user_id").distinct()
+    return d.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("exact_users"),
     ).select(
         "event_type",
         "exact_users",
@@ -1373,9 +1378,17 @@ def _user_overlap_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pytest error pin (which reads the raw estimates)."""
     ev = _t(spark, sf_dir, "events")
     pair = ev.filter(F.col("event_type").isin("view", "purchase"))
-    st = pair.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sketch"),
-        F.countDistinct("user_id").alias("exact"),
+    # dedup-first — same Expand-rewrite OOM class as
+    # sketch_distinct_users (see there); identical sketches by HLL
+    # update idempotence
+    st = (
+        pair.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.count(F.lit(1)).alias("exact"),
+        )
     )
     est = st.select(
         "event_type",

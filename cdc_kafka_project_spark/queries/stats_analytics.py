@@ -927,13 +927,24 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The naive skyline is a quadratic θ-self-join (BroadcastNestedLoop —
     a cartesian stall at any scale). The window form is the scalable
     rewrite: dominance collapses to two aggregates — the best price
-    among STRICTLY-higher-qty parts (one RANGE window over the
-    qty-sorted part aggregate) and the best price at the SAME qty (one
-    hash-partitioned window) — O(n log n) total, no pair blowup.
-    Correctness vs literal pairwise dominance is pinned brute-force in
-    tests; the oracle cross-checks the window algebra on a second
-    engine.
+    among STRICTLY-higher-qty parts and the best price at the SAME
+    qty — with NO window ever running over the part table itself:
+
+    r11 rewrite (found by the 100x sweep): the previous
+    ``RANGE 1 FOLLOWING .. UNBOUNDED FOLLOWING`` window ran over the
+    full |parts| rows in ONE global partition — Spark's unbounded-
+    following frame re-generates an iterator over the (spilled) buffer
+    per output row, which is quadratic once the partition spills
+    (observed: a single task pegged for 45+ min at the 100x replica on
+    2 M part rows). Both dominance aggregates now reduce per DISTINCT
+    total_qty first (|distinct quantities| rows — bounded by the data
+    domain, orders of magnitude below |parts|), take one RUNNING
+    (unbounded-preceding, one-pass) min over the qty groups sorted
+    DESCENDING shifted by one row for strictness, and broadcast-join
+    back. The only global window runs over the distinct-qty frame.
     """
+    from cdc_kafka_project_spark import cache
+
     li = load_table(spark, sf_dir, "lineitem")
     pa = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
@@ -942,16 +953,31 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_price"),
     )
-    w_higher = Window.orderBy("total_qty").rangeBetween(
-        1, Window.unboundedFollowing
+    pa = cache.scoped_localcheckpoint(pa)
+    per_qty = pa.groupBy("total_qty").agg(
+        F.min("avg_price").alias("best_price_same_qty")
     )
-    w_same = Window.partitionBy("total_qty")
-    dom = pa.select(
+    # strictly-higher-qty best price: running min over qty groups
+    # sorted DESC, excluding the current group (rows ... -1) — a
+    # one-pass running frame over |distinct qty| rows, never the
+    # part table
+    w_run = (
+        Window.orderBy(F.col("total_qty").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_qty = per_qty.select(
+        "total_qty",
+        "best_price_same_qty",
+        F.min("best_price_same_qty").over(w_run).alias(
+            "best_price_higher_qty"
+        ),
+    )
+    dom = pa.join(F.broadcast(per_qty), "total_qty").select(
         "partkey",
         "total_qty",
         "avg_price",
-        F.min("avg_price").over(w_higher).alias("best_price_higher_qty"),
-        F.min("avg_price").over(w_same).alias("best_price_same_qty"),
+        "best_price_higher_qty",
+        "best_price_same_qty",
     )
     dominated = F.coalesce(
         F.col("best_price_higher_qty") <= F.col("avg_price"), F.lit(False)
