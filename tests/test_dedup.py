@@ -482,3 +482,73 @@ def test_dedup_simhash_flag_catches_impure_signature(spark, monkeypatch):
     out = qd.dedup_simhash(spark, SF_SMOKE)
     n_bad = out.filter(~F.col("copy_sig_identical")).count()
     assert n_bad == out.count(), "impure signature not caught by the flag"
+
+
+def test_minhash_lsh_exact_twin_membership_and_negative_case(spark):
+    """Round-11 conversion pins (the dedup_minhash_lsh digest tier):
+
+    * the registered query's result must equal the relationally
+      computed text-equal pair set over corpus + injected copies
+      (docs with >= 3 words — shorter docs have no 3-shingle set and
+      are absent on BOTH engines), every pair at est_jaccard exactly
+      1.0, with every injected (source, copy) pair present (band
+      recall is exactly 1 for identical signatures — a miss is a
+      banding bug, never probability);
+    * negative case: a PERTURBED copy (one word changed) must NOT
+      appear — digest verification is exact-content, so near-identical
+      text cannot leak into the exact tier.
+    """
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries.dedup import (
+        N_MINHASH_DUPS,
+        _docs,
+        dedup_minhash_lsh,
+    )
+
+    docs = (
+        _docs(spark, SF_SMOKE)
+        .filter(F.trim("text") != "")
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    )
+    rows = docs.select("doc_id", "text").collect()
+    first = sorted(r.doc_id for r in rows)[:N_MINHASH_DUPS]
+    by_id = {r.doc_id: r.text for r in rows}
+    full = dict(by_id)
+    for i in first:
+        full[-i - 1] = by_id[i]
+    expected = {
+        (a, b, 1.0)
+        for a in full
+        for b in full
+        if a < b and full[a] == full[b]
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert {(-i - 1, i, 1.0) for i in first} <= got
+
+    # negative case through the operator tier: a one-word perturbation
+    # keeps the signature NEAR-identical (most bands still collide ->
+    # candidate surfaces) but the digest differs -> excluded
+    from cdc_kafka_project_spark.operators import dedup as dd
+
+    src_id = first[0]
+    perturbed = by_id[src_id].rsplit(" ", 1)[0] + " zzzperturbed"
+    frame = spark.createDataFrame(
+        [(src_id, by_id[src_id]), (-src_id - 1, perturbed)],
+        "doc_id long, text string",
+    )
+    sigs = dd.minhash_signatures(frame, n=3, num_perm=64, with_digest=True)
+    cand = dd.minhash_lsh_candidates(
+        sigs.select("doc_id", "sig"), bands=16, rows=4
+    )
+    da = sigs.select(F.col("doc_id").alias("doc_a"), F.col("digest").alias("__da"))
+    db = sigs.select(F.col("doc_id").alias("doc_b"), F.col("digest").alias("__db"))
+    exact = (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .filter(F.col("__da") == F.col("__db"))
+    )
+    assert cand.count() >= 1, "perturbed copy should still band-collide"
+    assert exact.count() == 0, "digest tier must reject perturbed text"
