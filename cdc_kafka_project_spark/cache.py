@@ -70,10 +70,17 @@ _OWNER: tuple[str, str | None] | None = None
 #: truncates lineage to a LogicalRDD and a persist hides its subtree
 #: behind InMemoryTableScan, so the final frame's executed plan no
 #: longer shows the file scans that ran to materialize them — the
-#: executed-scan audit (tools/scan_audit.py) walks these frames' static
-#: plans to count that I/O. Off by default (serving sessions should not
-#: retain dead plan objects); cleared with the registry.
-_AUDIT_TRAIL: list[DataFrame] = []
+#: executed-scan audit (tools/scan_audit.py) walks these frames to
+#: count that I/O. Each entry is ``(frame, executed)``: ``executed`` is
+#: True iff the frame's OWN QueryExecution ran at registration (an
+#: eager localCheckpoint — its AQE plan is finalized and honest to
+#: walk), False for persists and lazy checkpoints (they materialize
+#: later through a CONSUMER's InMemoryTableScan, so walking their
+#: finalPhysicalPlan() during the audit would EXECUTE the whole plan
+#: mid-audit — the auditor must use the static plan instead, r11
+#: ADVICE). Off by default (serving sessions should not retain dead
+#: plan objects); cleared with the registry.
+_AUDIT_TRAIL: list[tuple[DataFrame, bool]] = []
 _AUDIT = False
 
 
@@ -85,9 +92,11 @@ def set_audit(on: bool) -> None:
         _AUDIT_TRAIL.clear()
 
 
-def audit_trail() -> list[DataFrame]:
-    """Pre-materialization frames recorded since the last
-    begin_query/release_caches (empty unless :func:`set_audit` on)."""
+def audit_trail() -> list[tuple[DataFrame, bool]]:
+    """``(frame, executed)`` pairs recorded since the last
+    begin_query/release_caches (empty unless :func:`set_audit` on);
+    ``executed`` = the frame's own QueryExecution already ran (eager
+    checkpoint), so its EXECUTED plan is safe and honest to walk."""
     return list(_AUDIT_TRAIL)
 
 
@@ -115,7 +124,17 @@ def scoped_persist(df: DataFrame, level: StorageLevel | None = None) -> DataFram
                 break
     _LIVE.append((jplan, out))
     if _AUDIT:
-        _AUDIT_TRAIL.append(df)
+        # force the STATIC physical plan now, before CacheManager's
+        # substitution can fold this frame's own plan into an
+        # InMemoryRelation of itself — sparkPlan is a lazy val on the
+        # Dataset's QueryExecution, so the auditor's later
+        # static_scans() walk sees this pre-persist tree (audit mode
+        # only; planning cost, zero execution)
+        try:
+            df._jdf.queryExecution().sparkPlan()
+        except Exception:
+            pass
+        _AUDIT_TRAIL.append((df, False))
     return out
 
 
@@ -128,7 +147,11 @@ def scoped_localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     out = df.localCheckpoint(eager=eager)
     _LIVE_CK.append(out)
     if _AUDIT:
-        _AUDIT_TRAIL.append(df)
+        # eager=True ran the input frame's QueryExecution just now (the
+        # checkpoint materializes through it), so its finalized AQE
+        # plan is safe to walk; a lazy checkpoint materializes later
+        # through a consumer and must be walked statically
+        _AUDIT_TRAIL.append((df, eager))
     return out
 
 

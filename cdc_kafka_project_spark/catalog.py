@@ -67,11 +67,21 @@ def table_rows(sf_dir: str, name: str) -> int:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
+        # recurse: partitioned/nested layouts (key=.../part-*.parquet)
+        # put files below the top level, and a non-recursive listdir
+        # would silently return 0 — skewing every footer-fed sizing
+        # decision (e.g. semdedup's k) (r11 ADVICE low)
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, fnames in os.walk(path)
+            for f in fnames
             if f.endswith(".parquet")
-        )
+        ]
+        if not files:
+            raise FileNotFoundError(
+                f"no *.parquet files under directory {path!r}"
+            )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     return pq.ParquetFile(path).metadata.num_rows
 
 

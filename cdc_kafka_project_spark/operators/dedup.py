@@ -671,8 +671,14 @@ def decontaminate(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     )
+    # no forced broadcast on the eval-shingle set (r11 ADVICE): like
+    # the generic path's flagged set, its size is data-dependent — a
+    # large eval split would exceed the broadcast limit / OOM the
+    # driver. AQE broadcasts it at runtime whenever it actually is
+    # small (the common case), and falls back to a shuffle join when
+    # it isn't.
     per_doc = (
-        sh.join(F.broadcast(e), "shingle", "left")
+        sh.join(e, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             *[F.first(c).alias(c) for c in keep_cols],

@@ -130,8 +130,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only Arrow pass, candidates one band equi-join, no all-pairs.
     2 executed scans of documents (injected materialization + the one
     signing pass over the union)."""
+    # mirror the oracle's docs CTE exactly: nonempty AND >= 3 words —
+    # a <3-word doc has no 3-shingle set (absent from the signature
+    # pass on both sides), but it COULD be among the first 5 docs by
+    # id, and then the engine would inject a copy of a different doc
+    # than the oracle's src CTE picks (r11 ADVICE medium)
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
-        F.trim("text") != ""
+        (F.trim("text") != "")
+        & (F.size(F.split(F.trim("text"), r"\s+")) >= 3)
     )
     injected = cache.scoped_localcheckpoint(
         docs.orderBy("doc_id")
@@ -455,7 +461,8 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination, removal tier: the surviving
     (doc_id, source) rows in ONE pass over the training corpus — the
     narrow output columns ride the shingle explode, eval shingles
-    LEFT-broadcast-join in, and the per-doc aggregation keeps docs
+    LEFT-join in (AQE broadcasts them at runtime when actually small —
+    no forced hint, r12), and the per-doc aggregation keeps docs
     with zero matches (r11: was flag pass + anti-join = two corpus
     passes; 2 executed scans of documents now, the second being the
     tiny filter-pushed eval split)."""

@@ -114,16 +114,24 @@ def executed_scans(df, cache_mod=None) -> dict[str, int]:
     if cache_mod is None:
         from cdc_kafka_project_spark import cache as cache_mod
     counts = real_scans(df)
-    for src in cache_mod.audit_trail():
-        # the pre-frame's action already ran (eager checkpoint /
-        # consumer-materialized persist), so its EXECUTED tree is the
-        # honest count: AQE's ReusedExchange dedups repeated subtrees
-        # (a jaccard pair graph references its shingle exchange 4x but
-        # scans the corpus ONCE — the static plan can't see that).
-        # Static walk only as fallback for frames AQE never finalized.
-        try:
-            scans = real_scans(src)
-        except Exception:
+    for src, executed in cache_mod.audit_trail():
+        # An EAGER checkpoint's input frame ran its own QueryExecution
+        # at materialization, so its EXECUTED tree is the honest count:
+        # AQE's ReusedExchange dedups repeated subtrees (a jaccard pair
+        # graph references its shingle exchange 4x but scans the corpus
+        # ONCE — the static plan can't see that). A PERSIST (or lazy
+        # checkpoint) materializes later through a CONSUMER's
+        # InMemoryTableScan — its own AQE plan may never finalize, and
+        # finalPhysicalPlan() on a never-executed frame EXECUTES it
+        # (re-running corpus jobs mid-audit), so those are walked
+        # statically; scoped_persist pre-forces sparkPlan() under audit
+        # so the static walk sees the pre-substitution tree.
+        if executed:
+            try:
+                scans = real_scans(src)
+            except Exception:
+                scans = static_scans(src)
+        else:
             scans = static_scans(src)
         for t, n in scans.items():
             counts[t] = counts.get(t, 0) + n
