@@ -103,10 +103,59 @@ def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(F.trim(F.col("text"))).alias("fp_md5"))
 
 
-@query("doc_fingerprint_xx")  # rows-only: xxhash64 seed/impl is Spark-specific
+@query(
+    "doc_fingerprint_xx",
+    # Content-function oracle (r12, the dedup_simhash r8 move — last
+    # rows-only conversion the r11 verdict asked for): the xxhash64
+    # VALUES are engine-side (seed/impl-specific, pinned in
+    # tests/test_text.py), but the fingerprint CONTRACT is drivable —
+    # it must be a pure function of trim(text), independent of doc_id
+    # and partition layout. Spark fingerprints every doc twice (corpus
+    # plus a re-keyed byte-identical copy under negative ids, one
+    # union pass) and flags fp64 equality; fp_md5 is the plain-SQL
+    # mirror of the exact input domain (the same trim the xxhash64
+    # sees). A fingerprint reading doc_id, partition state, or an
+    # unstable seed flips copy_fp_identical; a normalization drift
+    # flips fp_md5. The negative case (perturbed copy -> FALSE) is
+    # pinned in tests/test_text.py.
+    oracle="""
+    SELECT doc_id,
+           md5(trim(text)) AS fp_md5,
+           TRUE AS copy_fp_identical
+    FROM documents
+    """,
+)
 def doc_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 fingerprints — the 8-byte dedup key used at scale."""
-    return text_ops.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp64")
+    """xxhash64 fingerprints — the 8-byte dedup key used at scale —
+    folded to the drivable self-consistency surface: each doc's fp64
+    must equal the fp64 of a byte-identical re-keyed copy computed in
+    the same job (content-function / partition-independence contract),
+    alongside the SQL-mirrored md5 of the identical input domain.
+
+    Shape: ONE fingerprint pass over corpus + negative-id copies (2
+    executed scans of documents — the union's two branches, the same
+    floor as dedup_simhash); the narrow (doc_id, fp64, fp_md5) table
+    is checkpointed before the orig/copy self-join, so no corpus
+    re-read."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # copies carry NEGATIVE ids (-doc_id - 1): organic doc_ids are
+    # non-negative at every sf and in any re-keyed replica
+    copies = docs.select(
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text"
+    )
+    fps = scoped_localcheckpoint(
+        text_ops.fingerprint(docs.unionByName(copies))
+    )
+    orig = fps.filter(F.col("doc_id") >= 0)
+    copy = fps.filter(F.col("doc_id") < 0).select(
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
+        F.col("fp64").alias("__copy_fp"),
+    )
+    return orig.join(copy, "doc_id").select(
+        "doc_id",
+        "fp_md5",
+        (F.col("fp64") == F.col("__copy_fp")).alias("copy_fp_identical"),
+    )
 
 
 @query(

@@ -107,74 +107,19 @@ def load_all() -> None:
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- ROUND-11 WINDOW (round-10 verdict items 1 + 3; standing
-    #    rules: changed-this-round first, then never-hash-checked /
-    #    oldest driver rows, rows-only names at the window TAIL so
-    #    they regain driver rows without displacing hash checks).
-    #    Tier 1: the 22 queries whose PLAN changed this round (the
-    #    executed-scan-discipline rewrites + the dedup_minhash_lsh
-    #    exact-twin oracle conversion) — fresh rows prove the
-    #    rewrites at the driver. --
+    # -- ROUND-12 WINDOW (round-11 verdict item 1; standing rules:
+    #    changed-this-round first, then oldest driver rows). Tier 1:
+    #    the 3 queries whose PLAN or ORACLE changed this round (the
+    #    ADVICE minhash fixture-predicate fix, the decontaminate
+    #    broadcast-hint drop, and the doc_fingerprint_xx
+    #    content-function oracle conversion — all oracle-backed, so
+    #    the window is 50/50 hash-checkable with NO rows-only tail
+    #    this round). --
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_minhash_index_probe",
     "doc_decontaminate",
-    "funnel_view_click_purchase",
-    "conversion_curve",
-    "event_value_psi_drift",
-    "cohort_ltv_curve",
-    "sketch_incremental_distinct",
-    "lang_temperature_sample",
-    "text_tfidf_top_terms",
-    "doc_bpe_token_counts",
-    "bm25_topk",
-    "cdc_merge_upsert",
-    "cdc_snapshot_diff",
-    "q21_waiting_suppliers",
-    "curation_pipeline",
-    "curation_funnel_report",
-    "semantic_decontaminate",
-    "similarity_near_dup",
-    "similarity_semdedup_keep",
-    # -- Tier 2: sketch_user_overlap first (r5 row, its r7 oracle
-    #    conversion had never produced a driver hash row until the
-    #    r10 judge re-ran it), then the remaining 15 r5-era rows. --
-    "sketch_user_overlap",
-    "price_qty_regression",
-    "purchase_click_attribution",
-    "purchase_rate_wilson_ci",
-    "recursive_brand_reachability",
-    "revenue_gini_by_segment",
-    "revenue_seasonality_decomp",
-    "rolling_median_revenue",
-    "source_distinctive_terms",
-    "source_token_quota_sample",
-    "supplier_hhi_by_nation",
-    "theilsen_revenue_slope",
-    "user_growth_accounting",
-    "vocab_growth_curve",
-    "weekend_effect_ttest",
-    "zipf_slope",
-    # -- Tier 3: the 8 oldest r6-era rows fill the 50 slots. --
-    "asof_last_purchase",
-    "cdc_incremental_scan",
-    "cdc_json_decode",
-    "cdc_json_encode",
-    "cdc_latest_state",
-    "cdc_replica",
-    "cdc_running_totals",
-    "cdc_validate_dlq",
-    # -- Tier 4 (window tail): the 4 remaining rows-only names
-    #    (r3/r4 rows; seeded/impl-specific signatures, each with an
-    #    oracle-green exact twin) regain fresh driver rows. --
     "doc_fingerprint_xx",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_ann_pq",
-    # -- BEHIND THE ROTATION, by staleness (oldest driver row
-    #    first, alphabetical within a round): r6 remainder, then
-    #    r7 / r9 / r10 tiers. --
+    # -- Tier 2: the 38 r6-era rows (the oldest remaining driver
+    #    rows), alphabetical. --
     "cdc_validate_valid",
     "corpus_source_report",
     "dedup_incremental_new_docs",
@@ -213,6 +158,8 @@ _GATE_PRIORITY: list[str] = [
     "unpivot_lineitem_measures",
     "user_spend_ewma",
     "winsorized_price_stats",
+    # -- Tier 3: the 9 alphabetically-first r7-era rows fill the
+    #    50 slots. --
     "anti_join_no_big_orders",
     "cdc_incremental_agg",
     "cdc_scd2_history",
@@ -222,6 +169,11 @@ _GATE_PRIORITY: list[str] = [
     "date_exprs",
     "dedup_components",
     "dedup_near_keep",
+    # -- BEHIND THE ROTATION, by staleness (oldest driver row
+    #    first, alphabetical within a round): r7 remainder, then
+    #    r9 / r10 / r11 tiers; the 3 no-oracle ANN names (each
+    #    with an oracle-green exact twin) sort LAST so they never
+    #    sit in front of an oracle-backed slot. --
     "distinct_counts",
     "doc_contamination_hits",
     "event_props_extract",
@@ -344,6 +296,53 @@ _GATE_PRIORITY: list[str] = [
     "token_count_regex",
     "weekly_retention_cohorts",
     "weekly_revenue_wow",
+    "asof_last_purchase",
+    "bm25_topk",
+    "cdc_incremental_scan",
+    "cdc_json_decode",
+    "cdc_json_encode",
+    "cdc_latest_state",
+    "cdc_merge_upsert",
+    "cdc_replica",
+    "cdc_running_totals",
+    "cdc_snapshot_diff",
+    "cdc_validate_dlq",
+    "cohort_ltv_curve",
+    "conversion_curve",
+    "curation_funnel_report",
+    "curation_pipeline",
+    "dedup_minhash_index_probe",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_bpe_token_counts",
+    "event_value_psi_drift",
+    "funnel_view_click_purchase",
+    "lang_temperature_sample",
+    "price_qty_regression",
+    "purchase_click_attribution",
+    "purchase_rate_wilson_ci",
+    "q21_waiting_suppliers",
+    "recursive_brand_reachability",
+    "revenue_gini_by_segment",
+    "revenue_seasonality_decomp",
+    "rolling_median_revenue",
+    "semantic_decontaminate",
+    "similarity_near_dup",
+    "similarity_semdedup_keep",
+    "sketch_incremental_distinct",
+    "sketch_user_overlap",
+    "source_distinctive_terms",
+    "source_token_quota_sample",
+    "supplier_hhi_by_nation",
+    "text_tfidf_top_terms",
+    "theilsen_revenue_slope",
+    "user_growth_accounting",
+    "vocab_growth_curve",
+    "weekend_effect_ttest",
+    "zipf_slope",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_ann_pq",
 ]
 
 

@@ -68,6 +68,29 @@ def test_fingerprint_trims_and_discriminates(spark):
     assert fp[0] != fp[2]
 
 
+def test_doc_fingerprint_xx_flag_catches_impure_fingerprint(spark, monkeypatch):
+    """Round-12 conversion negative case (the dedup_simhash r8 move):
+    copy_fp_identical exists to catch a fingerprint that is NOT a pure
+    function of text (doc_id or partition leaking into the hash).
+    Simulate exactly that bug — xor the doc_id into fp64 — and the
+    registered query must flip the flag on every doc."""
+    from tests.conftest import SF_SMOKE
+    from cdc_kafka_project_spark.queries import text_analysis as qt
+
+    real = tx.fingerprint
+
+    def impure(df, text_col="text"):
+        out = real(df, text_col=text_col)
+        return out.withColumn(
+            "fp64", F.col("fp64").bitwiseXOR(F.col("doc_id"))
+        )
+
+    monkeypatch.setattr(qt.text_ops, "fingerprint", impure)
+    out = qt.doc_fingerprint_xx(spark, SF_SMOKE)
+    n_bad = out.filter(~F.col("copy_fp_identical")).count()
+    assert n_bad == out.count(), "impure fingerprint not caught by the flag"
+
+
 def test_hash_split_deterministic_disjoint_total(spark):
     """Every key lands in exactly one split; assignment is identical
     across runs and independent of partitioning; ratios are roughly as
