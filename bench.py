@@ -8,7 +8,8 @@ BENCH_r05 unparsed):
     {"metric": "headline_queries_total", "value": N, "unit": "sec",
      "value_min": N, "index_build_sec": N, "sf": ...,
      "n_queries": ..., "runs_per_query": 3, "aggregation": "median",
-     "cdc_apply_latency_sec": ..., "cdc_apply_latency_min_sec": ...}
+     "cdc_apply_latency_sec": ..., "cdc_apply_latency_min_sec": ...,
+     "calib": {"pre": {"single_sec": N, "mt_sec": N}, "post": {...}}}
 The full per-query median AND min maps go to stderr and
 BENCH_HISTORY.jsonl. Median is the headline throughput number; the min
 is the steal-robust signal on this virtualized host — regression
@@ -147,6 +148,61 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> dict[str, float]:
+    """Fixed deterministic probe of the host's CURRENT speed (round-11
+    verdict item 3: the external-load band on this virtualized host
+    spans ~1.7x between quiet and loaded windows, so every cross-round
+    bench comparison was degenerating into a forensic A/B).
+
+    Two pinned-size workloads, zero I/O, no data dependence:
+
+    * ``single_sec`` — NumPy sort/scale loop on a fixed PRNG array
+      (one core; tracks the steal/clock state Python driver work sees);
+    * ``mt_sec`` — a JVM codegen xxhash64-sum over ``spark.range`` on
+      32 in-memory partitions (all cores; tracks what the timed query
+      loop actually competes against).
+
+    The probe runs BEFORE and AFTER the timed region; both pairs land
+    in the bench JSON as ``calib`` so tools/bench_diff.py can annotate
+    raw deltas with the measured host factor instead of guessing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def mt_run(n_rows: int) -> None:
+        # h % 1e6 keeps the ANSI-mode sum far from long overflow
+        # (|sum| <= n_rows * 1e6 << 2^63) while the per-row xxhash64
+        # stays the dominant cost
+        spark.range(0, n_rows, 1, 32).select(
+            (F.xxhash64("id") % F.lit(1_000_000)).alias("h")
+        ).groupBy().sum("h").collect()
+
+    # untimed warm: codegen compile for the probe plan shape + numpy
+    # allocator touch (the probe measures the host, not JIT startup)
+    mt_run(1_000_000)
+    a = np.random.default_rng(7).random(2_000_000)
+    np.sort(a)
+
+    def median3(fn) -> float:
+        # same median-of-3 policy as the query timings: one stalled
+        # run must not define the host reading it exists to explain
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        return round(sorted(runs)[1], 3)
+
+    def single_run() -> None:
+        nonlocal a
+        for _ in range(5):
+            np.sort(a)
+            a = (a * 1.0000001) % 1.0
+
+    single = median3(single_run)
+    mt = median3(lambda: mt_run(3_000_000_000))
+    return {"single_sec": single, "mt_sec": mt}
+
+
 def _cdc_latency_sec(spark) -> tuple[float, float]:
     """BASELINE.md's one latency SLO: source commit -> replica visible
     in < 1 s (pdf p.9, single-host 7-event scale). Measured here as:
@@ -242,6 +298,10 @@ def main() -> None:
         ).save()
     index_build_sec = round(time.time() - t_idx0, 3)
 
+    # host-speed probe immediately before the timed region (see
+    # _calibration) — after warmups so JIT startup can't pollute it
+    calib_pre = _calibration(spark)
+
     # Median of 3 runs per query (round-4 verdict): this host shows
     # multi-second kernel-time stalls (virtualized CPU steal) that land
     # on random queries — the r4 driver run came out ~40% above an
@@ -290,6 +350,10 @@ def main() -> None:
     # median of 3 with the min alongside (same steal-robustness policy
     # as the per-query timings — round-6 verdict item 5)
     cdc_med, cdc_min = _cdc_latency_sec(spark)
+    # host-speed probe again after the timed region: a pre/post spread
+    # says the load band MOVED during this run (per-query medians from
+    # different minutes are then not comparable even within the run)
+    calib_post = _calibration(spark)
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -304,6 +368,7 @@ def main() -> None:
         "sf": sf,
         "cdc_apply_latency_sec": cdc_med,
         "cdc_apply_latency_min_sec": cdc_min,
+        "calib": {"pre": calib_pre, "post": calib_post},
     }
     _record_history(record)
     # Per-query detail to stderr; the one stdout line stays compact so

@@ -67,3 +67,47 @@ def test_diff_verdict_separates_host_band_from_code(tmp_path, monkeypatch, capsy
     # the benign label requires positive proof that the min held
     nomin_row = next(line for line in out.splitlines() if "| nomin |" in line)
     assert "REGRESSED (no min data)" in nomin_row
+
+
+def test_host_factor_from_calibration_probes(tmp_path, monkeypatch, capsys):
+    """Round-12 calibration (round-11 verdict item 3): when both
+    records carry the fixed-probe readings, the diff must surface the
+    measured host factor (geomean of new/old over the four readings)
+    and the calib-adjusted total, so a band-wide drift stops reading
+    as a per-query regression hunt. Records without calib (r11 and
+    earlier) must not grow the header."""
+    bd = _bench_diff()
+
+    old = {"calib": {"pre": {"single_sec": 1.0, "mt_sec": 2.0},
+                     "post": {"single_sec": 1.0, "mt_sec": 2.0}}}
+    new = {"calib": {"pre": {"single_sec": 1.5, "mt_sec": 3.0},
+                     "post": {"single_sec": 1.5, "mt_sec": 3.0}},
+           "value": 90.0}
+    f = bd._host_factor(old, new)
+    assert abs(f - 1.5) < 1e-9
+    assert bd._host_factor({}, new) is None
+    assert bd._host_factor(old, {}) is None
+
+    import json
+    import sys
+
+    old_rec = {
+        "value": 60.0, "sf": 0.1, "queries": {"a": 60.0},
+        "queries_min": {"a": 55.0}, **old,
+    }
+    new_rec = {
+        "sf": 0.1, "queries": {"a": 90.0},
+        "queries_min": {"a": 85.0}, **new,
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old_rec))
+    pn.write_text(json.dumps(new_rec))
+    monkeypatch.setattr(bd, "ROOT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["bench_diff.py", str(po), str(pn)])
+    assert bd.main() == 0
+    out = capsys.readouterr().out
+    assert "host factor" in out and "1.50" in out
+    # 90 / 1.5 = 60 — adjusted total matches the old run exactly
+    assert "60.0s" in out
+    # calib readings rendered in both config lines
+    assert out.count("calib pre") == 2

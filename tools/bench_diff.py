@@ -89,7 +89,39 @@ def _config_line(tag: str, rec: dict) -> str:
             f", index_build={rec['index_build_sec']}s untimed"
             if "index_build_sec" in rec else ""
         )
+        + (
+            f", calib pre {rec['calib']['pre']['single_sec']}/"
+            f"{rec['calib']['pre']['mt_sec']}s post "
+            f"{rec['calib']['post']['single_sec']}/"
+            f"{rec['calib']['post']['mt_sec']}s (1-core/32-core)"
+            if isinstance(rec.get("calib"), dict) else ""
+        )
     )
+
+
+def _host_factor(old: dict, new: dict) -> float | None:
+    """How much slower the NEW run's host was than the OLD run's, as
+    measured by the fixed calibration probes (bench.py `_calibration`):
+    geometric mean of the new/old ratios over the four probe readings
+    (pre/post x single/mt). > 1 means the new host window was slower —
+    raw new-side timings divided by this factor approximate a
+    like-for-like comparison. None when either record predates the
+    probe (r11 and earlier)."""
+    oc, nc = old.get("calib"), new.get("calib")
+    if not isinstance(oc, dict) or not isinstance(nc, dict):
+        return None
+    ratios = []
+    for phase in ("pre", "post"):
+        for k in ("single_sec", "mt_sec"):
+            o = (oc.get(phase) or {}).get(k)
+            n = (nc.get(phase) or {}).get(k)
+            if o and n and o > 0 and n > 0:
+                ratios.append(n / o)
+    if not ratios:
+        return None
+    import math
+
+    return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
 
 
 def main() -> int:
@@ -127,6 +159,20 @@ def main() -> int:
         _config_line("new", new),
         "",
     ]
+    factor = _host_factor(old, new)
+    if factor is not None:
+        adj = new.get("value")
+        adj_s = f"{adj / factor:.1f}s" if adj else "n/a"
+        lines += [
+            f"> host factor (new/old calibration, geomean): "
+            f"{factor:.2f} — the new run's host window was "
+            f"{'slower' if factor > 1 else 'faster'}; "
+            f"calib-adjusted new total ≈ {adj_s} "
+            f"(raw {adj}s ÷ {factor:.2f}). Per-query deltas below are "
+            f"RAW; treat a regression near the host factor as band, "
+            f"not code.",
+            "",
+        ]
     if have_mins:
         lines += [
             "| query | old s | new s | delta | old min | new min | verdict |",
