@@ -66,3 +66,43 @@ def test_registered_callables_and_oracles_consistent():
     load = all_queries()
     assert set(ORACLES) <= set(QUERIES)
     assert set(load) == set(QUERIES)
+
+
+def test_scale_sweep_exclusion_surface_is_pinned():
+    """Round-12 pin (round-11 verdict item 2): the replica-scale sweep
+    may exclude EXACTLY one query — similarity_pairs_above, the exact
+    all-pairs O(n^2)-by-definition baseline — and only at >= 30x,
+    i.e. it still runs (and ran green, r11: 139 s) at the 10x replica.
+    Any new exclusion, or a lowered factor, must change this test —
+    the exclusion list cannot silently widen. The digest/staged tier
+    lists must name real oracle-backed queries and stay disjoint (a
+    name in both would be skipped by phase 1 AND phase 2's composition
+    math would double-count it)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_scale_sweep", os.path.join(root, "tools", "run_scale_sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert set(mod.EXCLUDE_AT_FACTOR) == {"similarity_pairs_above"}
+    spec_ = mod.EXCLUDE_AT_FACTOR["similarity_pairs_above"]
+    assert spec_["min_factor"] == 30
+    assert "O(n^2)" in spec_["rationale"]
+    # 10x replica (scale/sf1.0) still includes it; 30x/100x exclude
+    assert mod.replica_factor("spark-warehouse/scale/sf1.0") == 10
+    assert mod.replica_factor("spark-warehouse/scale/sf10.0") == 100
+
+    names = set(all_queries())
+    digest, staged = set(mod.DIGEST_NAMES), set(mod.STAGED_NAMES)
+    assert digest <= names and staged <= names
+    assert not digest & staged
+    # digest-tier names must be oracle-backed (phase 2 hash-compares
+    # them); staged names are verified by check_staged_oracles
+    assert digest <= set(ORACLES)
+    from tools.check_staged_oracles import STAGED as staged_impl
+
+    assert staged == set(staged_impl)

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""One-command full-registry replica-scale sweep (round-11 verdict
+item 4: the r10/r11 sweeps lived as ad-hoc shell pipelines logged in
+/tmp — this makes the three-phase composition reproducible and the log
+a committable artifact).
+
+    python tools/run_scale_sweep.py SF_DIR [--log PATH] [--chunk N]
+
+Phases (the composition the r11 sweep validated):
+
+1. chunked FULL-HASH sweep over every oracle-backed name that is not
+   digest-tiered, staged, or scale-excluded
+   (``check_correctness.py --chunk N --skip ...``);
+2. ``--digest`` sweep (exact rowcount + top-2000 ORDER-BY-prefix) for
+   the output-heavy names whose full output would kill the chunk JVM
+   at replica scale (DIGEST_NAMES — the 44-name list validated
+   digest-green at sf0.01 in round 11);
+3. ``check_staged_oracles.py`` for the four disk-bound twins whose
+   single-statement DuckDB oracle out-spills the sandbox at 30x/100x.
+
+Exclusions are a RECORDED, cap-checked surface (EXCLUDE_AT_FACTOR),
+pinned in tests/test_registry_gate.py so they cannot silently widen:
+only ``similarity_pairs_above`` — the exact all-pairs baseline tier,
+O(n^2) COMPUTE on both engines by definition ("quadratic by
+construction: at scale run it only on LSH candidates" — its own
+docstring; the scale paths are the LSH/IVF/SemDeDup tiers, all
+100x-verified). It stays IN the sweep through 10x (139 s green in
+r11) and is excluded only at factor >= 30, where the oracle's
+hundreds-of-billions-pair unnest exhausts DuckDB temp disk.
+
+Replica factor convention (tools/make_scale_replica.py): replicas live
+at spark-warehouse/scale/sf{F} and represent F/0.1 x the sf0.1 base —
+sf1.0 = 10x, sf3.0 = 30x, sf10.0 = 100x.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: output-heavy names verified digest-green at sf0.01 (r11 §4): full
+#: toPandas() of their replica-scale output (millions of rows) OOMs
+#: the chunk JVM, so they are compared by exact count + ordered prefix.
+DIGEST_NAMES: tuple[str, ...] = (
+    "asof_join_cogrouped", "asof_join_next_purchase", "asof_join_purchases",
+    "asof_last_purchase", "cdc_incremental_scan", "cdc_json_decode",
+    "cdc_json_encode", "cdc_scd2_history", "cdc_validate_valid",
+    "cohort_ltv_curve", "customer_rfm_quantile_scores",
+    "customer_rfm_segments", "date_exprs", "denormalized_order_lines",
+    "doc_sliding_chunks", "doc_winnow_fingerprints", "event_props_extract",
+    "event_props_typed", "feature_label_index", "feature_quantile_buckets",
+    "gapfill_daily_revenue", "gapfill_linear_interp", "group_minmax_norm",
+    "hopping_event_counts", "in_list_filter", "ivm_join_delta_revenue",
+    "lateral_topk_per_customer", "part_pareto_frontier",
+    "purchase_click_attribution", "revenue_seasonality_decomp",
+    "rolling_7d_user_spend", "rolling_median_revenue", "scalar_exprs",
+    "semi_join_big_spenders", "session_stats", "session_window_native",
+    "sessionize", "set_union_active_keys", "string_funcs",
+    "text_tfidf_top_terms", "tumbling_hourly_agg",
+    "unpivot_lineitem_measures", "window_running_sum",
+    "window_topn_per_group",
+)
+
+#: names verified by tools/check_staged_oracles.py (single-statement
+#: DuckDB oracle out-spills the sandbox disk at replica scale; the
+#: staged twin is still DuckDB-computed from base parquet).
+STAGED_NAMES: tuple[str, ...] = (
+    "pagerank_brand_copurchase", "brand_copurchase_lift",
+    "dedup_components", "dedup_near_keep",
+)
+
+#: queries excluded from the sweep at or above a replica factor, with
+#: the recorded rationale. This dict is the WHOLE exclusion surface —
+#: pinned in tests/test_registry_gate.py so it cannot grow silently.
+EXCLUDE_AT_FACTOR: dict[str, dict] = {
+    "similarity_pairs_above": {
+        "min_factor": 30,
+        "rationale": (
+            "exact all-pairs cosine baseline — O(n^2) compute on both "
+            "engines by definition; verified full-hash at sf0.01/sf0.1 "
+            "and green at the 10x replica (139 s, r11); at >=30x the "
+            "oracle's pair unnest (250B rows at 100x) exhausts DuckDB "
+            "temp disk. The scale paths for this semantics are the "
+            "LSH/IVF/SemDeDup candidate tiers, all 100x-verified."
+        ),
+    },
+}
+
+
+def replica_factor(sf_dir: str) -> float:
+    """F/0.1 for a scale/sf{F} replica path; testdata sf paths map the
+    same way (sf0.1 -> 1x base, sf0.01 -> 0.1x)."""
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) / 0.1 if m else 1.0
+
+
+def _run(cmd: list[str], log) -> int:
+    print(f"\n$ {' '.join(cmd)}", flush=True)
+    log.write(f"\n$ {' '.join(cmd)}\n")
+    log.flush()
+    p = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=ROOT,
+    )
+    assert p.stdout is not None
+    for line in p.stdout:
+        if re.match(r"^\[Stage|WARN", line.strip()):
+            continue
+        sys.stdout.write(line)
+        log.write(line)
+    p.wait()
+    log.write(f"[exit {p.returncode}]\n")
+    log.flush()
+    return p.returncode
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    sf_dir = sys.argv[1]
+    args = sys.argv[2:]
+    chunk = "40"
+    if "--chunk" in args:
+        chunk = args[args.index("--chunk") + 1]
+    factor = replica_factor(sf_dir)
+    excluded = sorted(
+        n for n, spec in EXCLUDE_AT_FACTOR.items()
+        if factor >= spec["min_factor"]
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    log_path = os.path.join(ROOT, f"SWEEP_{tag}.log")
+    if "--log" in args:
+        log_path = args[args.index("--log") + 1]
+
+    py = sys.executable
+    with open(log_path, "w") as log:
+        hdr = (
+            f"# scale sweep @ {sf_dir} (factor {factor:g}x), "
+            f"{time.strftime('%Y-%m-%d %H:%M:%S')}\n"
+            f"# digest tier: {len(DIGEST_NAMES)} names; staged: "
+            f"{len(STAGED_NAMES)}; excluded at this factor: "
+            f"{excluded or 'none'}\n"
+        )
+        for n in excluded:
+            hdr += f"#   {n}: {EXCLUDE_AT_FACTOR[n]['rationale']}\n"
+        print(hdr, end="")
+        log.write(hdr)
+
+        skip = ",".join(sorted(DIGEST_NAMES + STAGED_NAMES) + excluded)
+        rc1 = _run(
+            [py, "tools/check_correctness.py", sf_dir,
+             "--chunk", chunk, "--skip", skip],
+            log,
+        )
+        digest_names = [n for n in DIGEST_NAMES if n not in excluded]
+        rc2 = _run(
+            [py, "tools/check_correctness.py", sf_dir, *digest_names,
+             "--chunk", "20", "--digest"],
+            log,
+        )
+        rc3 = _run([py, "tools/check_staged_oracles.py", sf_dir], log)
+
+        summary = (
+            f"\n# PHASE1_RC={rc1} PHASE2_RC={rc2} PHASE3_RC={rc3} "
+            f"excluded={excluded or 'none'}\n"
+        )
+        print(summary, end="")
+        log.write(summary)
+    print(f"# log: {log_path}")
+    return 0 if rc1 == rc2 == rc3 == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
