@@ -57,7 +57,14 @@ DIGEST_NAMES: tuple[str, ...] = (
     "doc_sliding_chunks", "doc_winnow_fingerprints", "event_props_extract",
     "event_props_typed", "feature_label_index", "feature_quantile_buckets",
     "gapfill_daily_revenue", "gapfill_linear_interp", "group_minmax_norm",
-    "hopping_event_counts", "in_list_filter", "ivm_join_delta_revenue",
+    "hopping_event_counts", "in_list_filter",
+    # time-COMPRESSED replicas pack Kx incidents into the same 30-day
+    # range, so the overlap OUTPUT is quadratic in the factor (118.8M
+    # pairs at 100x — a fixture artifact; real 100x data spans ~100x
+    # the time at constant density). Full-hash collect trips
+    # spark.driver.maxResultSize; r11 verified it digest (41.6 s).
+    "interval_incident_overlap_pairs",
+    "ivm_join_delta_revenue",
     "lateral_topk_per_customer", "part_pareto_frontier",
     "purchase_click_attribution", "revenue_seasonality_decomp",
     "rolling_7d_user_spend", "rolling_median_revenue", "scalar_exprs",
