@@ -83,6 +83,24 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft-tmp"),
         )
+        # GCLocker hardening (r12): at the 100x replica, long serving
+        # sessions died on "Retried waiting for GCLocker too often
+        # allocating N words" — a >100 MB humongous sort/hash-array
+        # allocation failing while Arrow JNI critical sections across
+        # 32 task threads hold the GCLocker; HotSpot's default gives a
+        # humongous allocation only TWO retries before throwing OOM
+        # (GCLockerRetryAllocationCount=2, diagnostic). Raising the
+        # retry budget converts the spurious OOM into a short wait.
+        # Applies only when this builder launches the JVM (local mode /
+        # client driver); on a cluster set it in executor opts too.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+UnlockDiagnosticVMOptions"
+                " -XX:GCLockerRetryAllocationCount=64",
+            ),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
