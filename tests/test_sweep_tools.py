@@ -108,3 +108,18 @@ def test_rows_only_names_never_retried(chunk_sweep):
     assert final == {"a": "pass", "b": "rows"}
     assert retried == []
     assert calls == [["a", "b"]]
+
+
+def test_gclocker_retry_budget_reaches_the_jvm(spark):
+    """r12 hardening pin: at the 100x replica, serving JVMs died on
+    GCLocker retry exhaustion (humongous sort-array allocations vs
+    Arrow JNI critical sections across 32 task threads). get_spark
+    must keep raising the retry budget — and since the option only
+    matters at JVM launch, assert it actually reached the live JVM's
+    command line, not just the conf."""
+    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
+    assert "GCLockerRetryAllocationCount" in opts
+    assert "-XX:+UnlockDiagnosticVMOptions" in opts
+    pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+    cmdline = open(f"/proc/{pid}/cmdline", "rb").read().decode().split("\0")
+    assert any("GCLockerRetryAllocationCount" in c for c in cmdline)
