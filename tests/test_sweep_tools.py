@@ -123,3 +123,54 @@ def test_gclocker_retry_budget_reaches_the_jvm(spark):
     pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
     cmdline = open(f"/proc/{pid}/cmdline", "rb").read().decode().split("\0")
     assert any("GCLockerRetryAllocationCount" in c for c in cmdline)
+
+
+@pytest.fixture(scope="module")
+def rotation_mod():
+    spec = importlib.util.spec_from_file_location(
+        "plan_gate_rotation", os.path.join(ROOT, "tools", "plan_gate_rotation.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_rotation_standing_rules(rotation_mod, monkeypatch):
+    """Changed names front; then oracle-backed by (staleness, name);
+    no-oracle names after every oracle-backed name."""
+    monkeypatch.setattr(
+        rotation_mod, "newest_rows",
+        lambda: {"a": 7, "b": 6, "c": 6, "d": 11, "e": 6},
+    )
+    import cdc_kafka_project_spark.registry as reg
+    monkeypatch.setattr(reg, "all_queries",
+                        lambda: {n: None for n in "abcdef"})
+    monkeypatch.setattr(reg, "ORACLES",
+                        {n: "SELECT 1" for n in "abcd"})  # e,f rows-only
+    ordered = [n for n, _ in rotation_mod.plan(changed=["d"])]
+    # d fronted; b,c (r6) before a (r7); e (r6) and f (never) are
+    # no-oracle so they sort after EVERY oracle-backed name, f (round
+    # 0) before e within the no-oracle tier
+    assert ordered == ["d", "b", "c", "a", "f", "e"]
+
+
+def test_rotation_reproduces_committed_window(rotation_mod):
+    """The committed r12 _GATE_PRIORITY[:50] must equal the rotation
+    computed from the CORRECTNESS history r1..r11 with the three
+    changed-this-round names fronted — pins tool and window to each
+    other. Scoped to the r11-era history so the pin stays true after
+    CORRECTNESS_r12.json lands."""
+    import glob
+
+    rounds = sorted(
+        int(p.rsplit("_r", 1)[1].split(".")[0])
+        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+    )
+    if rounds and rounds[-1] > 11:
+        pytest.skip("history moved past r11; the r12 window is historical")
+    from cdc_kafka_project_spark.registry import _GATE_PRIORITY
+
+    ordered = [n for n, _ in rotation_mod.plan(
+        changed=["dedup_minhash_lsh", "doc_decontaminate",
+                 "doc_fingerprint_xx"])]
+    assert ordered[:50] == _GATE_PRIORITY[:50]
