@@ -14,6 +14,38 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: JVM hardening applied to BOTH driver and executor launch options.
+#:
+#: GCLocker retry budget (r12): at the 100x replica, long serving
+#: sessions died on "Retried waiting for GCLocker too often allocating
+#: N words" — a >100 MB humongous sort/hash-array allocation failing
+#: while Arrow JNI critical sections across 32 task threads hold the
+#: GCLocker; HotSpot's default gives a humongous allocation only TWO
+#: retries before throwing OOM (GCLockerRetryAllocationCount=2,
+#: diagnostic). Raising the retry budget converts the spurious OOM
+#: into a short wait.
+#:
+#: IgnoreUnrecognizedVMOptions leads (r12 advisor): the GCLocker and
+#: its retry knob are slated for removal in newer JDKs (the GCLocker
+#: itself is gone in JDK 22+'s G1); without the ignore flag, a JDK
+#: that dropped the option would refuse to launch with "Unrecognized
+#: VM option", breaking every get_spark() call. With it, unsupported
+#: flags degrade to no-ops and the JVM still starts.
+HARDENING_JAVA_OPTS = (
+    "-XX:+IgnoreUnrecognizedVMOptions"
+    " -XX:+UnlockDiagnosticVMOptions"
+    " -XX:GCLockerRetryAllocationCount=64"
+)
+
+
+def _java_opts(env_var: str) -> str:
+    """Hardening defaults + any env-provided extras APPENDED (r12
+    advisor: env opts used to REPLACE the defaults, silently dropping
+    the GCLocker hardening when a user added an unrelated flag).
+    Later JVM flags win on conflict, so env extras still override."""
+    extra = os.environ.get(env_var, "").strip()
+    return f"{HARDENING_JAVA_OPTS} {extra}" if extra else HARDENING_JAVA_OPTS
+
 #: Runtime-settable SQL confs every session needs for correctness parity
 #: with the DuckDB oracle and for reading the testdata.
 RUNTIME_CONFS: dict[str, str] = {
@@ -83,24 +115,16 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft-tmp"),
         )
-        # GCLocker hardening (r12): at the 100x replica, long serving
-        # sessions died on "Retried waiting for GCLocker too often
-        # allocating N words" — a >100 MB humongous sort/hash-array
-        # allocation failing while Arrow JNI critical sections across
-        # 32 task threads hold the GCLocker; HotSpot's default gives a
-        # humongous allocation only TWO retries before throwing OOM
-        # (GCLockerRetryAllocationCount=2, diagnostic). Raising the
-        # retry budget converts the spurious OOM into a short wait.
-        # Applies only when this builder launches the JVM (local mode /
-        # client driver); on a cluster set it in executor opts too.
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:+UnlockDiagnosticVMOptions"
-                " -XX:GCLockerRetryAllocationCount=64",
-            ),
-        )
+        # JVM hardening (see HARDENING_JAVA_OPTS). In local mode only
+        # the driver option matters (driver JVM == executor JVM), but
+        # a real cluster launches separate executor JVMs that would
+        # otherwise run without the GCLocker retry budget and die the
+        # way the r12 100x serving soak did — so plumb BOTH (r12
+        # verdict item 4). Env vars APPEND extras, never replace.
+        .config("spark.driver.extraJavaOptions",
+                _java_opts("SPARK_GRAFT_DRIVER_JAVA_OPTS"))
+        .config("spark.executor.extraJavaOptions",
+                _java_opts("SPARK_GRAFT_EXECUTOR_JAVA_OPTS"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -33,7 +33,7 @@ def chunk_sweep():
 def test_all_green_no_retry(chunk_sweep):
     calls = []
 
-    def run(batch):
+    def run(batch, retry=False):
         calls.append(list(batch))
         return {n: "pass" for n in batch}
 
@@ -49,7 +49,7 @@ def test_jvm_death_heals_unreported_names(chunk_sweep):
     clears them."""
     calls = []
 
-    def run(batch):
+    def run(batch, retry=False):
         calls.append(list(batch))
         if batch == ["a", "b", "c"]:
             return {"a": "pass"}  # died before b and c
@@ -61,13 +61,14 @@ def test_jvm_death_heals_unreported_names(chunk_sweep):
     assert calls == [["a", "b", "c"], ["b"], ["c"]]
 
 
-def test_chunk_fail_heals_on_standalone_pass(chunk_sweep):
-    """The observed 100x shape: a name FAILs inside an accumulated
-    chunk but passes alone — the standalone verdict wins."""
+def test_chunk_exc_fail_heals_on_standalone_pass(chunk_sweep):
+    """The observed 100x shape: a name OOMs/raises inside an
+    accumulated chunk but passes alone — the standalone verdict wins.
+    Only EXCEPTION-type FAILs are eligible for this heal."""
 
-    def run(batch):
+    def run(batch, retry=False):
         if len(batch) > 1:
-            return {"a": "pass", "b": "fail"}
+            return {"a": "pass", "b": "fail-exc"}
         return {"b": "pass"}
 
     final, retried = chunk_sweep(["a", "b"], 2, run)
@@ -75,32 +76,68 @@ def test_chunk_fail_heals_on_standalone_pass(chunk_sweep):
     assert retried == ["b"]
 
 
-def test_double_fail_stays_failed(chunk_sweep):
-    def run(batch):
-        return {n: ("fail" if n == "b" else "pass") for n in batch}
+def test_mismatch_fail_never_retried(chunk_sweep):
+    """r12 advisor (medium): a deterministic oracle value/columns/
+    rowcount mismatch must not be greenlit by one lucky re-run — it is
+    never retried and always fails the sweep, even if a standalone
+    run WOULD pass (the scripted child here would return pass)."""
+    calls = []
+
+    def run(batch, retry=False):
+        calls.append(list(batch))
+        if len(batch) > 1:
+            return {"a": "pass", "b": "fail-mismatch"}
+        return {"b": "pass"}  # a lucky re-run — must never happen
 
     final, retried = chunk_sweep(["a", "b"], 2, run)
-    assert final == {"a": "pass", "b": "fail"}
+    assert final == {"a": "pass", "b": "fail-mismatch"}
+    assert retried == []
+    assert calls == [["a", "b"]]  # no standalone re-run issued
+
+
+def test_double_fail_stays_failed(chunk_sweep):
+    def run(batch, retry=False):
+        return {n: ("fail-exc" if n == "b" else "pass") for n in batch}
+
+    final, retried = chunk_sweep(["a", "b"], 2, run)
+    assert final == {"a": "pass", "b": "fail-exc"}
     assert retried == ["b"]
+
+
+def test_retry_pass_flag_reaches_run_batch(chunk_sweep):
+    """The retry pass invokes run_batch with retry=True so the child's
+    verdict echoes get the 'RETRY ' prefix (r12 advisor, low: no
+    double-counting of per-name verdict lines)."""
+    seen = []
+
+    def run(batch, retry=False):
+        seen.append((list(batch), retry))
+        if not retry:
+            return {"a": "pass", "b": "fail-exc"}
+        return {"b": "pass"}
+
+    final, retried = chunk_sweep(["a", "b"], 2, run)
+    assert final == {"a": "pass", "b": "pass"}
+    assert seen == [(["a", "b"], False), (["b"], True)]
 
 
 def test_standalone_death_is_failure(chunk_sweep):
     """A name whose own fresh JVM dies is a real resource defect."""
 
-    def run(batch):
+    def run(batch, retry=False):
         if batch == ["a", "b"]:
             return {"a": "pass"}  # died on b
         return {}  # standalone b dies too
 
     final, retried = chunk_sweep(["a", "b"], 2, run)
-    assert final == {"a": "pass", "b": "fail"}
+    assert final == {"a": "pass", "b": "fail-exc"}
     assert retried == ["b"]
 
 
 def test_rows_only_names_never_retried(chunk_sweep):
     calls = []
 
-    def run(batch):
+    def run(batch, retry=False):
         calls.append(list(batch))
         return {n: ("rows" if n == "b" else "pass") for n in batch}
 
@@ -110,19 +147,60 @@ def test_rows_only_names_never_retried(chunk_sweep):
     assert calls == [["a", "b"]]
 
 
+def test_fail_line_classification():
+    """The chunk-mode parser maps child FAIL-line text to the verdict
+    kinds chunk_sweep keys its heal decision on."""
+    def classify(ln: str) -> str:
+        return ("fail-exc" if (" raised " in ln or " died" in ln)
+                else "fail-mismatch")
+
+    assert classify("FAIL  x: spark raised OutOfMemoryError: heap") == "fail-exc"
+    assert classify("FAIL  x: duckdb raised IOException: temp") == "fail-exc"
+    assert classify("FAIL  x: chunk JVM died standalone") == "fail-exc"
+    assert classify("FAIL  x: values differ; first diffs: [..]") == "fail-mismatch"
+    assert classify("FAIL  x: rowcount 10 != 11") == "fail-mismatch"
+    assert classify("FAIL  x: columns ['a'] != ['b']") == "fail-mismatch"
+
+
 def test_gclocker_retry_budget_reaches_the_jvm(spark):
     """r12 hardening pin: at the 100x replica, serving JVMs died on
     GCLocker retry exhaustion (humongous sort-array allocations vs
     Arrow JNI critical sections across 32 task threads). get_spark
     must keep raising the retry budget — and since the option only
     matters at JVM launch, assert it actually reached the live JVM's
-    command line, not just the conf."""
-    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
-    assert "GCLockerRetryAllocationCount" in opts
-    assert "-XX:+UnlockDiagnosticVMOptions" in opts
+    command line, not just the conf. r13 extensions: the EXECUTOR
+    option twin must carry the same hardening (silently missing on a
+    real cluster before — r12 verdict item 4), and the ignore flag
+    must LEAD so JDKs that dropped the GCLocker still launch."""
+    for key in ("spark.driver.extraJavaOptions",
+                "spark.executor.extraJavaOptions"):
+        opts = spark.conf.get(key, "")
+        assert "GCLockerRetryAllocationCount" in opts, key
+        assert "-XX:+UnlockDiagnosticVMOptions" in opts, key
+        # the ignore flag must come BEFORE the diagnostic flags it guards
+        assert opts.index("-XX:+IgnoreUnrecognizedVMOptions") < opts.index(
+            "GCLockerRetryAllocationCount"
+        ), key
     pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
     cmdline = open(f"/proc/{pid}/cmdline", "rb").read().decode().split("\0")
     assert any("GCLockerRetryAllocationCount" in c for c in cmdline)
+    assert any("IgnoreUnrecognizedVMOptions" in c for c in cmdline)
+
+
+def test_java_opts_env_appends_not_replaces(monkeypatch):
+    """r12 advisor (low): SPARK_GRAFT_*_JAVA_OPTS used to REPLACE the
+    hardening defaults; it must append so user extras never silently
+    drop the GCLocker retry budget."""
+    from cdc_kafka_project_spark import session as sess
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", raising=False)
+    base = sess._java_opts("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    assert base == sess.HARDENING_JAVA_OPTS
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xss8m")
+    merged = sess._java_opts("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    assert merged.startswith(sess.HARDENING_JAVA_OPTS)
+    assert merged.endswith(" -Xss8m")
 
 
 @pytest.fixture(scope="module")

@@ -22,11 +22,17 @@ oracle side. Weaker than the full hash (a mid-stream divergence with
 identical count and prefix escapes) — the per-round record marks these
 rows "digest".
 
---chunk N additionally self-heals chunk-JVM deaths (r12): any name
-that FAILs or goes unreported in a chunk is re-run once in its own
+--chunk N additionally self-heals chunk-JVM deaths (r12; narrowed
+r13): any name that goes unreported or FAILs with an EXCEPTION-type
+line ('spark/duckdb raised', JVM death) is re-run once in its own
 fresh subprocess; only a name failing BOTH times counts as a failure
 (a chunk 26 queries deep into 100x-scale work can OOM on a name that
 is green standalone — r11 healed this with manual fill runs).
+Deterministic oracle mismatches (values/columns/rowcount) are NEVER
+retried — an intermittently nondeterministic query must not be
+greenlit by one lucky re-run (r12 advisor, medium). Retry-pass
+verdict echoes are prefixed 'RETRY ' so per-name verdict lines stay
+countable (r12 advisor, low).
 """
 
 from __future__ import annotations
@@ -80,21 +86,27 @@ def chunk_sweep(
     chunk: int,
     run_batch,
 ) -> tuple[dict[str, str], list[str]]:
-    """Chunked sweep with a one-shot retry pass (r12 self-healing).
+    """Chunked sweep with a one-shot retry pass (r12 self-healing,
+    r13: mismatch FAILs are no longer healable).
 
-    ``run_batch(batch) -> dict[name, verdict]`` runs one fresh child
-    over ``batch``; a missing name means the child died before
-    reaching it. Verdicts are 'pass' / 'fail' / 'rows'. Every name
-    that FAILs or goes unreported gets exactly one standalone re-run;
-    only a name failing (or dying) BOTH times stays a failure — a
+    ``run_batch(batch, retry) -> dict[name, verdict]`` runs one fresh
+    child over ``batch``; a missing name means the child died before
+    reaching it. Verdicts are 'pass' / 'rows' / 'fail-exc'
+    (exception-type: spark/duckdb raised, JVM death — resource shapes)
+    / 'fail-mismatch' (oracle value/columns/rowcount divergence).
+
+    Only unreported names and exception-type FAILs are healable: a
     chunk 26 queries deep into 100x-scale work can OOM on a name that
-    is green in a fresh JVM (observed: dedup_simhash_pairs, r12).
-    Returns (final verdicts, names that needed the retry pass).
+    is green in a fresh JVM (observed: dedup_simhash_pairs, r12). A
+    VALUE mismatch is the gate's whole point — an intermittently
+    nondeterministic query must not be greenlit by one lucky re-run
+    (r12 advisor, medium), so mismatches are never retried and always
+    fail the sweep. Returns (final verdicts, retried names).
     """
     final: dict[str, str] = {}
     for lo in range(0, len(names), chunk):
         batch = names[lo : lo + chunk]
-        verdicts = run_batch(batch)
+        verdicts = run_batch(batch, False)
         done = len([n for n in batch if n in verdicts])
         if done < len(batch):
             print(
@@ -104,16 +116,24 @@ def chunk_sweep(
             )
         final.update(verdicts)
 
-    retry = [n for n in names if final.get(n) not in ("pass", "rows")]
+    mismatched = sorted(
+        n for n in names if final.get(n) == "fail-mismatch"
+    )
+    if mismatched:
+        print(f"\nNOTE  {len(mismatched)} deterministic oracle"
+              f" mismatch(es) — NOT retried, sweep fails:"
+              f" {', '.join(mismatched)}")
+    retry = [n for n in names
+             if final.get(n) in (None, "fail-exc")]
     if retry:
         print(f"\nRETRY pass: {len(retry)} name(s) in fresh JVMs"
               f" ({', '.join(retry)})")
         for n in retry:
-            v = run_batch([n]).get(n)
+            v = run_batch([n], True).get(n)
             if v is None:
                 # died even alone: a real resource defect
                 print(f"FAIL  {n}: chunk JVM died standalone")
-                v = "fail"
+                v = "fail-exc"
             elif final.get(n) is not None and v != final[n]:
                 print(f"NOTE  {n}: {final[n]} in chunk ->"
                       f" {v} standalone (chunk-JVM accumulation)")
@@ -179,11 +199,16 @@ def main() -> int:
         ]
         extra = ["--digest"] if digest else []
 
-        def run_batch(batch: list[str]) -> dict[str, str]:
+        def run_batch(batch: list[str], retry: bool = False) -> dict[str, str]:
             """One fresh subprocess over ``batch``; {name: verdict}.
             A missing name means the JVM died before reaching it —
             per-name lines flush per query, so presence is the
-            liveness signal."""
+            liveness signal. FAIL lines are classified by their text:
+            'raised' / 'died' shapes are exception-type (healable);
+            columns/rowcount/values divergences are deterministic
+            mismatches (never healed). Retry-pass echoes are prefixed
+            'RETRY ' so log consumers counting verdict lines see one
+            final verdict per name (r12 advisor, low)."""
             proc = subprocess.run(
                 [sys.executable, sys.argv[0], sf_dir, *batch, *extra],
                 capture_output=True,
@@ -192,21 +217,30 @@ def main() -> int:
             lines = proc.stdout.splitlines()
             verdicts: dict[str, str] = {}
             batch_set = set(batch)
+            prefix = "RETRY " if retry else ""
             for ln in lines:
                 parts = ln.split()
                 if ln.startswith(("PASS", "FAIL", "rows ")) and len(parts) > 1:
                     nm = parts[1].rstrip(":")
                     if nm in batch_set:
-                        verdicts[nm] = {
-                            "P": "pass", "F": "fail", "r": "rows"
-                        }[ln[0]]
-                    sys.stdout.write(ln + "\n")
+                        if ln[0] == "F":
+                            verdicts[nm] = (
+                                "fail-exc"
+                                if (" raised " in ln or " died" in ln)
+                                else "fail-mismatch"
+                            )
+                        else:
+                            verdicts[nm] = {"P": "pass", "r": "rows"}[ln[0]]
+                    sys.stdout.write(prefix + ln + "\n")
             sys.stdout.flush()
             return verdicts
 
         final, _retried = chunk_sweep(names, chunk, run_batch)
-        totals = [sum(1 for v in final.values() if v == t)
-                  for t in ("pass", "fail", "rows")]
+        totals = [
+            sum(1 for v in final.values() if v == "pass"),
+            sum(1 for v in final.values() if v.startswith("fail")),
+            sum(1 for v in final.values() if v == "rows"),
+        ]
         print(f"\n{totals[0]} pass, {totals[1]} fail, {totals[2]} rows-only")
         return 1 if totals[1] or len(final) != len(names) else 0
 
