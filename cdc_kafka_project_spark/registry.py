@@ -97,83 +97,29 @@ def load_all() -> None:
 # dict order and covers a bounded prefix (exactly 50 names in r5), so
 # the registry orders the checked dict explicitly rather than relying on
 # module import order.
-# ROUND-10 ORDER (round-9 verdict item 2 — the window was not rotated
-# in round 9, so the r4-era staleness debt is cleared here): the five
-# id-scheme conversions front the window, then the 14 r4-era rows and
-# the oldest r5-era rows fill the 50 slots.
+# The window is machine-computed each round by
+# tools/plan_gate_rotation.py from the CORRECTNESS_r*.json history
+# (verify with --check); the full permutation below is its output.
 # STANDING RULES: never-checked or changed-this-round names front the
 # window; after that order by staleness (oldest driver row first);
 # no-oracle names always sort after every oracle-backed name.
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- ROUND-12 WINDOW (round-11 verdict item 1; standing rules:
-    #    changed-this-round first, then oldest driver rows). Tier 1:
-    #    the 3 queries whose PLAN or ORACLE changed this round (the
-    #    ADVICE minhash fixture-predicate fix, the decontaminate
-    #    broadcast-hint drop, and the doc_fingerprint_xx
-    #    content-function oracle conversion — all oracle-backed, so
-    #    the window is 50/50 hash-checkable with NO rows-only tail
-    #    this round). --
-    "dedup_minhash_lsh",
-    "doc_decontaminate",
-    "doc_fingerprint_xx",
-    # -- Tier 2: the 38 r6-era rows (the oldest remaining driver
-    #    rows), alphabetical. --
-    "cdc_validate_valid",
-    "corpus_source_report",
-    "dedup_incremental_new_docs",
-    "denormalized_order_lines",
-    "doc_bigram_logprob",
-    "doc_span_dedup",
-    "doc_stratified_split",
-    "embedding_binary_quantize",
-    "embedding_matryoshka_fidelity",
-    "event_props_variant",
-    "event_value_drift_kl",
-    "feature_label_index",
-    "feature_quantile_buckets",
-    "fk_integrity_audit",
-    "gapfill_daily_revenue",
-    "hard_negative_mining",
-    "interval_incident_event_stats",
-    "interval_incident_overlap_pairs",
-    "lang_source_pmi",
-    "q12_priority_case_agg",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q16_supplier_variety",
-    "q17_small_qty_avg",
-    "q1_pricing_summary",
-    "q2_min_price_per_type",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_revenue_delta",
-    "rolling_7d_user_spend",
-    "session_window_native",
-    "shard_assignment_by_bytes",
-    "similarity_hamming_rerank",
-    "split_leakage_audit",
-    "unpivot_lineitem_measures",
-    "user_spend_ewma",
-    "winsorized_price_stats",
-    # -- Tier 3: the 9 alphabetically-first r7-era rows fill the
-    #    50 slots. --
-    "anti_join_no_big_orders",
-    "cdc_incremental_agg",
-    "cdc_scd2_history",
-    "cdc_time_travel",
-    "conditional_aggs",
-    "cube_agg",
-    "date_exprs",
-    "dedup_components",
-    "dedup_near_keep",
-    # -- BEHIND THE ROTATION, by staleness (oldest driver row
-    #    first, alphabetical within a round): r7 remainder, then
-    #    r9 / r10 / r11 tiers; the 3 no-oracle ANN names (each
-    #    with an oracle-green exact twin) sort LAST so they never
-    #    sit in front of an oracle-backed slot. --
+    # -- ROUND-13 WINDOW (round-12 verdict item 1; computed by
+    #    tools/plan_gate_rotation.py --changed similarity_ann_lsh,
+    #    similarity_ann_ivf,similarity_ann_pq). Tier 1: the 3 ANN
+    #    probes converted from rows-only to probe-contract oracles
+    #    this round (every window slot is oracle-backed -- second
+    #    consecutive 50/50 hash-checkable window, and with 219/219
+    #    oracle-backed there is no rows-only tier left anywhere). --
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_pq",
+    # -- Tier 2: oracle-backed names by staleness (oldest newest-
+    #    driver-row first, alphabetical within a round): the 41
+    #    remaining r7-era rows fill slots 4-44, then the
+    #    alphabetically-first r9-era rows complete the 50. --
     "distinct_counts",
     "doc_contamination_hits",
     "event_props_extract",
@@ -212,6 +158,7 @@ _GATE_PRIORITY: list[str] = [
     "window_running_sum",
     "window_topn_per_group",
     "word_bigrams_top100",
+    # -- (r9 tier begins) --
     "asof_join_next_purchase",
     "asof_join_purchases",
     "bpe_merge_ranks",
@@ -221,6 +168,10 @@ _GATE_PRIORITY: list[str] = [
     "dedup_exact_keep",
     "dedup_keep_longest",
     "dedup_levenshtein_verify",
+    # -- BEHIND THE ROTATION, by staleness (oldest driver row
+    #    first, alphabetical within a round): r9 remainder, then
+    #    r10 / r11 / r12 tiers. Every name is oracle-backed as of
+    #    r13, so the no-oracle tail rule is vacuously satisfied. --
     "dedup_ngram_jaccard",
     "dedup_normalized_groups",
     "doc_chunks",
@@ -340,10 +291,58 @@ _GATE_PRIORITY: list[str] = [
     "vocab_growth_curve",
     "weekend_effect_ttest",
     "zipf_slope",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_ann_pq",
+    "anti_join_no_big_orders",
+    "cdc_incremental_agg",
+    "cdc_scd2_history",
+    "cdc_time_travel",
+    "cdc_validate_valid",
+    "conditional_aggs",
+    "corpus_source_report",
+    "cube_agg",
+    "date_exprs",
+    "dedup_components",
+    "dedup_incremental_new_docs",
+    "dedup_minhash_lsh",
+    "dedup_near_keep",
+    "denormalized_order_lines",
+    "doc_bigram_logprob",
+    "doc_decontaminate",
+    "doc_fingerprint_xx",
+    "doc_span_dedup",
+    "doc_stratified_split",
+    "embedding_binary_quantize",
+    "embedding_matryoshka_fidelity",
+    "event_props_variant",
+    "event_value_drift_kl",
+    "feature_label_index",
+    "feature_quantile_buckets",
+    "fk_integrity_audit",
+    "gapfill_daily_revenue",
+    "hard_negative_mining",
+    "interval_incident_event_stats",
+    "interval_incident_overlap_pairs",
+    "lang_source_pmi",
+    "q12_priority_case_agg",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_supplier_variety",
+    "q17_small_qty_avg",
+    "q1_pricing_summary",
+    "q2_min_price_per_type",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_revenue_delta",
+    "rolling_7d_user_spend",
+    "session_window_native",
+    "shard_assignment_by_bytes",
+    "similarity_hamming_rerank",
+    "split_leakage_audit",
+    "unpivot_lineitem_measures",
+    "user_spend_ewma",
+    "winsorized_price_stats",
 ]
+
 
 
 

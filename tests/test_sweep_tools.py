@@ -218,7 +218,7 @@ def test_rotation_standing_rules(rotation_mod, monkeypatch):
     no-oracle names after every oracle-backed name."""
     monkeypatch.setattr(
         rotation_mod, "newest_rows",
-        lambda: {"a": 7, "b": 6, "c": 6, "d": 11, "e": 6},
+        lambda upto=None: {"a": 7, "b": 6, "c": 6, "d": 11, "e": 6},
     )
     import cdc_kafka_project_spark.registry as reg
     monkeypatch.setattr(reg, "all_queries",
@@ -232,23 +232,36 @@ def test_rotation_standing_rules(rotation_mod, monkeypatch):
     assert ordered == ["d", "b", "c", "a", "f", "e"]
 
 
-def test_rotation_reproduces_committed_window(rotation_mod):
-    """The committed r12 _GATE_PRIORITY[:50] must equal the rotation
-    computed from the CORRECTNESS history r1..r11 with the three
-    changed-this-round names fronted — pins tool and window to each
-    other. Scoped to the r11-era history so the pin stays true after
-    CORRECTNESS_r12.json lands."""
-    import glob
-
-    rounds = sorted(
-        int(p.rsplit("_r", 1)[1].split(".")[0])
-        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+def test_rotation_changed_no_oracle_stays_in_tail(rotation_mod, monkeypatch):
+    """r12 advisor (low): a changed name WITHOUT an oracle must not
+    front the window (pinned rule 3 dominates rule 1) — it heads the
+    no-oracle tier instead."""
+    monkeypatch.setattr(
+        rotation_mod, "newest_rows",
+        lambda upto=None: {"a": 7, "b": 6, "c": 6, "d": 11, "e": 6},
     )
-    if rounds and rounds[-1] > 11:
-        pytest.skip("history moved past r11; the r12 window is historical")
+    import cdc_kafka_project_spark.registry as reg
+    monkeypatch.setattr(reg, "all_queries",
+                        lambda: {n: None for n in "abcdef"})
+    monkeypatch.setattr(reg, "ORACLES",
+                        {n: "SELECT 1" for n in "abcd"})  # e,f rows-only
+    # e changed but has no oracle: every oracle-backed name still
+    # precedes it, and it heads the no-oracle tier (before f)
+    ordered = [n for n, _ in rotation_mod.plan(changed=["d", "e"])]
+    assert ordered == ["d", "b", "c", "a", "e", "f"]
+
+
+def test_rotation_reproduces_committed_window(rotation_mod):
+    """The committed r13 _GATE_PRIORITY[:50] must equal the rotation
+    computed from the CORRECTNESS history truncated at r12 with the
+    three changed-this-round names (the ANN probe-contract
+    conversions) fronted — pins tool and window to each other. The
+    ``upto`` truncation makes the pin permanent: it stays true after
+    CORRECTNESS_r13.json (and later rounds) land."""
     from cdc_kafka_project_spark.registry import _GATE_PRIORITY
 
     ordered = [n for n, _ in rotation_mod.plan(
-        changed=["dedup_minhash_lsh", "doc_decontaminate",
-                 "doc_fingerprint_xx"])]
+        changed=["similarity_ann_lsh", "similarity_ann_ivf",
+                 "similarity_ann_pq"],
+        upto=12)]
     assert ordered[:50] == _GATE_PRIORITY[:50]
