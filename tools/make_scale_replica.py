@@ -70,62 +70,78 @@ def build(src: str, out: str, k: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
 
+    # At k=1000 (the r13 sf100 probe) a single k-branch union is a
+    # 1000-deep logical plan — Catalyst analysis cost grows superlinearly
+    # and deep unionByName chains risk analyzer stack exhaustion. Write
+    # the union in <=CHUNK-branch plans appended to the same directory
+    # instead: identical rows, bounded plan size; each chunk carries its
+    # share of the output files so the file-count scales with k.
+    CHUNK = 100
+
+    def one_replica(base, name, cols, i):
+        rep = base
+        for c in KEYS[name]:
+            rep = rep.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+        if name == "documents" and i > 0:
+            step = 2 + i % 3
+            rep = rep.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.trim("text"), r"\s+"),
+                        lambda w, p: F.when(
+                            p % step == 0, F.concat(w, F.lit(str(i)))
+                        ).otherwise(w),
+                    ),
+                    " ",
+                ),
+            ).withColumn("n_chars", F.length("text"))
+        if name == "embeddings" and i > 0:
+            # flip a DENSE pseudorandom half of the dimensions
+            # (xxhash64(dim, replica) parity): ~32 of 64 dims per
+            # replica, masks pairwise independent, so both
+            # replica-vs-source and replica-vs-replica cosines
+            # concentrate near 0 with a ~5-sigma gap to the 0.95
+            # near-dup bar. The earlier sparse periodic mask
+            # (every (i+2)-th dim) flipped as few as 6 dims for
+            # high i, and whenever those dims carried little mass
+            # the pair stayed near cos 1 — measured 241
+            # same-source pairs >= 0.95 at 10x, which polluted
+            # the near-dup/semdedup fixture contract and
+            # inflated candidate volumes in the stress timings.
+            rep = rep.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, j: F.when(
+                        F.xxhash64(j, F.lit(i)) % 2 == 0, -x
+                    ).otherwise(x),
+                ),
+            )
+        return rep.select(cols)
+
     for name in TESTDATA_TABLES:
         base = load_table(spark, src, name)
         cols = base.columns
-        if name in DIMS:
-            reps = base
-        else:
-            parts = []
-            for i in range(k):
-                rep = base
-                for c in KEYS[name]:
-                    rep = rep.withColumn(c, F.col(c) + F.lit(i * OFFSET))
-                if name == "documents" and i > 0:
-                    step = 2 + i % 3
-                    rep = rep.withColumn(
-                        "text",
-                        F.array_join(
-                            F.transform(
-                                F.split(F.trim("text"), r"\s+"),
-                                lambda w, p: F.when(
-                                    p % step == 0, F.concat(w, F.lit(str(i)))
-                                ).otherwise(w),
-                            ),
-                            " ",
-                        ),
-                    ).withColumn("n_chars", F.length("text"))
-                if name == "embeddings" and i > 0:
-                    # flip a DENSE pseudorandom half of the dimensions
-                    # (xxhash64(dim, replica) parity): ~32 of 64 dims per
-                    # replica, masks pairwise independent, so both
-                    # replica-vs-source and replica-vs-replica cosines
-                    # concentrate near 0 with a ~5-sigma gap to the 0.95
-                    # near-dup bar. The earlier sparse periodic mask
-                    # (every (i+2)-th dim) flipped as few as 6 dims for
-                    # high i, and whenever those dims carried little mass
-                    # the pair stayed near cos 1 — measured 241
-                    # same-source pairs >= 0.95 at 10x, which polluted
-                    # the near-dup/semdedup fixture contract and
-                    # inflated candidate volumes in the stress timings.
-                    rep = rep.withColumn(
-                        "embedding",
-                        F.transform(
-                            "embedding",
-                            lambda x, j: F.when(
-                                F.xxhash64(j, F.lit(i)) % 2 == 0, -x
-                            ).otherwise(x),
-                        ),
-                    )
-                parts.append(rep.select(cols))
-            reps = parts[0]
-            for p in parts[1:]:
-                reps = reps.unionByName(p)
-        # a handful of similar-sized files per table: enough scan
-        # parallelism without a small-file swarm
-        n_files = 1 if name in DIMS else 8
         tmp = os.path.join(out, f"__tmp_{name}")
-        reps.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        if name in DIMS:
+            # a handful of similar-sized files per table: enough scan
+            # parallelism without a small-file swarm
+            base.repartition(1).write.mode("overwrite").parquet(tmp)
+        else:
+            for lo in range(0, k, CHUNK):
+                chunk = list(range(lo, min(lo + CHUNK, k)))
+                reps = one_replica(base, name, cols, chunk[0])
+                for i in chunk[1:]:
+                    reps = reps.unionByName(one_replica(base, name, cols, i))
+                # 8 files per 100 replicas (the shape the 10x/100x
+                # replicas validated), floor 1
+                n_files = max(1, round(8 * len(chunk) / CHUNK))
+                reps.repartition(n_files).write.mode("append").parquet(tmp)
         # flatten the directory dataset to <name>.parquet (a directory
         # is fine: spark.read.parquet and duckdb read_parquet both
         # accept it; keep the driver's naming contract)
@@ -135,7 +151,10 @@ def build(src: str, out: str, k: int) -> None:
 
             shutil.rmtree(final)
         os.rename(tmp, final)
-        print(f"{name}: {reps.count()} rows -> {final}", flush=True)
+        # count from the written files (re-counting the union plan
+        # would re-execute the per-replica transforms a second time)
+        n_total = spark.read.parquet(final).count()
+        print(f"{name}: {n_total} rows -> {final}", flush=True)
 
 
 def main() -> int:
