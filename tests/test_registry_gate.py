@@ -88,18 +88,35 @@ def test_scale_sweep_exclusion_surface_is_pinned():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    assert set(mod.EXCLUDE_AT_FACTOR) == {"similarity_pairs_above"}
+    assert set(mod.EXCLUDE_AT_FACTOR) == {
+        "similarity_pairs_above",          # O(n^2) COMPUTE by definition
+        "interval_incident_overlap_pairs", # O(n^2) OUTPUT (time-compressed
+                                           # fixture artifact), 1000x only
+    }
     spec_ = mod.EXCLUDE_AT_FACTOR["similarity_pairs_above"]
     assert spec_["min_factor"] == 30
     assert "O(n^2)" in spec_["rationale"]
-    # 10x replica (scale/sf1.0) still includes it; 30x/100x exclude
+    spec_ = mod.EXCLUDE_AT_FACTOR["interval_incident_overlap_pairs"]
+    # 100x stays verified (the r11 digest row); only the 1000x probe
+    # excludes it — the bound must never creep below the verified tier
+    assert spec_["min_factor"] == 1000
+    assert "O(n^2)" in spec_["rationale"]
+    # 10x replica (scale/sf1.0) still includes both; 30x/100x exclude
+    # only the all-pairs baseline; 1000x excludes both
     assert mod.replica_factor("spark-warehouse/scale/sf1.0") == 10
     assert mod.replica_factor("spark-warehouse/scale/sf10.0") == 100
+    assert mod.replica_factor("spark-warehouse/scale/sf100.0") == 1000
 
     names = set(all_queries())
     digest, staged = set(mod.DIGEST_NAMES), set(mod.STAGED_NAMES)
     assert digest <= names and staged <= names
     assert not digest & staged
+    # the 1000x heavy-family probe list: registered, oracle-backed
+    # (its non-staged names run the digest hash tier), and covering
+    # every family the r12 verdict scoped for the decade-up probe
+    probe = set(mod.HEAVY_PROBE_NAMES)
+    assert probe <= names
+    assert probe - staged <= set(ORACLES)
     # digest-tier names must be oracle-backed (phase 2 hash-compares
     # them); staged names are verified by check_staged_oracles
     assert digest <= set(ORACLES)

@@ -5,6 +5,12 @@ item 4: the r10/r11 sweeps lived as ad-hoc shell pipelines logged in
 a committable artifact).
 
     python tools/run_scale_sweep.py SF_DIR [--log PATH] [--chunk N]
+        [--probe default|a,b,...]
+
+``--probe`` (r13) restricts the sweep to a heavy-family name list for
+decade-up probes (the 1000x sf100 replica): every non-staged probe
+name runs in the digest tier, staged names through the staged
+checker. ``--probe default`` = HEAVY_PROBE_NAMES.
 
 Phases (the composition the r11 sweep validated):
 
@@ -98,7 +104,53 @@ EXCLUDE_AT_FACTOR: dict[str, dict] = {
             "LSH/IVF/SemDeDup candidate tiers, all 100x-verified."
         ),
     },
+    "interval_incident_overlap_pairs": {
+        "min_factor": 1000,
+        "rationale": (
+            "time-COMPRESSED replicas pack Kx incidents into the same "
+            "30-day range, so the overlap OUTPUT is O(n^2) in the "
+            "factor — a fixture artifact, not an engine property (real "
+            "Kx data spans ~Kx the time at constant density). 118.8M "
+            "pairs at 100x verified digest-green (41.6 s, r11); at "
+            "1000x the output is ~11.9B pairs — hours of join OUTPUT "
+            "materialization on both engines for a twin whose scale "
+            "behavior the 100x digest row already pins. The constant-"
+            "density interval twin (interval_incident_event_stats) "
+            "stays in the 1000x probe."
+        ),
+    },
 }
+
+
+#: The r13 1000x-probe composition (r12 verdict item 3): the ~20
+#: heaviest names by family — dedup/simhash/semdedup, intervals,
+#: graph, curation, plus the heaviest joins/text passes and the ANN
+#: probe contracts. At 1000x EVERYTHING non-staged runs --digest
+#: (exact count + top-2000 ORDER-BY prefix): several of these have
+#: multi-million-row outputs at 100x already, and the digest tier is
+#: what the verdict scoped for the decade-up probe.
+HEAVY_PROBE_NAMES: tuple[str, ...] = (
+    # dedup family
+    "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_exact_groups", "dedup_levenshtein_verify", "doc_span_dedup",
+    "dedup_incremental_new_docs",
+    # staged graph/components tier
+    "dedup_near_keep", "dedup_components",
+    "pagerank_brand_copurchase", "brand_copurchase_lift",
+    # semantic/similarity
+    "similarity_semdedup_keep", "similarity_ann_lsh",
+    "similarity_ann_ivf", "similarity_ann_pq", "similarity_ann_recall",
+    # intervals (constant-density twin; overlap_pairs excluded >=1000x)
+    "interval_incident_event_stats",
+    # graph recursion
+    "recursive_brand_reachability",
+    # curation / decontamination
+    "curation_pipeline", "doc_decontaminate",
+    # heavy text passes
+    "bpe_merge_ranks", "text_tfidf_top_terms", "doc_winnow_fingerprints",
+    # heavy joins / sessionization
+    "denormalized_order_lines", "sessionize",
+)
 
 
 def replica_factor(sf_dir: str) -> float:
@@ -137,6 +189,16 @@ def main() -> int:
     chunk = "40"
     if "--chunk" in args:
         chunk = args[args.index("--chunk") + 1]
+    probe: list[str] | None = None
+    if "--probe" in args:
+        # heavy-family probe mode (r13, the 1000x decade-up): restrict
+        # the sweep to the given names (default HEAVY_PROBE_NAMES),
+        # run every non-staged name in the digest tier, staged names
+        # through the staged checker. '--probe default' uses the list.
+        val = args[args.index("--probe") + 1]
+        probe = list(HEAVY_PROBE_NAMES) if val == "default" else [
+            n for n in val.split(",") if n
+        ]
     factor = replica_factor(sf_dir)
     excluded = sorted(
         n for n, spec in EXCLUDE_AT_FACTOR.items()
@@ -152,28 +214,56 @@ def main() -> int:
         hdr = (
             f"# scale sweep @ {sf_dir} (factor {factor:g}x), "
             f"{time.strftime('%Y-%m-%d %H:%M:%S')}\n"
-            f"# digest tier: {len(DIGEST_NAMES)} names; staged: "
-            f"{len(STAGED_NAMES)}; excluded at this factor: "
-            f"{excluded or 'none'}\n"
         )
-        for n in excluded:
-            hdr += f"#   {n}: {EXCLUDE_AT_FACTOR[n]['rationale']}\n"
-        print(hdr, end="")
-        log.write(hdr)
+        if probe is not None:
+            pr_staged = [n for n in probe
+                         if n in STAGED_NAMES and n not in excluded]
+            pr_digest = [n for n in probe
+                         if n not in STAGED_NAMES and n not in excluded]
+            pr_excluded = [n for n in probe if n in excluded]
+            hdr += (
+                f"# PROBE mode: {len(probe)} heavy-family names "
+                f"({len(pr_digest)} digest + {len(pr_staged)} staged); "
+                f"excluded at this factor: {pr_excluded or 'none'}\n"
+            )
+            for n in pr_excluded:
+                hdr += f"#   {n}: {EXCLUDE_AT_FACTOR[n]['rationale']}\n"
+            print(hdr, end="")
+            log.write(hdr)
+            rc1 = 0
+            rc2 = _run(
+                [py, "tools/check_correctness.py", sf_dir, *pr_digest,
+                 "--chunk", chunk, "--digest"],
+                log,
+            )
+            rc3 = _run(
+                [py, "tools/check_staged_oracles.py", sf_dir, *pr_staged],
+                log,
+            )
+        else:
+            hdr += (
+                f"# digest tier: {len(DIGEST_NAMES)} names; staged: "
+                f"{len(STAGED_NAMES)}; excluded at this factor: "
+                f"{excluded or 'none'}\n"
+            )
+            for n in excluded:
+                hdr += f"#   {n}: {EXCLUDE_AT_FACTOR[n]['rationale']}\n"
+            print(hdr, end="")
+            log.write(hdr)
 
-        skip = ",".join(sorted(DIGEST_NAMES + STAGED_NAMES) + excluded)
-        rc1 = _run(
-            [py, "tools/check_correctness.py", sf_dir,
-             "--chunk", chunk, "--skip", skip],
-            log,
-        )
-        digest_names = [n for n in DIGEST_NAMES if n not in excluded]
-        rc2 = _run(
-            [py, "tools/check_correctness.py", sf_dir, *digest_names,
-             "--chunk", "20", "--digest"],
-            log,
-        )
-        rc3 = _run([py, "tools/check_staged_oracles.py", sf_dir], log)
+            skip = ",".join(sorted(DIGEST_NAMES + STAGED_NAMES) + excluded)
+            rc1 = _run(
+                [py, "tools/check_correctness.py", sf_dir,
+                 "--chunk", chunk, "--skip", skip],
+                log,
+            )
+            digest_names = [n for n in DIGEST_NAMES if n not in excluded]
+            rc2 = _run(
+                [py, "tools/check_correctness.py", sf_dir, *digest_names,
+                 "--chunk", "20", "--digest"],
+                log,
+            )
+            rc3 = _run([py, "tools/check_staged_oracles.py", sf_dir], log)
 
         summary = (
             f"\n# PHASE1_RC={rc1} PHASE2_RC={rc2} PHASE3_RC={rc3} "
