@@ -259,6 +259,21 @@ def main() -> int:
     con.execute(
         f"SET memory_limit='{os.environ.get('SWEEP_DUCKDB_MEM', '24GB')}'"
     )
+    # Cap spill disk too (r13, ahead of the 1000x probe): an oracle
+    # that out-spills the sandbox must ERROR (and be recorded as an
+    # exclusion candidate), not fill the root disk under every other
+    # process on the host.
+    con.execute(
+        "SET temp_directory='"
+        + os.environ.get("SWEEP_DUCKDB_TMP",
+                         "/root/repo/spark-warehouse/duckdb_tmp")
+        + "'"
+    )
+    con.execute(
+        "SET max_temp_directory_size='"
+        + os.environ.get("SWEEP_DUCKDB_TMP_MAX", "40GB")
+        + "'"
+    )
     for t in TESTDATA_TABLES:
         # driver testdata ships flat files; Spark-written replicas
         # (tools/make_scale_replica.py) are part-file directories

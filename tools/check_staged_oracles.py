@@ -39,6 +39,19 @@ def _connect(sf_dir: str, tables: tuple[str, ...]):
     con.execute(
         f"SET memory_limit='{os.environ.get('SWEEP_DUCKDB_MEM', '24GB')}'"
     )
+    # spill-disk cap, same rationale as check_correctness (r13): an
+    # out-spilling staged oracle errors instead of filling the disk
+    con.execute(
+        "SET temp_directory='"
+        + os.environ.get("SWEEP_DUCKDB_TMP",
+                         "/root/repo/spark-warehouse/duckdb_tmp")
+        + "'"
+    )
+    con.execute(
+        "SET max_temp_directory_size='"
+        + os.environ.get("SWEEP_DUCKDB_TMP_MAX", "40GB")
+        + "'"
+    )
     for t in tables:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
