@@ -226,7 +226,9 @@ def main() -> int:
                 f"({len(pr_digest)} digest + {len(pr_staged)} staged); "
                 f"excluded at this factor: {pr_excluded or 'none'}\n"
             )
-            for n in pr_excluded:
+            # record factor-wide exclusions even when the name was
+            # left out of the probe list — the WHY must be in the log
+            for n in sorted(set(pr_excluded) | set(excluded)):
                 hdr += f"#   {n}: {EXCLUDE_AT_FACTOR[n]['rationale']}\n"
             print(hdr, end="")
             log.write(hdr)
