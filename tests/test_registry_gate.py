@@ -92,15 +92,20 @@ def test_scale_sweep_exclusion_surface_is_pinned():
         "similarity_pairs_above",          # O(n^2) COMPUTE by definition
         "interval_incident_overlap_pairs", # O(n^2) OUTPUT (time-compressed
                                            # fixture artifact), 1000x only
+        "interval_incident_event_stats",   # O(n^2) join VOLUME (same
+                                           # fixture artifact), 1000x only
     }
     spec_ = mod.EXCLUDE_AT_FACTOR["similarity_pairs_above"]
     assert spec_["min_factor"] == 30
     assert "O(n^2)" in spec_["rationale"]
-    spec_ = mod.EXCLUDE_AT_FACTOR["interval_incident_overlap_pairs"]
-    # 100x stays verified (the r11 digest row); only the 1000x probe
-    # excludes it — the bound must never creep below the verified tier
-    assert spec_["min_factor"] == 1000
-    assert "O(n^2)" in spec_["rationale"]
+    for nm in ("interval_incident_overlap_pairs",
+               "interval_incident_event_stats"):
+        spec_ = mod.EXCLUDE_AT_FACTOR[nm]
+        # 100x stays verified (the r11/r12 rows); only the 1000x probe
+        # excludes them — the bound must never creep below the
+        # verified tier
+        assert spec_["min_factor"] == 1000, nm
+        assert "O(n^2)" in spec_["rationale"] or "O(K^2)" in spec_["rationale"], nm
     # 10x replica (scale/sf1.0) still includes both; 30x/100x exclude
     # only the all-pairs baseline; 1000x excludes both
     assert mod.replica_factor("spark-warehouse/scale/sf1.0") == 10

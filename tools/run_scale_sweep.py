@@ -104,6 +104,20 @@ EXCLUDE_AT_FACTOR: dict[str, dict] = {
             "LSH/IVF/SemDeDup candidate tiers, all 100x-verified."
         ),
     },
+    "interval_incident_event_stats": {
+        "min_factor": 1000,
+        "rationale": (
+            "same time-COMPRESSED fixture artifact as overlap_pairs, "
+            "one tier down: each event falls inside ~K more incident "
+            "windows per compression decade, so the events-in-interval "
+            "join VOLUME is O(K^2) even though the OUTPUT (per-incident "
+            "stats) stays linear. Green through the 100x sweep (r11/"
+            "r12); at 1000x the Spark side alone ran >65 min before the "
+            "r13 probe cut it. Real Kx data at constant density keeps "
+            "the per-event fan-out constant; the 100x row remains the "
+            "verified tier."
+        ),
+    },
     "interval_incident_overlap_pairs": {
         "min_factor": 1000,
         "rationale": (
