@@ -865,13 +865,22 @@ def denormalized_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale shape this pins: the fact table shuffles AT MOST once
     (lineitem ⋈ orders on the orderkey — two big sides), and every
-    dimension attaches via broadcast-hash join, so adding dims never
-    re-exchanges the fact stream. That is the difference between an
-    export that scans 100 TB once and one that shuffles it four times
-    — pinned in tests/test_plans.py. customer is deliberately
-    unhinted (broadcastable at test SF via AQE, shuffled at 1.5 B
-    customers — the same adaptive edge q5 documents); nation/part/
-    supplier are true dimensions and hinted."""
+    dimension attaches via broadcast-hash join at test SF, so adding
+    dims never re-exchanges the fact stream there. That is the
+    difference between an export that scans 100 TB once and one that
+    shuffles it four times — pinned in tests/test_plans.py.
+
+    Only NATION — fixed cardinality by schema (25 rows at every SF) —
+    carries an explicit broadcast hint. customer/part/supplier all
+    scale WITH the fact tables (TPC-H scales them ∝ SF; the replica
+    builder does too), so they are deliberately unhinted: AQE
+    broadcasts them while they fit (every test SF through 100x) and
+    degrades to shuffle joins when they outgrow memory — r13's 1000x
+    probe caught the previous part/supplier hints OOMing the broadcast
+    build at 20M parts ('Not enough memory to build and broadcast'),
+    exactly the hint-vs-reality failure a 1.5B-customer cluster would
+    hit. A hint is a promise about cardinality; only schema-fixed
+    tables get to make it."""
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     cu = _t(spark, sf_dir, "customer")
@@ -886,8 +895,8 @@ def denormalized_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(pa, li.l_partkey == pa.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .select(
             "l_orderkey",
             "l_linenumber",

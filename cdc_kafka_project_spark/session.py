@@ -90,7 +90,16 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus else 32
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS (r13): replica-scale sweeps
+        # need wider shuffles than cores — at the 1000x replica, 32
+        # partitions put ~19M lineitem rows in one task's sort, which
+        # is how the denormalize probe OOMed its heap. AQE coalesces
+        # the excess at small SF, so a high value costs nothing there.
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            shuffle_partitions = int(cpus) if cpus else 32
 
     builder = (
         SparkSession.builder.master(master)

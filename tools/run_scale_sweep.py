@@ -174,13 +174,37 @@ def replica_factor(sf_dir: str) -> float:
     return float(m.group(1)) / 0.1 if m else 1.0
 
 
-def _run(cmd: list[str], log) -> int:
+def scale_env(factor: float) -> dict[str, str]:
+    """Environment for replica-scale children (r13, from the 1000x
+    probe's denormalize diagnosis): at factor >= 300,
+
+    * shuffle spill moves OFF /dev/shm — the tmpfs (50% RAM) fills
+      under a 600M-row sort-merge shuffle and Spark dies on vanished
+      shuffle files; node-local disk is the correct home for spill at
+      this scale (exactly what SPARK_LOCAL_DIRS would be on a cluster);
+    * shuffle partitions widen to 256 — 32 partitions put ~19M rows in
+      one task's sort (heap OOM); AQE coalesces the excess at small SF;
+    * driver heap grows to 28g — the single local JVM IS the cluster
+      here; on a real deployment this is executor count, not heap.
+    """
+    env = dict(os.environ)
+    if factor >= 300:
+        env.setdefault(
+            "SPARK_GRAFT_LOCAL_DIR",
+            os.path.join(ROOT, "spark-warehouse", "spark_tmp"),
+        )
+        env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
+    return env
+
+
+def _run(cmd: list[str], log, env: dict[str, str] | None = None) -> int:
     print(f"\n$ {' '.join(cmd)}", flush=True)
     log.write(f"\n$ {' '.join(cmd)}\n")
     log.flush()
     p = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        cwd=ROOT,
+        cwd=ROOT, env=env,
     )
     assert p.stdout is not None
     for line in p.stdout:
@@ -246,15 +270,16 @@ def main() -> int:
                 hdr += f"#   {n}: {EXCLUDE_AT_FACTOR[n]['rationale']}\n"
             print(hdr, end="")
             log.write(hdr)
+            env = scale_env(factor)
             rc1 = 0
             rc2 = _run(
                 [py, "tools/check_correctness.py", sf_dir, *pr_digest,
                  "--chunk", chunk, "--digest"],
-                log,
+                log, env,
             )
             rc3 = _run(
                 [py, "tools/check_staged_oracles.py", sf_dir, *pr_staged],
-                log,
+                log, env,
             )
         else:
             hdr += (
@@ -267,19 +292,20 @@ def main() -> int:
             print(hdr, end="")
             log.write(hdr)
 
+            env = scale_env(factor)
             skip = ",".join(sorted(DIGEST_NAMES + STAGED_NAMES) + excluded)
             rc1 = _run(
                 [py, "tools/check_correctness.py", sf_dir,
                  "--chunk", chunk, "--skip", skip],
-                log,
+                log, env,
             )
             digest_names = [n for n in DIGEST_NAMES if n not in excluded]
             rc2 = _run(
                 [py, "tools/check_correctness.py", sf_dir, *digest_names,
                  "--chunk", "20", "--digest"],
-                log,
+                log, env,
             )
-            rc3 = _run([py, "tools/check_staged_oracles.py", sf_dir], log)
+            rc3 = _run([py, "tools/check_staged_oracles.py", sf_dir], log, env)
 
         summary = (
             f"\n# PHASE1_RC={rc1} PHASE2_RC={rc2} PHASE3_RC={rc3} "
