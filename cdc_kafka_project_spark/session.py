@@ -97,7 +97,13 @@ def get_spark(
         # the excess at small SF, so a high value costs nothing there.
         env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         if env_sp:
-            shuffle_partitions = int(env_sp)
+            try:
+                shuffle_partitions = int(env_sp.strip())
+            except ValueError:
+                raise ValueError(
+                    "SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer "
+                    f"(got {env_sp!r})"
+                ) from None
         else:
             shuffle_partitions = int(cpus) if cpus else 32
 

@@ -203,6 +203,35 @@ def test_java_opts_env_appends_not_replaces(monkeypatch):
     assert merged.endswith(" -Xss8m")
 
 
+def test_malformed_shuffle_partitions_env_names_the_var(monkeypatch):
+    """r13 advisor (low): a malformed SPARK_GRAFT_SHUFFLE_PARTITIONS
+    used to crash get_spark() with a bare int() ValueError that never
+    named the env var; it must raise a message that does (so the
+    operator knows WHICH knob to fix), and whitespace-padded integers
+    must parse."""
+    from cdc_kafka_project_spark import session as sess
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256g")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        sess.get_spark()
+    # whitespace-padded values are valid (strip before parse); prove it
+    # parses without reaching the builder by checking no exception is
+    # raised before an existing session is reused.
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", " 64 ")
+    sess.get_spark()  # reuses the test session; the parse must not raise
+
+
+def test_rotation_stale_check_scans_full_window(rotation_mod):
+    """r13 advisor (low): the stale-by-one-round disambiguation only
+    tried fronted-prefix sizes 0..10; it must scan up to the full
+    WINDOW so a round that fronted >10 names is still recognized."""
+    import inspect
+
+    src = inspect.getsource(rotation_mod.main)
+    assert "range(0, WINDOW + 1)" in src
+    assert "range(0, 11)" not in src
+
+
 @pytest.fixture(scope="module")
 def rotation_mod():
     spec = importlib.util.spec_from_file_location(

@@ -161,7 +161,11 @@ def main() -> int:
         # staleness order.
         latest = latest_round()
         if latest > 0:
-            for k in range(0, 11):
+            # Try every possible fronted-prefix size up to the full
+            # window (r13 advisor: a committed window that fronted
+            # more than 10 changed names was misreported as
+            # never-rotated instead of stale-by-one).
+            for k in range(0, WINDOW + 1):
                 try:
                     prev = [
                         n for n, _ in plan(got[:k], upto=latest - 1)
