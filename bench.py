@@ -508,6 +508,25 @@ def main() -> None:
     # (folding the CDC pipeline's several seconds into wall_sec would
     # fake a round-over-round wall regression)
     wall_sec = round(time.time() - t_wall0, 3)
+    # Full-registry tail (r13 verdict item 2): every registered name
+    # NOT in the headline set, ONE run each — bench_diff.py was blind
+    # to regressions in the other ~122 names. Single-run timings are
+    # noisier than the 3-run medians, so they live in a SEPARATE map
+    # (queries_tail) and never fold into the headline total; the diff
+    # tool labels tail verdicts as 1-run evidence.
+    tail_names = sorted(n for n in queries if n not in HEADLINE)
+    timings_tail: dict[str, float] = {}
+    t_tail0 = time.time()
+    for name in tail_names:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings_tail[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        gc.collect()
+    tail_total = round(sum(timings_tail.values()), 3)
+    tail_wall = round(time.time() - t_tail0, 3)
     # reference SLO counterpart (BASELINE.md row 1): warm micro-batch
     # change->replica latency through the streaming CDC pipeline;
     # median of 3 with the min alongside (same steal-robustness policy
@@ -527,6 +546,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "queries_tail": timings_tail,
+        "tail_total_sec": tail_total,
+        "tail_wall_sec": tail_wall,
+        "runs_per_tail_query": 1,
         "value_min": total_min,
         "index_build_sec": index_build_sec,
         "wall_sec": wall_sec,
@@ -545,10 +568,13 @@ def main() -> None:
     # per-query map pushed the line past the capture window).
     print("# per-query medians: " + json.dumps(timings), file=sys.stderr)
     print("# per-query mins: " + json.dumps(timings_min), file=sys.stderr)
+    print("# tail (1 run each): " + json.dumps(timings_tail), file=sys.stderr)
     compact = {
-        k: v for k, v in record.items() if k not in ("queries", "queries_min")
+        k: v for k, v in record.items()
+        if k not in ("queries", "queries_min", "queries_tail")
     }
     compact["n_queries"] = len(timings)
+    compact["n_queries_tail"] = len(timings_tail)
     print(json.dumps(compact))
 
 

@@ -111,3 +111,44 @@ def test_host_factor_from_calibration_probes(tmp_path, monkeypatch, capsys):
     assert "60.0s" in out
     # calib readings rendered in both config lines
     assert out.count("calib pre") == 2
+
+
+def test_tail_section_diffs_full_registry(tmp_path, monkeypatch, capsys):
+    """r13 verdict item 2: names outside the headline set are benched
+    once each (queries_tail) and bench_diff must render them — with
+    1-run-pair verdicts that never claim code-level attribution."""
+    bd = _bench_diff()
+    import json
+    import sys
+
+    old = {
+        "value": 1.0, "sf": 0.1, "runs_per_query": 3,
+        "aggregation": "median",
+        "queries": {"head": 1.0}, "queries_min": {"head": 0.9},
+        "queries_tail": {"t_slow": 1.0, "t_fine": 1.0},
+        "tail_total_sec": 2.0,
+    }
+    new = {
+        "value": 1.0, "sf": 0.1, "runs_per_query": 3,
+        "aggregation": "median",
+        "queries": {"head": 1.0}, "queries_min": {"head": 0.9},
+        "queries_tail": {"t_slow": 2.0, "t_fine": 1.0, "t_new": 0.5},
+        "tail_total_sec": 3.5,
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    monkeypatch.setattr(bd, "ROOT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["bench_diff.py", str(po), str(pn)])
+    assert bd.main() == 0
+    out = capsys.readouterr().out
+    assert "## Tail (1 run/query)" in out
+    slow = next(line for line in out.splitlines() if "| t_slow |" in line)
+    fine = next(line for line in out.splitlines() if "| t_fine |" in line)
+    newq = next(line for line in out.splitlines() if "| t_new |" in line)
+    assert "REGRESSED?" in slow and "1-run pair" in slow
+    assert "(code)" not in slow  # 1-run evidence never claims code
+    assert "REGRESSED" not in fine
+    assert "NEW" in newq
+    # config line advertises the tail count
+    assert "(+2 tail @1 run)" in out and "(+3 tail @1 run)" in out

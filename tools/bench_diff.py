@@ -72,8 +72,10 @@ def _load_source(arg: str) -> tuple[dict, str]:
 def _config_line(tag: str, rec: dict) -> str:
     # compact stdout records carry n_queries instead of the full map
     n = len(rec.get("queries") or {}) or rec.get("n_queries", 0)
+    nt = len(rec.get("queries_tail") or {}) or rec.get("n_queries_tail", 0)
+    tail_s = f" (+{nt} tail @1 run)" if nt else ""
     return (
-        f"> {tag}: {n} queries, sf={rec.get('sf')}, "
+        f"> {tag}: {n} queries{tail_s}, sf={rec.get('sf')}, "
         f"{rec.get('runs_per_query', 1)} run(s)/query, "
         f"aggregation={rec.get('aggregation', 'single')}, "
         f"cdc_latency={rec.get('cdc_apply_latency_sec', 'n/a')}s"
@@ -228,6 +230,39 @@ def main() -> int:
             f"| {name} | {o_s} | {n_s} | {delta} | {om_s} | {nm_s} |"
             f" {verdict} |"
         )
+
+    # Full-registry tail (r13 verdict item 2): single-run timings for
+    # every name outside the headline set. One run = noisier evidence,
+    # so tail verdicts are labelled 1-run and never fold into the
+    # headline total; the tail's job is making a regression in the
+    # unbenched ~122 names VISIBLE, not precisely attributing it.
+    ot = old.get("queries_tail") or {}
+    nt = new.get("queries_tail") or {}
+    if ot or nt:
+        lines += [
+            "",
+            f"## Tail (1 run/query): "
+            f"{old.get('tail_total_sec', 'n/a')}s → "
+            f"{new.get('tail_total_sec', 'n/a')}s "
+            f"({len(ot)} → {len(nt)} queries)",
+            "",
+            "| query | old s | new s | delta | verdict |",
+            "|---|---|---|---|---|",
+        ]
+        for name in sorted(set(ot) | set(nt)):
+            o, n = ot.get(name), nt.get(name)
+            if o is None:
+                o_s, n_s, delta = "—", f"{n:.3f}", "NEW"
+            elif n is None:
+                o_s, n_s, delta = f"{o:.3f}", "—", "REMOVED"
+            else:
+                o_s, n_s = f"{o:.3f}", f"{n:.3f}"
+                delta = f"{(n - o) / o * 100:+.0f}%" if o else "n/a (old=0)"
+            verdict = (
+                "REGRESSED? (1-run pair — rerun to confirm)"
+                if _regressed(o, n) else ""
+            )
+            lines.append(f"| {name} | {o_s} | {n_s} | {delta} | {verdict} |")
     out = "\n".join(lines) + "\n"
     with open(os.path.join(ROOT, "BENCH_DIFF.md"), "w") as f:
         f.write(out)
