@@ -294,3 +294,41 @@ def test_rotation_reproduces_committed_window(rotation_mod):
                  "similarity_ann_pq"],
         upto=12)]
     assert ordered[:50] == _GATE_PRIORITY[:50]
+
+
+def test_probe_with_no_staged_names_skips_staged_checker(tmp_path, monkeypatch):
+    """r13 advisor (low): in --probe mode an empty staged subset must
+    SKIP check_staged_oracles — invoking it with no name args would
+    fall back to running ALL staged oracles (the heaviest queries) at
+    the probed scale, the opposite of a restricted probe."""
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "run_scale_sweep", os.path.join(ROOT, "tools", "run_scale_sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    calls = []
+    monkeypatch.setattr(mod, "_run", lambda cmd, log, env=None:
+                        calls.append(cmd) or 0)
+    log = tmp_path / "probe.log"
+    monkeypatch.setattr(sys, "argv", [
+        "run_scale_sweep.py", "spark-warehouse/scale/sf1.0",
+        "--probe", "doc_span_dedup,dedup_minhash_lsh",
+        "--log", str(log),
+    ])
+    assert mod.main() == 0
+    tools = [c[1] for c in calls]
+    assert "tools/check_correctness.py" in tools
+    assert "tools/check_staged_oracles.py" not in tools
+
+    # and the symmetric case: staged-only probe skips the digest tier
+    calls.clear()
+    monkeypatch.setattr(sys, "argv", [
+        "run_scale_sweep.py", "spark-warehouse/scale/sf1.0",
+        "--probe", "dedup_near_keep", "--log", str(log),
+    ])
+    assert mod.main() == 0
+    tools = [c[1] for c in calls]
+    assert tools == ["tools/check_staged_oracles.py"]

@@ -272,15 +272,24 @@ def main() -> int:
             log.write(hdr)
             env = scale_env(factor)
             rc1 = 0
-            rc2 = _run(
-                [py, "tools/check_correctness.py", sf_dir, *pr_digest,
-                 "--chunk", chunk, "--digest"],
-                log, env,
-            )
-            rc3 = _run(
-                [py, "tools/check_staged_oracles.py", sf_dir, *pr_staged],
-                log, env,
-            )
+            rc2 = 0
+            if pr_digest:
+                rc2 = _run(
+                    [py, "tools/check_correctness.py", sf_dir, *pr_digest,
+                     "--chunk", chunk, "--digest"],
+                    log, env,
+                )
+            # r13 advisor (low): with an empty staged subset the staged
+            # checker must be SKIPPED — invoking it with no name args
+            # would fall back to running ALL staged oracles (the
+            # heaviest queries), the opposite of a restricted probe.
+            rc3 = 0
+            if pr_staged:
+                rc3 = _run(
+                    [py, "tools/check_staged_oracles.py", sf_dir,
+                     *pr_staged],
+                    log, env,
+                )
         else:
             hdr += (
                 f"# digest tier: {len(DIGEST_NAMES)} names; staged: "
