@@ -51,6 +51,13 @@ PASSES = [
      "max_part_bytes": "1048576"},
 ]
 
+#: --wide (r14, verdict item 7): a third pass mirroring the replica
+#: sweep's scale_env geometry (256 shuffle partitions, AQE on) so the
+#: 1000x-healed names are pinned invariant under the EXACT partition
+#: count the scale runs execute with, not just the two toy geometries.
+WIDE_PASS = {"master": "local[8]", "shuffle": 256, "aqe": "true",
+             "max_part_bytes": "134217728"}
+
 
 def _session(cfg):
     import os
@@ -131,18 +138,22 @@ def _digest(pdf) -> str:
 def main() -> int:
     import os
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if a != "--wide"]
+    passes = list(PASSES) + (
+        [WIDE_PASS] if "--wide" in sys.argv[1:] else []
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     if not os.path.isdir(sf_dir):
-        print(f"usage: python {sys.argv[0]} [sf_dir] [query ...]")
+        print(f"usage: python {sys.argv[0]} [--wide] [sf_dir] [query ...]")
         print(f"error: sf_dir is not a directory: {sf_dir!r}")
         return 2
-    only = set(sys.argv[2:])
+    only = set(args[1:])
 
     from cdc_kafka_project_spark.registry import all_queries
 
     names = [n for n in all_queries() if not only or n in only]
     digests: list[dict[str, str]] = []
-    for cfg in PASSES:
+    for cfg in passes:
         spark = _session(cfg)
         # re-resolve after session swap: query fns close over nothing,
         # but catalog caches views per session — fresh load_all is safe
@@ -168,11 +179,12 @@ def main() -> int:
 
     n_ok = n_var = n_err = 0
     for name in names:
-        a, b = digests[0][name], digests[1][name]
-        if a.startswith("ERROR") or b.startswith("ERROR"):
-            print(f"ERR   {name}: {a if a.startswith('ERROR') else b}")
+        ds = [d[name] for d in digests]
+        err = next((d for d in ds if d.startswith("ERROR")), None)
+        if err is not None:
+            print(f"ERR   {name}: {err}")
             n_err += 1
-        elif a == b:
+        elif all(d == ds[0] for d in ds):
             if name in ALLOWED_VARIANT:
                 print(f"note  {name}: invariant despite allowlist entry "
                       f"({ALLOWED_VARIANT[name]}) — entry may be stale")
@@ -182,7 +194,7 @@ def main() -> int:
             n_ok += 1
         else:
             print(f"VARY  {name}: partition-dependent result "
-                  f"({a[:12]} != {b[:12]})")
+                  f"({' != '.join(dict.fromkeys(d[:12] for d in ds))})")
             n_var += 1
     print(f"\n{n_ok} invariant/allowed, {n_var} partition-dependent, "
           f"{n_err} errors")
