@@ -90,24 +90,37 @@ def test_scale_sweep_exclusion_surface_is_pinned():
 
     assert set(mod.EXCLUDE_AT_FACTOR) == {
         "similarity_pairs_above",          # O(n^2) COMPUTE by definition
-        "interval_incident_overlap_pairs", # O(n^2) OUTPUT (time-compressed
-                                           # fixture artifact), 1000x only
-        "interval_incident_event_stats",   # O(n^2) join VOLUME (same
-                                           # fixture artifact), 1000x only
     }
     spec_ = mod.EXCLUDE_AT_FACTOR["similarity_pairs_above"]
     assert spec_["min_factor"] == 30
     assert "O(n^2)" in spec_["rationale"]
-    for nm in ("interval_incident_overlap_pairs",
-               "interval_incident_event_stats"):
-        spec_ = mod.EXCLUDE_AT_FACTOR[nm]
-        # 100x stays verified (the r11/r12 rows); only the 1000x probe
-        # excludes them — the bound must never creep below the
-        # verified tier
-        assert spec_["min_factor"] == 1000, nm
-        assert "O(n^2)" in spec_["rationale"] or "O(K^2)" in spec_["rationale"], nm
-    # 10x replica (scale/sf1.0) still includes both; 30x/100x exclude
-    # only the all-pairs baseline; 1000x excludes both
+    # r14: the two interval names are no longer EXCLUDED at 1000x —
+    # they run against the constant-density events fixture (the r13
+    # exclusions were time-compression artifacts, retired by
+    # tools/make_cd_events_fixture.py). The redirect surface is
+    # pinned: exactly these two names, threshold at the factor where
+    # the compressed fixture stops being tractable, and a missing
+    # fixture dir is a phase FAILURE (never a silent skip).
+    assert set(mod.CD_FIXTURE_NAMES) == {
+        "interval_incident_event_stats", "interval_incident_overlap_pairs",
+    }
+    assert mod.CD_MIN_FACTOR == 1000
+    assert mod._run_cd_phase([], "/nonexistent", "1", None, None, "py") == 0
+
+    class _Log:
+        def __init__(self):
+            self.text = ""
+
+        def write(self, s):
+            self.text += s
+
+    log = _Log()
+    rc = mod._run_cd_phase(
+        list(mod.CD_FIXTURE_NAMES), "/nonexistent_cd", "1", log, {}, "py"
+    )
+    assert rc == 1 and "make_cd_events_fixture" in log.text
+    # 10x replica (scale/sf1.0) still includes both interval names in
+    # the normal tiers (compressed fixture is harsher and tractable)
     assert mod.replica_factor("spark-warehouse/scale/sf1.0") == 10
     assert mod.replica_factor("spark-warehouse/scale/sf10.0") == 100
     assert mod.replica_factor("spark-warehouse/scale/sf100.0") == 1000

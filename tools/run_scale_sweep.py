@@ -104,36 +104,24 @@ EXCLUDE_AT_FACTOR: dict[str, dict] = {
             "LSH/IVF/SemDeDup candidate tiers, all 100x-verified."
         ),
     },
-    "interval_incident_event_stats": {
-        "min_factor": 1000,
-        "rationale": (
-            "same time-COMPRESSED fixture artifact as overlap_pairs, "
-            "one tier down: each event falls inside ~K more incident "
-            "windows per compression decade, so the events-in-interval "
-            "join VOLUME is O(K^2) even though the OUTPUT (per-incident "
-            "stats) stays linear. Green through the 100x sweep (r11/"
-            "r12); at 1000x the Spark side alone ran >65 min before the "
-            "r13 probe cut it. Real Kx data at constant density keeps "
-            "the per-event fan-out constant; the 100x row remains the "
-            "verified tier."
-        ),
-    },
-    "interval_incident_overlap_pairs": {
-        "min_factor": 1000,
-        "rationale": (
-            "time-COMPRESSED replicas pack Kx incidents into the same "
-            "30-day range, so the overlap OUTPUT is O(n^2) in the "
-            "factor — a fixture artifact, not an engine property (real "
-            "Kx data spans ~Kx the time at constant density). 118.8M "
-            "pairs at 100x verified digest-green (41.6 s, r11); at "
-            "1000x the output is ~11.9B pairs — hours of join OUTPUT "
-            "materialization on both engines for a twin whose scale "
-            "behavior the 100x digest row already pins. The constant-"
-            "density interval twin (interval_incident_event_stats) "
-            "stays in the 1000x probe."
-        ),
-    },
 }
+
+#: Names that move to the CONSTANT-DENSITY events fixture at factor >=
+#: CD_MIN_FACTOR (r14, retiring the two r13 interval exclusions): the
+#: standard replica time-COMPRESSES events (K-fold rows, same ~30-day
+#: range), which inflates interval-join fan-out quadratically in K — a
+#: fixture artifact, not an engine property (real Kx data spans ~Kx
+#: the time at constant density). Below the threshold the compressed
+#: fixture is the harsher and still-tractable test and these names run
+#: in the normal tiers; at >= CD_MIN_FACTOR they run digest-tier
+#: against the sibling `<sf_dir>_cd` fixture
+#: (tools/make_cd_events_fixture.py — events time-disjoint per
+#: replica, every other table symlinked). A missing CD fixture FAILS
+#: the phase rather than silently skipping the names.
+CD_FIXTURE_NAMES: tuple[str, ...] = (
+    "interval_incident_event_stats", "interval_incident_overlap_pairs",
+)
+CD_MIN_FACTOR = 1000
 
 
 #: The r13 1000x-probe composition (r12 verdict item 3): the ~20
@@ -154,8 +142,9 @@ HEAVY_PROBE_NAMES: tuple[str, ...] = (
     # semantic/similarity
     "similarity_semdedup_keep", "similarity_ann_lsh",
     "similarity_ann_ivf", "similarity_ann_pq", "similarity_ann_recall",
-    # intervals (constant-density twin; overlap_pairs excluded >=1000x)
-    "interval_incident_event_stats",
+    # intervals (at >= CD_MIN_FACTOR both run on the constant-density
+    # fixture — phase 4)
+    "interval_incident_event_stats", "interval_incident_overlap_pairs",
     # graph recursion
     "recursive_brand_reachability",
     # curation / decontamination
@@ -196,6 +185,33 @@ def scale_env(factor: float) -> dict[str, str]:
         env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
     return env
+
+
+def _run_cd_phase(
+    names: list[str], cd_dir: str, chunk: str, log, env, py: str
+) -> int:
+    """Phase 4: the constant-density interval names against the
+    sibling `<sf_dir>_cd` fixture (CD_FIXTURE_NAMES doc). Empty name
+    list = factor below threshold or probe without them = clean skip;
+    a MISSING fixture dir with names due is a phase FAILURE — never a
+    silent skip."""
+    if not names:
+        return 0
+    if not os.path.isdir(cd_dir):
+        msg = (
+            f"# PHASE4 FAIL: constant-density fixture missing at "
+            f"{cd_dir} — build it with\n"
+            f"#   python tools/make_cd_events_fixture.py "
+            f"/root/testdata/sf0.1 <base_replica> {cd_dir} <K>\n"
+        )
+        print(msg, end="")
+        log.write(msg)
+        return 1
+    return _run(
+        [py, "tools/check_correctness.py", cd_dir, *names,
+         "--chunk", chunk, "--digest"],
+        log, env,
+    )
 
 
 def _run(cmd: list[str], log, env: dict[str, str] | None = None) -> int:
@@ -242,6 +258,8 @@ def main() -> int:
         n for n, spec in EXCLUDE_AT_FACTOR.items()
         if factor >= spec["min_factor"]
     )
+    cd_active = factor >= CD_MIN_FACTOR
+    cd_dir = sf_dir.rstrip("/") + "_cd"
     tag = os.path.basename(sf_dir.rstrip("/"))
     log_path = os.path.join(ROOT, f"SWEEP_{tag}.log")
     if "--log" in args:
@@ -256,12 +274,16 @@ def main() -> int:
         if probe is not None:
             pr_staged = [n for n in probe
                          if n in STAGED_NAMES and n not in excluded]
+            pr_cd = [n for n in probe if n in CD_FIXTURE_NAMES] \
+                if cd_active else []
             pr_digest = [n for n in probe
-                         if n not in STAGED_NAMES and n not in excluded]
+                         if n not in STAGED_NAMES and n not in excluded
+                         and n not in pr_cd]
             pr_excluded = [n for n in probe if n in excluded]
             hdr += (
                 f"# PROBE mode: {len(probe)} heavy-family names "
-                f"({len(pr_digest)} digest + {len(pr_staged)} staged); "
+                f"({len(pr_digest)} digest + {len(pr_staged)} staged "
+                f"+ {len(pr_cd)} constant-density @ {cd_dir}); "
                 f"excluded at this factor: {pr_excluded or 'none'}\n"
             )
             # record factor-wide exclusions even when the name was
@@ -290,6 +312,7 @@ def main() -> int:
                      *pr_staged],
                     log, env,
                 )
+            rc4 = _run_cd_phase(pr_cd, cd_dir, chunk, log, env, py)
         else:
             hdr += (
                 f"# digest tier: {len(DIGEST_NAMES)} names; staged: "
@@ -302,28 +325,33 @@ def main() -> int:
             log.write(hdr)
 
             env = scale_env(factor)
-            skip = ",".join(sorted(DIGEST_NAMES + STAGED_NAMES) + excluded)
+            cd_names = list(CD_FIXTURE_NAMES) if cd_active else []
+            skip = ",".join(
+                sorted(DIGEST_NAMES + STAGED_NAMES) + excluded + cd_names
+            )
             rc1 = _run(
                 [py, "tools/check_correctness.py", sf_dir,
                  "--chunk", chunk, "--skip", skip],
                 log, env,
             )
-            digest_names = [n for n in DIGEST_NAMES if n not in excluded]
+            digest_names = [n for n in DIGEST_NAMES
+                            if n not in excluded and n not in cd_names]
             rc2 = _run(
                 [py, "tools/check_correctness.py", sf_dir, *digest_names,
                  "--chunk", "20", "--digest"],
                 log, env,
             )
             rc3 = _run([py, "tools/check_staged_oracles.py", sf_dir], log, env)
+            rc4 = _run_cd_phase(cd_names, cd_dir, chunk, log, env, py)
 
         summary = (
             f"\n# PHASE1_RC={rc1} PHASE2_RC={rc2} PHASE3_RC={rc3} "
-            f"excluded={excluded or 'none'}\n"
+            f"PHASE4_CD_RC={rc4} excluded={excluded or 'none'}\n"
         )
         print(summary, end="")
         log.write(summary)
     print(f"# log: {log_path}")
-    return 0 if rc1 == rc2 == rc3 == 0 else 1
+    return 0 if rc1 == rc2 == rc3 == rc4 == 0 else 1
 
 
 if __name__ == "__main__":
