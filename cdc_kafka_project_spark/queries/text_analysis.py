@@ -160,16 +160,31 @@ def doc_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_winnow_fingerprints",
+    # The gram hash is a FLAT Horner form with precomputed powers
+    # B^(k-1-j) mod P (r14): the earlier per-gram
+    # list_reduce(list_transform(slice)) materialized an 8-element
+    # list and ran 8 reduce-lambda closures PER POSITION — ~18e9
+    # lambda invocations at the 1000x replica (5M docs), which burned
+    # >620 CPU-min without finishing. One ord pass per doc + 8
+    # multiply-adds per position over the flat ords list is the same
+    # arithmetic (residues of each coefficient preserve the sum's
+    # residue; terms <= 8 * 0x10FFFF * 2^31 << 2^63, no overflow) at
+    # a fraction of the interpreter overhead.
     oracle=f"""
-    WITH g AS (
-        SELECT doc_id,
-               list_transform(range(1, length(text) - {8} + 2),
-                   i -> list_reduce(
-                        list_transform(string_split(text, '')[i : i + {8} - 1],
-                                       x -> CAST(ord(x) AS BIGINT)),
-                        (a, b) -> (a * {text_ops.ROLL_B} + b) % {text_ops.ROLL_P}))
-                   AS grams
+    WITH o AS (
+        SELECT doc_id, length(text) AS n,
+               list_transform(string_split(text, ''),
+                              x -> CAST(ord(x) AS BIGINT)) AS os
         FROM documents WHERE length(text) >= {8}
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, n - {8} + 2),
+                   i -> ({" + ".join(
+                       f"os[i + {j}] * {pow(text_ops.ROLL_B, 8 - 1 - j, text_ops.ROLL_P)}"
+                       for j in range(8)
+                   )}) % {text_ops.ROLL_P}) AS grams
+        FROM o
     )
     SELECT DISTINCT doc_id,
            unnest(list_distinct(list_transform(
