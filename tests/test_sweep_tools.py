@@ -148,18 +148,33 @@ def test_rows_only_names_never_retried(chunk_sweep):
 
 
 def test_fail_line_classification():
-    """The chunk-mode parser maps child FAIL-line text to the verdict
-    kinds chunk_sweep keys its heal decision on."""
-    def classify(ln: str) -> str:
-        return ("fail-exc" if (" raised " in ln or " died" in ln)
-                else "fail-mismatch")
+    """The chunk-mode parser maps child FAIL lines to the verdict
+    kinds chunk_sweep keys its heal decision on — via the STRUCTURED
+    token the child emits (r13 advisor: free-text scanning
+    misclassified mismatches whose embedded row data contained
+    ' raised '). Tests the real classify_fail_line, not a replica."""
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness", os.path.join(ROOT, "tools", "check_correctness.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    classify = mod.classify_fail_line
 
-    assert classify("FAIL  x: spark raised OutOfMemoryError: heap") == "fail-exc"
-    assert classify("FAIL  x: duckdb raised IOException: temp") == "fail-exc"
+    # structured tokens win unconditionally
+    assert classify("FAIL-EXC  x: spark raised OutOfMemoryError") == "fail-exc"
+    assert classify("FAIL-EXC  x: duckdb raised IOException: temp") == "fail-exc"
+    assert classify("FAIL-MISMATCH  x: rowcount 10 != 11") == "fail-mismatch"
+    assert classify("FAIL-MISMATCH  x: columns ['a'] != ['b']") == "fail-mismatch"
+    # THE advisor scenario: a value mismatch whose document payload
+    # contains ' raised ' must stay a mismatch (never retry-eligible)
+    assert classify(
+        "FAIL-MISMATCH  x: values differ; first diffs: "
+        "[('the fund raised 10M', 'the fund raised 11M')]"
+    ) == "fail-mismatch"
+    # legacy plain-FAIL lines (mixed-version children) keep the old scan
+    assert classify("FAIL  x: spark raised Py4JJavaError: boom") == "fail-exc"
     assert classify("FAIL  x: chunk JVM died standalone") == "fail-exc"
     assert classify("FAIL  x: values differ; first diffs: [..]") == "fail-mismatch"
-    assert classify("FAIL  x: rowcount 10 != 11") == "fail-mismatch"
-    assert classify("FAIL  x: columns ['a'] != ['b']") == "fail-mismatch"
 
 
 def test_gclocker_retry_budget_reaches_the_jvm(spark):

@@ -81,6 +81,25 @@ def normalize(df):
     return list(df.columns), rows
 
 
+def classify_fail_line(ln: str) -> str:
+    """Verdict kind for a child FAIL line. Prefers the structured
+    token the child now emits (FAIL-EXC / FAIL-MISMATCH — r13
+    advisor: free text is unsafe because value-mismatch lines embed
+    row data, and a document payload containing ' raised ' would
+    misclassify a deterministic mismatch as a retry-eligible
+    exception); legacy plain 'FAIL' lines from mixed-version children
+    fall back to the old text scan."""
+    tok = ln.split(None, 1)[0] if ln else ""
+    if tok == "FAIL-EXC":
+        return "fail-exc"
+    if tok == "FAIL-MISMATCH":
+        return "fail-mismatch"
+    return (
+        "fail-exc" if (" raised " in ln or " died" in ln)
+        else "fail-mismatch"
+    )
+
+
 def chunk_sweep(
     names: list[str],
     chunk: int,
@@ -203,12 +222,14 @@ def main() -> int:
             """One fresh subprocess over ``batch``; {name: verdict}.
             A missing name means the JVM died before reaching it —
             per-name lines flush per query, so presence is the
-            liveness signal. FAIL lines are classified by their text:
-            'raised' / 'died' shapes are exception-type (healable);
-            columns/rowcount/values divergences are deterministic
-            mismatches (never healed). Retry-pass echoes are prefixed
-            'RETRY ' so log consumers counting verdict lines see one
-            final verdict per name (r12 advisor, low)."""
+            liveness signal. FAIL lines carry a structured token
+            (FAIL-EXC = exception-type, healable; FAIL-MISMATCH =
+            deterministic oracle divergence, never healed) — r13
+            advisor: free-text scanning misclassified mismatches
+            whose embedded row data contained ' raised '. Retry-pass
+            echoes are prefixed 'RETRY ' so log consumers counting
+            verdict lines see one final verdict per name (r12
+            advisor, low)."""
             proc = subprocess.run(
                 [sys.executable, sys.argv[0], sf_dir, *batch, *extra],
                 capture_output=True,
@@ -224,11 +245,7 @@ def main() -> int:
                     nm = parts[1].rstrip(":")
                     if nm in batch_set:
                         if ln[0] == "F":
-                            verdicts[nm] = (
-                                "fail-exc"
-                                if (" raised " in ln or " died" in ln)
-                                else "fail-mismatch"
-                            )
+                            verdicts[nm] = classify_fail_line(ln)
                         else:
                             verdicts[nm] = {"P": "pass", "r": "rows"}[ln[0]]
                     sys.stdout.write(prefix + ln + "\n")
@@ -301,7 +318,7 @@ def main() -> int:
             else:
                 sdf = out.toPandas()
         except Exception as e:
-            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            print(f"FAIL-EXC  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         finally:
@@ -332,26 +349,26 @@ def main() -> int:
             else:
                 odf = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            print(f"FAIL-EXC  {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         scols, srows = normalize(sdf)
         ocols, orows = normalize(odf)
         if digest and n_spark != n_oracle:
-            print(f"FAIL  {name}: rowcount {n_spark} != {n_oracle}")
+            print(f"FAIL-MISMATCH  {name}: rowcount {n_spark} != {n_oracle}")
             n_fail += 1
             continue
         if scols != ocols:
-            print(f"FAIL  {name}: columns {scols} != {ocols}")
+            print(f"FAIL-MISMATCH  {name}: columns {scols} != {ocols}")
             n_fail += 1
         elif len(srows) != len(orows):
-            print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
+            print(f"FAIL-MISMATCH  {name}: rowcount {len(srows)} != {len(orows)}")
             n_fail += 1
         elif srows != orows:
             diffs = [
                 (a, b) for a, b in zip(srows, orows) if a != b
             ][:3]
-            print(f"FAIL  {name}: values differ; first diffs: {diffs}")
+            print(f"FAIL-MISMATCH  {name}: values differ; first diffs: {diffs}")
             n_fail += 1
         elif digest:
             print(
