@@ -347,3 +347,73 @@ def test_probe_with_no_staged_names_skips_staged_checker(tmp_path, monkeypatch):
     assert mod.main() == 0
     tools = [c[1] for c in calls]
     assert tools == ["tools/check_staged_oracles.py"]
+
+
+@pytest.fixture(scope="module")
+def evidence_mod():
+    spec = importlib.util.spec_from_file_location(
+        "scale_evidence", os.path.join(ROOT, "tools", "scale_evidence.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_evidence_parses_pass_lines_and_tiers(evidence_mod, tmp_path):
+    log = tmp_path / "SWEEP_x.log"
+    log.write_text(
+        "# scale sweep @ spark-warehouse/scale/sf10.0 (factor 100x), ts\n"
+        "PASS  alpha_q: 10 rows [1.0s]\n"
+        "PASS  beta_q: 10 rows (digest: count + 2000-row prefix) [1.0s]\n"
+        "PASS  gamma_q[staged]: 10 rows [spark 1s, total 2s]\n"
+        "RETRY-SCALE-ENV PASS  delta_q: 5 rows (digest: count) [9s]\n"
+        "FAIL  omega_q: mismatch\n"
+    )
+    factor, tiers = evidence_mod.parse_log(str(log))
+    assert factor == 100.0
+    assert tiers == {
+        "alpha_q": "hash", "beta_q": "digest",
+        "gamma_q": "staged", "delta_q": "digest",
+    }
+
+
+def test_evidence_parses_accounting_block_with_count_check(
+    evidence_mod, tmp_path
+):
+    # the r13 1000x log shape: chunk output trimmed, passes recorded in
+    # the FINAL-ACCOUNTING comment with cross-line parentheticals
+    log = tmp_path / "SWEEP_y.log"
+    log.write_text(
+        "# scale sweep @ spark-warehouse/scale/sf100.0 (factor 1000x), t\n"
+        "# digest PASS (3): alpha_q, beta_q (100M\n"
+        "#   rows), gamma_q (healed standalone -- chunk-JVM\n"
+        "#   accumulation).\n"
+        "# excluded, pinned (1): something_else\n"
+        "# staged PASS (2): bad_count_block_only_one_name\n"
+        "# end\n"
+    )
+    factor, tiers = evidence_mod.parse_log(str(log))
+    assert factor == 1000.0
+    # count-validated block lands; miscounted block is DROPPED
+    assert tiers == {
+        "alpha_q": "digest", "beta_q": "digest", "gamma_q": "digest",
+    }
+
+
+def test_evidence_explicit_line_beats_accounting_block(
+    evidence_mod, tmp_path
+):
+    log = tmp_path / "SWEEP_z.log"
+    log.write_text(
+        "# scale sweep @ x (factor 1000x), t\n"
+        "PASS  alpha_q: 10 rows [1.0s]\n"
+        "# digest PASS (1): alpha_q\n"
+    )
+    _, tiers = evidence_mod.parse_log(str(log))
+    assert tiers == {"alpha_q": "hash"}
+
+
+def test_evidence_non_sweep_file_is_skipped(evidence_mod, tmp_path):
+    log = tmp_path / "SWEEP_notes.log"
+    log.write_text("# some notes\nPASS  alpha_q: 1 rows [1s]\n")
+    assert evidence_mod.parse_log(str(log)) is None
