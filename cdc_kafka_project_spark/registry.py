@@ -106,122 +106,68 @@ def load_all() -> None:
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- ROUND-13 WINDOW (round-12 verdict item 1; computed by
-    #    tools/plan_gate_rotation.py --changed similarity_ann_lsh,
-    #    similarity_ann_ivf,similarity_ann_pq). Tier 1: the 3 ANN
-    #    probes converted from rows-only to probe-contract oracles
-    #    this round (every window slot is oracle-backed -- second
-    #    consecutive 50/50 hash-checkable window, and with 219/219
-    #    oracle-backed there is no rows-only tier left anywhere). --
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_pq",
-    # -- Tier 2: oracle-backed names by staleness (oldest newest-
-    #    driver-row first, alphabetical within a round): the 41
-    #    remaining r7-era rows fill slots 4-44, then the
-    #    alphabetically-first r9-era rows complete the 50. --
-    "distinct_counts",
-    "doc_contamination_hits",
-    "event_props_extract",
-    "event_props_typed",
-    "exact_moments",
-    "grouped_floor_sum",
-    "grouping_sets_sql",
-    "in_list_filter",
-    "latest_event_per_user",
-    "outer_join_nation_counts",
-    "percentile_prices",
-    "pivot_qty",
-    "q10_returned_revenue",
-    "q11_part_value_share",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q20_volume_suppliers",
-    "q22_idle_rich_customers",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_price_bands",
-    "rollup_agg",
-    "salted_event_type_totals",
-    "scalar_exprs",
-    "semi_join_big_spenders",
-    "set_except_keys",
-    "set_intersect_keys",
-    "set_union_active_keys",
-    "similarity_topk",
-    "string_funcs",
-    "token_frequency_top100",
-    "topk_orders",
-    "tumbling_hourly_agg",
-    "window_running_sum",
-    "window_topn_per_group",
-    "word_bigrams_top100",
-    # -- (r9 tier begins) --
-    "asof_join_next_purchase",
-    "asof_join_purchases",
-    "bpe_merge_ranks",
-    "column_profile",
-    "corr_lineitem_measures",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_keep_longest",
-    "dedup_levenshtein_verify",
+    # -- ROUND-14 WINDOW (round-13 verdict item 3; computed by
+    #    tools/plan_gate_rotation.py --changed doc_winnow_fingerprints).
+    #    Tier 1: the one name whose ORACLE changed this round (the
+    #    winnow gram hash moved to a flat Horner form for the 1000x
+    #    oracle run) fronts the window; then oracle-backed names by
+    #    staleness (oldest newest-driver-row first, alphabetical
+    #    within a round): the 32 remaining r9-era rows, then the
+    #    alphabetically-first r10-era rows complete the 50. --
+    "doc_winnow_fingerprints",  # changed-this-round (r9)
+    "dedup_ngram_jaccard",  # r9
+    "dedup_normalized_groups",  # r9
+    "doc_chunks",  # r9
+    "doc_fingerprint_md5",  # r9
+    "doc_host_stats",  # r9
+    "doc_ngram_novelty",  # r9
+    "doc_pack_assignments",  # r9
+    "doc_pii_redact",  # r9
+    "doc_quality_filter",  # r9
+    "doc_repetition_stats",  # r9
+    "doc_source_quality_gate",  # r9
+    "doc_split_assign",  # r9
+    "doc_uniform_sample",  # r9
+    "doc_unigram_logprob",  # r9
+    "doc_url_canonical",  # r9
+    "embedding_index_pipeline",  # r9
+    "embedding_label_centroids",  # r9
+    "embedding_norms",  # r9
+    "embedding_pca_project",  # r9
+    "embedding_quantize_int8",  # r9
+    "event_value_anomalies",  # r9
+    "group_minmax_norm",  # r9
+    "heavy_hitter_tokens",  # r9
+    "media_audio_features",  # r9
+    "media_catalog",  # r9
+    "media_decode_features",  # r9
+    "media_frame_sample",  # r9
+    "media_resize",  # r9
+    "similarity_ann_recall",  # r9
+    "similarity_pairs_above",  # r9
+    "skewed_salted_segment_revenue",  # r9
+    "text_index_topk",  # r9
+    "asof_join_cogrouped",  # r10
+    "benford_price_audit",  # r10
+    "bloom_semi_join_revenue",  # r10
+    "brand_copurchase_lift",  # r10
+    "cdc_debezium_roundtrip",  # r10
+    "customer_rfm_quantile_scores",  # r10
+    "customer_rfm_segments",  # r10
+    "daily_revenue_acf",  # r10
+    "doc_boilerplate_fraction",  # r10
+    "doc_nb_quality_score",  # r10
+    "doc_readability",  # r10
+    "doc_sliding_chunks",  # r10
+    "embedding_label_outliers",  # r10
+    "event_top_paths",  # r10
+    "event_transition_matrix",  # r10
+    "event_value_mad_outliers",  # r10
+    "forecast_backtest_snaive",  # r10
     # -- BEHIND THE ROTATION, by staleness (oldest driver row
-    #    first, alphabetical within a round): r9 remainder, then
-    #    r10 / r11 / r12 tiers. Every name is oracle-backed as of
+    #    first, alphabetical within a round): r10 remainder, then
+    #    r11 / r12 / r13 tiers. Every name is oracle-backed as of
     #    r13, so the no-oracle tail rule is vacuously satisfied. --
-    "dedup_ngram_jaccard",
-    "dedup_normalized_groups",
-    "doc_chunks",
-    "doc_fingerprint_md5",
-    "doc_host_stats",
-    "doc_ngram_novelty",
-    "doc_pack_assignments",
-    "doc_pii_redact",
-    "doc_quality_filter",
-    "doc_repetition_stats",
-    "doc_source_quality_gate",
-    "doc_split_assign",
-    "doc_uniform_sample",
-    "doc_unigram_logprob",
-    "doc_url_canonical",
-    "doc_winnow_fingerprints",
-    "embedding_index_pipeline",
-    "embedding_label_centroids",
-    "embedding_norms",
-    "embedding_pca_project",
-    "embedding_quantize_int8",
-    "event_value_anomalies",
-    "group_minmax_norm",
-    "heavy_hitter_tokens",
-    "media_audio_features",
-    "media_catalog",
-    "media_decode_features",
-    "media_frame_sample",
-    "media_resize",
-    "similarity_ann_recall",
-    "similarity_pairs_above",
-    "skewed_salted_segment_revenue",
-    "text_index_topk",
-    "asof_join_cogrouped",
-    "benford_price_audit",
-    "bloom_semi_join_revenue",
-    "brand_copurchase_lift",
-    "cdc_debezium_roundtrip",
-    "customer_rfm_quantile_scores",
-    "customer_rfm_segments",
-    "daily_revenue_acf",
-    "doc_boilerplate_fraction",
-    "doc_nb_quality_score",
-    "doc_readability",
-    "doc_sliding_chunks",
-    "embedding_label_outliers",
-    "event_top_paths",
-    "event_transition_matrix",
-    "event_value_mad_outliers",
-    "forecast_backtest_snaive",
     "gapfill_linear_interp",
     "histogram_prices",
     "hopping_event_counts",
@@ -341,6 +287,56 @@ _GATE_PRIORITY: list[str] = [
     "unpivot_lineitem_measures",
     "user_spend_ewma",
     "winsorized_price_stats",
+    "asof_join_next_purchase",
+    "asof_join_purchases",
+    "bpe_merge_ranks",
+    "column_profile",
+    "corr_lineitem_measures",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_keep_longest",
+    "dedup_levenshtein_verify",
+    "distinct_counts",
+    "doc_contamination_hits",
+    "event_props_extract",
+    "event_props_typed",
+    "exact_moments",
+    "grouped_floor_sum",
+    "grouping_sets_sql",
+    "in_list_filter",
+    "latest_event_per_user",
+    "outer_join_nation_counts",
+    "percentile_prices",
+    "pivot_qty",
+    "q10_returned_revenue",
+    "q11_part_value_share",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q20_volume_suppliers",
+    "q22_idle_rich_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_price_bands",
+    "rollup_agg",
+    "salted_event_type_totals",
+    "scalar_exprs",
+    "semi_join_big_spenders",
+    "set_except_keys",
+    "set_intersect_keys",
+    "set_union_active_keys",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_ann_pq",
+    "similarity_topk",
+    "string_funcs",
+    "token_frequency_top100",
+    "topk_orders",
+    "tumbling_hourly_agg",
+    "window_running_sum",
+    "window_topn_per_group",
+    "word_bigrams_top100",
 ]
 
 
