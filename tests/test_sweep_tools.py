@@ -296,18 +296,17 @@ def test_rotation_changed_no_oracle_stays_in_tail(rotation_mod, monkeypatch):
 
 
 def test_rotation_reproduces_committed_window(rotation_mod):
-    """The committed r13 _GATE_PRIORITY[:50] must equal the rotation
-    computed from the CORRECTNESS history truncated at r12 with the
-    three changed-this-round names (the ANN probe-contract
-    conversions) fronted — pins tool and window to each other. The
+    """The committed r14 _GATE_PRIORITY[:50] must equal the rotation
+    computed from the CORRECTNESS history truncated at r13 with the
+    one changed-this-round name (the winnow flat-Horner oracle
+    rewrite) fronted — pins tool and window to each other. The
     ``upto`` truncation makes the pin permanent: it stays true after
-    CORRECTNESS_r13.json (and later rounds) land."""
+    CORRECTNESS_r14.json (and later rounds) land."""
     from cdc_kafka_project_spark.registry import _GATE_PRIORITY
 
     ordered = [n for n, _ in rotation_mod.plan(
-        changed=["similarity_ann_lsh", "similarity_ann_ivf",
-                 "similarity_ann_pq"],
-        upto=12)]
+        changed=["doc_winnow_fingerprints"],
+        upto=13)]
     assert ordered[:50] == _GATE_PRIORITY[:50]
 
 
