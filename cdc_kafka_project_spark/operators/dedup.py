@@ -136,8 +136,21 @@ def jaccard_pairs(
     with billions of rows. Near-dup recall is unaffected — a shingle
     shared by thousands of documents carries no pair-discriminating
     signal (pinned by tests/test_dedup.py).
+
+    Every exchange carries an int64 xxhash64 of the shingle, never the
+    raw string: the per-doc distinct, the self-join and the size count
+    all operate on the hash, so shuffle width drops from ~40 B of text
+    to 8 B per row (~4x less spill — at the 1000x replica the string
+    variant's self-join shuffle exhausted the sandbox's disk, and at
+    100 TB it would dominate the job's I/O). Set semantics are
+    unchanged up to 64-bit hash collisions: ~27 M distinct shingles
+    per 5 M-doc corpus puts a single colliding pair at ~2e-5
+    probability, and the oracle comparison would surface one as a
+    deterministic count mismatch.
     """
-    sh = word_shingles(df, text_col, n)
+    sh = word_shingles(df, text_col, n, distinct=False).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    ).distinct()
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -381,12 +394,19 @@ def simhash(
     from cdc_kafka_project_spark.functions import spread
 
     keys = ["doc_id", *carry]
+    # The vote math only ever consumes xxhash64(word), so hash BEFORE
+    # the (doc, word) exchange: the count groupBy and the doc
+    # repartition below then shuffle (int64, int64) rows instead of
+    # raw token strings — at the 1000x replica the string variant's
+    # two full-corpus shuffles were a disk-spill multiple of this.
+    # Distinct-token counts become distinct-hash counts (identical up
+    # to in-doc 64-bit collisions, ~1e-13 per doc).
     tok = (
         spread(df.select(*keys, F.col(text_col)))
         .select(*keys, F.explode(tokens(text_col)).alias("word"))
-        .groupBy(*keys, "word")
+        .select(*keys, F.xxhash64("word").alias("h"))
+        .groupBy(*keys, "h")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.xxhash64("word"))
     )
     # Re-cluster the REDUCED (doc, word, cnt) table on the doc key
     # before the votes aggregation: the (doc, word) exchange above
@@ -407,8 +427,9 @@ def simhash(
         for i in range(bits)
     ]
     if with_distinct_tokens:
-        # one row per (doc, distinct word) reaches this agg, so a plain
-        # count IS the distinct-token count — no second tokenize pass
+        # one row per (doc, distinct token hash) reaches this agg, so a
+        # plain count IS the distinct-token count — no second tokenize
+        # pass (identical up to in-doc 64-bit collisions)
         aggs.append(F.count(F.lit(1)).alias("n_distinct_tokens"))
     votes = tok.groupBy(*keys).agg(*aggs)
     packed = None
