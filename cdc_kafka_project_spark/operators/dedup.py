@@ -491,12 +491,25 @@ def simhash_hamming_pairs(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Verify hamming BEFORE the pair dedup: the distance is a function
+    # of (sh_a, sh_b), carried identically on every duplicate emission
+    # of a pair, so filter-then-dropDuplicates is semantically
+    # identical to dedup-then-filter — but the dedup exchange then
+    # shuffles only the verified near-dup pairs instead of the raw
+    # band-join fanout. On a corpus of mostly-dissimilar fingerprints
+    # the fanout is quadratic in docs-per-bucket (measured: the 5M-doc
+    # replica's ~12B candidate rows out-spilled the sandbox disk at
+    # the unfiltered dropDuplicates), while the verified set is
+    # near-linear; the filter itself is a codegen'd bit_count on the
+    # streaming join output — no exchange.
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select(
-        "doc_a", "doc_b", dist.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_distance)
+    return (
+        pairs.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def near_dedup_keep(
