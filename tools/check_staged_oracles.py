@@ -213,8 +213,23 @@ def main() -> int:
     rc = 0
     for name in names:
         t0 = time.time()
-        sdf = queries[name](spark, sf_dir).toPandas()
-        spark.catalog.clearCache()
+        # The engine side must not take down the whole process: an
+        # unhandled Spark error here skipped every remaining staged
+        # name (r14: the first 1000x staged run died on a spill-disk
+        # exhaustion in name 1 and names 2-4 never printed a verdict).
+        try:
+            sdf = queries[name](spark, sf_dir).toPandas()
+        except Exception as e:
+            first = str(e).splitlines()[0] if str(e) else type(e).__name__
+            print(f"FAIL  {name}[staged]: spark raised "
+                  f"{type(e).__name__}: {first}")
+            rc = 1
+            continue
+        finally:
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # a dead JVM fails the next name's verdict anyway
         t_spark = time.time() - t0
         try:
             odf = STAGED[name](sf_dir)
