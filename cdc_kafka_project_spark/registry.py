@@ -107,15 +107,22 @@ def load_all() -> None:
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
     # -- ROUND-14 WINDOW (round-13 verdict item 3; computed by
-    #    tools/plan_gate_rotation.py --changed doc_winnow_fingerprints).
-    #    Tier 1: the one name whose ORACLE changed this round (the
-    #    winnow gram hash moved to a flat Horner form for the 1000x
-    #    oracle run) fronts the window; then oracle-backed names by
-    #    staleness (oldest newest-driver-row first, alphabetical
-    #    within a round): the 32 remaining r9-era rows, then the
-    #    alphabetically-first r10-era rows complete the 50. --
+    #    tools/plan_gate_rotation.py --changed doc_winnow_fingerprints,
+    #    dedup_ngram_jaccard,dedup_simhash,dedup_simhash_pairs,
+    #    dedup_near_keep,dedup_components,dedup_levenshtein_verify).
+    #    Tier 1: the seven names whose registered plan or oracle
+    #    changed this round — the winnow flat-Horner oracle rewrite,
+    #    the int64 shingle/token-hash exchanges (jaccard_pairs /
+    #    simhash) and the simhash filter-before-dedup fix — front
+    #    the window; then oracle-backed names by staleness (oldest
+    #    newest-driver-row first, alphabetical within a round). --
     "doc_winnow_fingerprints",  # changed-this-round (r9)
-    "dedup_ngram_jaccard",  # r9
+    "dedup_ngram_jaccard",  # changed-this-round (r9)
+    "dedup_simhash",  # changed-this-round (r11)
+    "dedup_simhash_pairs",  # changed-this-round (r11)
+    "dedup_near_keep",  # changed-this-round (r12)
+    "dedup_components",  # changed-this-round (r12)
+    "dedup_levenshtein_verify",  # changed-this-round (r13)
     "dedup_normalized_groups",  # r9
     "doc_chunks",  # r9
     "doc_fingerprint_md5",  # r9
@@ -159,15 +166,15 @@ _GATE_PRIORITY: list[str] = [
     "doc_nb_quality_score",  # r10
     "doc_readability",  # r10
     "doc_sliding_chunks",  # r10
-    "embedding_label_outliers",  # r10
-    "event_top_paths",  # r10
-    "event_transition_matrix",  # r10
-    "event_value_mad_outliers",  # r10
-    "forecast_backtest_snaive",  # r10
     # -- BEHIND THE ROTATION, by staleness (oldest driver row
     #    first, alphabetical within a round): r10 remainder, then
     #    r11 / r12 / r13 tiers. Every name is oracle-backed as of
     #    r13, so the no-oracle tail rule is vacuously satisfied. --
+    "embedding_label_outliers",  # r10 (displaced by the wider r14 fronted tier)
+    "event_top_paths",  # r10 (displaced by the wider r14 fronted tier)
+    "event_transition_matrix",  # r10 (displaced by the wider r14 fronted tier)
+    "event_value_mad_outliers",  # r10 (displaced by the wider r14 fronted tier)
+    "forecast_backtest_snaive",  # r10 (displaced by the wider r14 fronted tier)
     "gapfill_linear_interp",
     "histogram_prices",
     "hopping_event_counts",
@@ -209,8 +216,6 @@ _GATE_PRIORITY: list[str] = [
     "curation_funnel_report",
     "curation_pipeline",
     "dedup_minhash_index_probe",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     "doc_bpe_token_counts",
     "event_value_psi_drift",
     "funnel_view_click_purchase",
@@ -246,10 +251,8 @@ _GATE_PRIORITY: list[str] = [
     "corpus_source_report",
     "cube_agg",
     "date_exprs",
-    "dedup_components",
     "dedup_incremental_new_docs",
     "dedup_minhash_lsh",
-    "dedup_near_keep",
     "denormalized_order_lines",
     "doc_bigram_logprob",
     "doc_decontaminate",
@@ -295,7 +298,6 @@ _GATE_PRIORITY: list[str] = [
     "dedup_exact_groups",
     "dedup_exact_keep",
     "dedup_keep_longest",
-    "dedup_levenshtein_verify",
     "distinct_counts",
     "doc_contamination_hits",
     "event_props_extract",

@@ -305,7 +305,10 @@ def test_rotation_reproduces_committed_window(rotation_mod):
     from cdc_kafka_project_spark.registry import _GATE_PRIORITY
 
     ordered = [n for n, _ in rotation_mod.plan(
-        changed=["doc_winnow_fingerprints"],
+        changed=["doc_winnow_fingerprints", "dedup_ngram_jaccard",
+                 "dedup_simhash", "dedup_simhash_pairs",
+                 "dedup_near_keep", "dedup_components",
+                 "dedup_levenshtein_verify"],
         upto=13)]
     assert ordered[:50] == _GATE_PRIORITY[:50]
 
