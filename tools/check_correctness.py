@@ -302,11 +302,24 @@ def main() -> int:
     queries, oracles = all_queries(), all_oracles()
     n_pass = n_fail = n_rowsonly = 0
     PREFIX_K = 2000
+    # Replica-scale disk discipline (r14): Spark retains every shuffle
+    # file of a finished query until the session stops, so during the
+    # DuckDB compare the two engines' spill coexists on one disk — at
+    # the 300x shingle tiers Spark's ~36 GB of retained shuffles
+    # starved the oracle into a disk-full IOException. With the flag
+    # set (scale_env, factor >= 300) the session is STOPPED once the
+    # engine rows are collected and lazily recreated for the next
+    # name; at chunk 1 (the replica sweeps) that is one stop per JVM.
+    stop_before_oracle = (
+        os.environ.get("SWEEP_STOP_SPARK_BEFORE_ORACLE") == "1"
+    )
     for name, fn in queries.items():
         if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
+            if spark is None:
+                spark = get_spark("check-correctness")
             out = fn(spark, sf_dir)
             if digest and name in oracles:
                 # exact count + ORDER-BY-prefix: TakeOrdered, never a
@@ -329,7 +342,21 @@ def main() -> int:
             # replica (dedup_ngram_jaccard OOMed ~26 queries in).
             # One cache per query, then gone — matches how the driver
             # gate runs each query in isolation.
-            spark.catalog.clearCache()
+            if spark is not None:
+                try:
+                    spark.catalog.clearCache()
+                    if stop_before_oracle:
+                        # engine rows are fully collected in sdf /
+                        # n_spark; drop the JVM (and its retained
+                        # shuffle/spill files) before the oracle
+                        # needs the disk
+                        spark.stop()
+                        spark = None
+                except Exception:
+                    # a JVM that died mid-query must not take the
+                    # remaining names' verdicts with it; the next
+                    # name recreates the session
+                    spark = None
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1

@@ -211,8 +211,17 @@ def main() -> int:
     spark = get_spark("check-staged-oracles")
     queries = all_queries()
     rc = 0
+    # same replica-scale disk discipline as check_correctness (r14):
+    # with the flag set, stop the JVM after the engine rows are
+    # collected so its retained shuffle files don't starve the staged
+    # oracle's spill; lazily recreate for the next name.
+    stop_before_oracle = (
+        os.environ.get("SWEEP_STOP_SPARK_BEFORE_ORACLE") == "1"
+    )
     for name in names:
         t0 = time.time()
+        if spark is None:
+            spark = get_spark("check-staged-oracles")
         # The engine side must not take down the whole process: an
         # unhandled Spark error here skipped every remaining staged
         # name (r14: the first 1000x staged run died on a spill-disk
@@ -228,8 +237,11 @@ def main() -> int:
         finally:
             try:
                 spark.catalog.clearCache()
+                if stop_before_oracle:
+                    spark.stop()
+                    spark = None
             except Exception:
-                pass  # a dead JVM fails the next name's verdict anyway
+                spark = None  # next name recreates the session
         t_spark = time.time() - t0
         try:
             odf = STAGED[name](sf_dir)

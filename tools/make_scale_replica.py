@@ -59,7 +59,10 @@ KEYS = {
 DIMS = ("region", "nation")
 
 
-def build(src: str, out: str, k: int) -> None:
+def build(
+    src: str, out: str, k: int, tables: list[str] | None = None,
+    link_rest: str | None = None,
+) -> None:
     from pyspark.sql import functions as F
 
     from cdc_kafka_project_spark.catalog import load_table
@@ -121,6 +124,22 @@ def build(src: str, out: str, k: int) -> None:
         return rep.select(cols)
 
     for name in TESTDATA_TABLES:
+        if tables is not None and name not in tables:
+            # Partial replica (r14): replicate only the named tables at
+            # this factor; the rest become SYMLINKS into ``link_rest``
+            # (an existing replica dir) so loaders that eagerly read
+            # every table's schema still work. Only valid for probes
+            # whose query set never touches the linked tables — the
+            # same shape the `_cd` events fixture validated.
+            if link_rest:
+                dst = os.path.join(out, f"{name}.parquet")
+                src_tbl = os.path.abspath(
+                    os.path.join(link_rest, f"{name}.parquet")
+                )
+                if not os.path.exists(dst):
+                    os.symlink(src_tbl, dst)
+                print(f"{name}: symlink -> {src_tbl}", flush=True)
+            continue
         base = load_table(spark, src, name)
         cols = base.columns
         tmp = os.path.join(out, f"__tmp_{name}")
@@ -158,12 +177,22 @@ def build(src: str, out: str, k: int) -> None:
 
 
 def main() -> int:
-    if len(sys.argv) != 4 or not os.path.isdir(sys.argv[1]):
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tables = None
+    link_rest = None
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            tables = [t for t in a.split("=", 1)[1].split(",") if t]
+        elif a.startswith("--link-rest="):
+            link_rest = a.split("=", 1)[1]
+    if len(args) != 3 or not os.path.isdir(args[0]):
         print(
             "usage: python tools/make_scale_replica.py SRC_SF_DIR OUT_DIR K"
+            " [--tables=t1,t2 --link-rest=EXISTING_REPLICA_DIR]"
         )
         return 2
-    build(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    build(args[0], args[1], int(args[2]), tables=tables,
+          link_rest=link_rest)
     return 0
 
 

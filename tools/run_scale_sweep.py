@@ -184,6 +184,12 @@ def scale_env(factor: float) -> dict[str, str]:
         )
         env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
+        # r14: Spark retains every finished query's shuffle files
+        # until the session stops, so at chunk 1 the checkers stop
+        # the JVM once engine rows are collected — the DuckDB oracle
+        # then gets the whole scratch disk instead of sharing it
+        # with ~tens of GB of dead shuffle spill.
+        env.setdefault("SWEEP_STOP_SPARK_BEFORE_ORACLE", "1")
     return env
 
 
