@@ -229,9 +229,15 @@ def main() -> int:
         try:
             sdf = queries[name](spark, sf_dir).toPandas()
         except Exception as e:
-            first = str(e).splitlines()[0] if str(e) else type(e).__name__
+            # str(e) on a Py4JJavaError round-trips to the JVM — on a
+            # dead gateway THAT raises too and takes the process down
+            # (observed at the 300x staged tier); format defensively.
+            try:
+                first = str(e).splitlines()[0] if str(e) else ""
+            except Exception:
+                first = "<unprintable: JVM gateway down>"
             print(f"FAIL  {name}[staged]: spark raised "
-                  f"{type(e).__name__}: {first}")
+                  f"{type(e).__name__}: {first or type(e).__name__}")
             rc = 1
             continue
         finally:
