@@ -90,10 +90,30 @@ def test_scale_sweep_exclusion_surface_is_pinned():
 
     assert set(mod.EXCLUDE_AT_FACTOR) == {
         "similarity_pairs_above",          # O(n^2) COMPUTE by definition
+        # r14 measured additions — every entry records WHERE it was
+        # measured and names its verified tier + scale path:
+        "dedup_ngram_jaccard",             # oracle >50GB temp at 300x
+        "dedup_levenshtein_verify",        # inherits ngram candidates
+        "dedup_components",                # CC over the same pair graph
+        "dedup_near_keep",                 # keep policy over same graph
+        "pagerank_brand_copurchase",       # engine 1000x-green; oracle temp
+        "brand_copurchase_lift",           # engine 1000x-green; oracle disk
     }
     spec_ = mod.EXCLUDE_AT_FACTOR["similarity_pairs_above"]
     assert spec_["min_factor"] == 30
     assert "O(n^2)" in spec_["rationale"]
+    # the exact-Jaccard family stays IN the sweep through 100x (its
+    # verified tier) and is excluded only at >= 300x; the two
+    # lineitem graph names ran (engine-green) at 1000x and are
+    # excluded only there — a lowered factor must change this test.
+    for n in ("dedup_ngram_jaccard", "dedup_levenshtein_verify",
+              "dedup_components", "dedup_near_keep"):
+        assert mod.EXCLUDE_AT_FACTOR[n]["min_factor"] == 300
+        assert "100x verified" in mod.EXCLUDE_AT_FACTOR[n]["rationale"]
+    for n in ("pagerank_brand_copurchase", "brand_copurchase_lift"):
+        assert mod.EXCLUDE_AT_FACTOR[n]["min_factor"] == 1000
+        assert "ENGINE side digest-complete at 1000x" in \
+            mod.EXCLUDE_AT_FACTOR[n]["rationale"]
     # r14: the two interval names are no longer EXCLUDED at 1000x —
     # they run against the constant-density events fixture (the r13
     # exclusions were time-compression artifacts, retired by

@@ -104,6 +104,76 @@ EXCLUDE_AT_FACTOR: dict[str, dict] = {
             "LSH/IVF/SemDeDup candidate tiers, all 100x-verified."
         ),
     },
+    # r14: exact word-3-gram ground-truth family. The candidate-pair
+    # intermediate (every doc pair sharing >=1 shingle) is an
+    # irreducible rare-shingle long tail — measured at base: 1.13M
+    # pair states / 2.79M join-fanout rows per 5k docs with max
+    # shingle df 25 (no hot-shingle skew to cap). Linear in replica
+    # count, but at 300x the ORACLE's string-shingle self-join
+    # exceeded a 50GB DuckDB temp cap (46.5 GiB OOM, SWEEP_r14_300x)
+    # even after the engine JVM was stopped to free the disk, and at
+    # 1000x the ENGINE side also out-spills the sandbox (~55GB+,
+    # twice, fresh JVMs, SWEEP_r14_1000x{,_b}). Verified tier: 100x
+    # (SWEEP_r12_100x, both engines green). On a cluster this is
+    # ~30GB of int64-pair shuffle — trivial across executors; the
+    # sandbox-scale paths are dedup_minhash_lsh / dedup_simhash_pairs
+    # (both 1000x digest-green).
+    "dedup_ngram_jaccard": {
+        "min_factor": 300,
+        "rationale": (
+            "exact shingle-pair ground-truth tier: the oracle's "
+            "string-shingle self-join out-spills a 50GB temp cap at "
+            ">=300x and the engine's candidate-pair aggregation "
+            "out-spills the sandbox disk at 1000x (measured, r14); "
+            "100x verified (SWEEP_r12_100x); scale path = "
+            "dedup_minhash_lsh / dedup_simhash_pairs, 1000x-verified"
+        ),
+    },
+    "dedup_levenshtein_verify": {
+        "min_factor": 300,
+        "rationale": (
+            "edit-distance verify over the exact shingle-pair "
+            "candidates — inherits dedup_ngram_jaccard's candidate "
+            "generation on both engines (same measured walls, r14); "
+            "100x verified (SWEEP_r12_100x)"
+        ),
+    },
+    "dedup_components": {
+        "min_factor": 300,
+        "rationale": (
+            "connected components over the exact shingle-pair graph — "
+            "engine and recursive-CTE oracle both consume the "
+            "dedup_ngram_jaccard pair computation (measured walls, "
+            "r14); 100x verified (staged, SWEEP_r12_100x)"
+        ),
+    },
+    "dedup_near_keep": {
+        "min_factor": 300,
+        "rationale": (
+            "near-dedup keep policy over the exact shingle-pair graph "
+            "— same candidate generation as dedup_components on both "
+            "sides; 100x verified (staged, SWEEP_r12_100x)"
+        ),
+    },
+    "pagerank_brand_copurchase": {
+        "min_factor": 1000,
+        "rationale": (
+            "ENGINE side digest-complete at 1000x (600M-row lineitem "
+            "pair graph, r14); the staged oracle's distinct "
+            "(order, brand) temp table OOMed DuckDB's temp cap "
+            "(37.2 GiB, SWEEP_r14_1000x_b); 100x verified (staged, "
+            "SWEEP_r12_100x)"
+        ),
+    },
+    "brand_copurchase_lift": {
+        "min_factor": 1000,
+        "rationale": (
+            "ENGINE side digest-complete at 1000x; the staged "
+            "oracle's basket self-join spilled the sandbox disk "
+            "(SWEEP_r14_1000x_b); 100x verified (staged, "
+            "SWEEP_r12_100x)"
+        ),
+    },
 }
 
 #: Names that move to the CONSTANT-DENSITY events fixture at factor >=
