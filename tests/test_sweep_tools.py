@@ -298,8 +298,9 @@ def test_rotation_changed_no_oracle_stays_in_tail(rotation_mod, monkeypatch):
 def test_rotation_reproduces_committed_window(rotation_mod):
     """The committed r14 _GATE_PRIORITY[:50] must equal the rotation
     computed from the CORRECTNESS history truncated at r13 with the
-    one changed-this-round name (the winnow flat-Horner oracle
-    rewrite) fronted — pins tool and window to each other. The
+    seven r14-changed names (the winnow/simhash/jaccard dedup family
+    touched by the int64-hash and verify-before-exchange fixes)
+    fronted — pins tool and window to each other. The
     ``upto`` truncation makes the pin permanent: it stays true after
     CORRECTNESS_r14.json (and later rounds) land."""
     from cdc_kafka_project_spark.registry import _GATE_PRIORITY

@@ -331,7 +331,16 @@ def main() -> int:
             else:
                 sdf = out.toPandas()
         except Exception as e:
-            print(f"FAIL-EXC  {name}: spark raised {type(e).__name__}: {e}")
+            # str(e) on a Py4JJavaError round-trips to the JVM — on a
+            # dead gateway THAT raises too and would take the whole
+            # sweep (and every remaining name's verdict) with it;
+            # format defensively like check_staged_oracles.py does.
+            try:
+                first = str(e).splitlines()[0] if str(e) else ""
+            except Exception:
+                first = "<unprintable: JVM gateway down>"
+            print(f"FAIL-EXC  {name}: spark raised "
+                  f"{type(e).__name__}: {first or type(e).__name__}")
             n_fail += 1
             continue
         finally:
@@ -345,11 +354,17 @@ def main() -> int:
             if spark is not None:
                 try:
                     spark.catalog.clearCache()
+                except Exception:
+                    pass
+                try:
                     if stop_before_oracle:
                         # engine rows are fully collected in sdf /
                         # n_spark; drop the JVM (and its retained
                         # shuffle/spill files) before the oracle
-                        # needs the disk
+                        # needs the disk.  stop() gets its own
+                        # try so a clearCache() failure (dead
+                        # gateway) can't leave the old JVM process
+                        # lingering with its /dev/shm shuffle files.
                         spark.stop()
                         spark = None
                 except Exception:

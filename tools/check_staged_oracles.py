@@ -243,6 +243,13 @@ def main() -> int:
         finally:
             try:
                 spark.catalog.clearCache()
+            except Exception:
+                pass
+            try:
+                # stop() in its own try: a clearCache() failure (dead
+                # gateway) must not leave the old JVM lingering with
+                # its /dev/shm shuffle files — the very contention
+                # SWEEP_STOP_SPARK_BEFORE_ORACLE exists to prevent.
                 if stop_before_oracle:
                     spark.stop()
                     spark = None

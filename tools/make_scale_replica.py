@@ -136,7 +136,16 @@ def build(
                 src_tbl = os.path.abspath(
                     os.path.join(link_rest, f"{name}.parquet")
                 )
-                if not os.path.exists(dst):
+                # lexists: os.path.exists() is False for an existing
+                # BROKEN symlink, and os.symlink would then raise
+                # FileExistsError; also fail fast on a typo'd
+                # --link-rest instead of leaving dangling links that
+                # only surface at read time.
+                if not os.path.exists(src_tbl):
+                    raise FileNotFoundError(
+                        f"--link-rest target missing: {src_tbl}"
+                    )
+                if not os.path.lexists(dst):
                     os.symlink(src_tbl, dst)
                 print(f"{name}: symlink -> {src_tbl}", flush=True)
             continue
