@@ -267,6 +267,30 @@ def _parse_byte_size(raw: str) -> int:
     return int(m.group(1)) * mult if mult else 134217728
 
 
+def input_bytes(df) -> int:
+    """Total on-disk bytes behind ``df``'s file scans — pure metadata
+    (file list + stat), no job. Used by queries that switch between an
+    exact small-input plan and a scale-safe large-input plan (e.g. the
+    RFM ntile → quantile-boundary swap): a size-threshold decision must
+    not itself cost a pass over the data. Returns 0 for non-file inputs
+    (in-memory test frames, streams) — callers treat that as 'small'."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            # remote/unstat-able file: assume big — the scale plan is
+            # always CORRECT, just not bit-identical to ntile quartiles
+            total += 1 << 40
+    return total
+
+
 def spread(df, *cols):
     """Repartition up to the session's default parallelism when the
     input scan would produce fewer splits.

@@ -11,6 +11,7 @@ sort-merge shuffle fails CI, not the cluster.
 
 from cdc_kafka_project_spark.plans.inspect import (
     count_exchanges,
+    count_global_windows,
     count_key_exchanges,
     count_scans,
     formatted_plan,
@@ -26,6 +27,7 @@ from cdc_kafka_project_spark.plans.inspect import (
 
 __all__ = [
     "count_exchanges",
+    "count_global_windows",
     "count_key_exchanges",
     "count_scans",
     "formatted_plan",

@@ -143,6 +143,42 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def count_global_windows(df: DataFrame) -> int:
+    """Number of Window operators fed by ``Exchange SinglePartition``
+    — i.e. windows with an empty PARTITION BY, which pull their entire
+    input through ONE task. Harmless on a bounded aggregate (a
+    |dates|-row daily rollup), fatal on a fact table at 100 TB, so the
+    plan audit flags each occurrence and requires either a bounded-
+    input rationale or a partitioned/boundary-based rewrite.
+
+    Heuristic on the simple-plan text: for each ``Window`` line, walk
+    down its child chain past the window's own Sort / Project /
+    WindowGroupLimit until the first Exchange; SinglePartition there
+    means the window is global. Cached-subtree reprints are collapsed
+    first so a persisted input doesn't multiply the count."""
+    p = dedup_cached_subtrees(simple_plan(df))
+    lines = p.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow\b(?!GroupLimit)", line):
+            continue
+        for nxt in lines[i + 1:]:
+            if re.search(r"\bExchange\b", nxt):
+                if "SinglePartition" in nxt:
+                    n += 1
+                break
+            # operators that legitimately sit between a Window and its
+            # exchange; anything else (another Window, an Aggregate, a
+            # scan) ends this window's child chain un-exchanged —
+            # its input was already partitioned upstream
+            if not re.search(
+                r"\bSort\b|\bProject\b|\bWindowGroupLimit\b|\bFilter\b",
+                nxt,
+            ):
+                break
+    return n
+
+
 def plan_summary(df: DataFrame) -> dict:
     """One-call digest used by tests and bench diagnostics."""
     p = simple_plan(df)
@@ -153,6 +189,7 @@ def plan_summary(df: DataFrame) -> dict:
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", p)),
         "cartesian": "CartesianProduct" in p,
         "exchanges": count_exchanges(df),
+        "global_windows": count_global_windows(df),
         "scans": count_scans(df),
         "pushed_filters": pushed_filters(df),
         "scan_columns": scan_columns(df),

@@ -126,6 +126,102 @@ def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Above this many bytes of `orders` parquet, ``customer_rfm_segments``
+#: swaps its exact ntile(4) quartiles (a single-partition global sort
+#: of the customer aggregate) for the quantile-boundary plan shared
+#: with ``customer_rfm_quantile_scores`` — no WindowExec, scales to any
+#: customer count. 64 GiB keeps every local test / replica-sweep tier
+#: (sf0.001 … 1000x) on the exact, oracle-hash-matching path; a real
+#: 100 TB orders table lands on the scale path. Override with
+#: SPARK_GRAFT_RFM_EXACT_MAX_BYTES; SPARK_GRAFT_SCALE_PLAN=1 (set by
+#: tools/plan_audit.py and the plan tests) forces the scale path so
+#: its shape is what gets audited.
+_RFM_EXACT_MAX_BYTES = 64 << 30
+
+
+def _rfm_exact_max_bytes() -> int:
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCALE_PLAN") == "1":
+        return 0
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_RFM_EXACT_MAX_BYTES", str(_RFM_EXACT_MAX_BYTES)
+        )
+    )
+
+
+def _rfm_customer_agg(orders: DataFrame) -> DataFrame:
+    """Per-customer (recency_days, frequency, monetary) rollup — one
+    map-side-combined shuffle of orders, then a broadcast of the 1-row
+    corpus-max-date aggregate."""
+    ca = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    return ca.join(F.broadcast(gmax), how="cross").select(
+        "custkey",
+        F.datediff("gmax", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+
+
+def _rfm_boundary_scored(ca: DataFrame, exact: bool) -> DataFrame:
+    """Quartile-score the customer aggregate against broadcast
+    boundaries: three cut points per metric from ONE fully-combinable
+    percentile aggregate, then three comparisons per row. No window,
+    no global sort — the sort-free scale form of RFM scoring.
+
+    ``exact=True`` uses exact interpolated ``percentile`` (matches the
+    DuckDB ``quantile_cont`` oracle bit-for-bit); ``exact=False`` uses
+    ``approx_percentile`` (GK sketch, bounded memory per partition) —
+    the form a 100 TB run wants, where an exact percentile's per-value
+    counts map is itself a scale hazard."""
+    pctl = "percentile({c}, {p})" if exact else "approx_percentile({c}, {p}, 10000)"
+    q = ca.agg(
+        *[
+            _round6(F.expr(pctl.format(c=col, p=p))).alias(f"{pre}q{i}")
+            for col, pre in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    scored = ca.join(F.broadcast(q), how="cross")
+    one = F.lit(1)
+
+    def up(col, q1, q2, q3):  # score 1 = smallest values
+        return (
+            one
+            + (F.col(col) > F.col(q1)).cast("int")
+            + (F.col(col) > F.col(q2)).cast("int")
+            + (F.col(col) > F.col(q3)).cast("int")
+        ).cast("int")
+
+    def down(col, q1, q2, q3):  # score 1 = largest values
+        return (
+            one
+            + (F.col(col) < F.col(q3)).cast("int")
+            + (F.col(col) < F.col(q2)).cast("int")
+            + (F.col(col) < F.col(q1)).cast("int")
+        ).cast("int")
+
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        up("recency_days", "rq1", "rq2", "rq3").alias("r_score"),
+        down("frequency", "fq1", "fq2", "fq3").alias("f_score"),
+        down("monetary", "mq1", "mq2", "mq3").alias("m_score"),
+    )
+
+
 @query(
     "customer_rfm_segments",
     oracle="""
@@ -159,45 +255,42 @@ def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days since last order,
     vs the corpus max date), frequency (order count), monetary (exact
-    total spend), each quartile-scored with ntile(4), concatenated into
-    a '1-4-2'-style segment label.
+    total spend), each quartile-scored, concatenated into a
+    '1-4-2'-style segment label.
 
-    Ties break on custkey so every ntile is a total order — the same
-    rows land in the same quartile on any engine. Scale: the ntile
-    windows run on the CUSTOMER AGGREGATE (orders collapse first, one
-    map-side-combined shuffle); the global sort is |customers| rows of
-    four columns. At extreme customer counts the drop-in replacement is
-    approx-quantile boundaries + a broadcast range join, trading exact
-    quartile boundaries for no global sort — same output schema.
+    Size-gated plan (r15): below ``_RFM_EXACT_MAX_BYTES`` of orders
+    parquet the quartiles are exact ``ntile(4)`` with custkey
+    tiebreaks (a total order, identical on any engine — this is the
+    oracle-matched path every local/replica tier runs). Above it the
+    ntile global sort — |customers| rows through ONE task — is the
+    bottleneck, so the plan swaps to approx-quantile boundaries +
+    broadcast comparisons (``_rfm_boundary_scored``): no WindowExec,
+    no single-partition stage, same output schema. Documented trade
+    at scale: equal metric values always share a bucket, so bucket
+    sizes are only approximately N/4 under heavy ties.
     """
     orders = load_table(spark, sf_dir, "orders")
-    ca = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.to_date("o_orderdate")).alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        dsum("o_totalprice").alias("monetary"),
-    )
-    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
-    ca = ca.join(F.broadcast(gmax), how="cross").select(
-        "custkey",
-        F.datediff("gmax", "last_order").cast("long").alias("recency_days"),
-        "frequency",
-        "monetary",
-    )
-    scored = ca.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("recency_days").asc(), "custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
-        .alias("m_score"),
-    )
+    from cdc_kafka_project_spark.functions import input_bytes
+
+    ca = _rfm_customer_agg(orders)
+    if input_bytes(orders) > _rfm_exact_max_bytes():
+        scored = _rfm_boundary_scored(ca, exact=False)
+    else:
+        scored = ca.select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("recency_days").asc(), "custkey"))
+            .alias("r_score"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+            .alias("f_score"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+            .alias("m_score"),
+        )
     return scored.withColumn(
         "segment",
         F.concat_ws(
@@ -676,57 +769,7 @@ def customer_rfm_quantile_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties — the standard trade for sort-free segmentation.
     """
     orders = load_table(spark, sf_dir, "orders")
-    ca = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.to_date("o_orderdate")).alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        dsum("o_totalprice").alias("monetary"),
-    )
-    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
-    ca = ca.join(F.broadcast(gmax), how="cross").select(
-        "custkey",
-        F.datediff("gmax", "last_order").cast("long").alias("recency_days"),
-        "frequency",
-        "monetary",
-    )
-    q = ca.agg(
-        *[
-            _round6(F.expr(f"percentile({col}, {p})")).alias(f"{pre}q{i}")
-            for col, pre in (
-                ("recency_days", "r"),
-                ("frequency", "f"),
-                ("monetary", "m"),
-            )
-            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
-        ]
-    )
-    scored = ca.join(F.broadcast(q), how="cross")
-    one = F.lit(1)
-
-    def up(col, q1, q2, q3):  # score 1 = smallest values
-        return (
-            one
-            + (F.col(col) > F.col(q1)).cast("int")
-            + (F.col(col) > F.col(q2)).cast("int")
-            + (F.col(col) > F.col(q3)).cast("int")
-        ).cast("int")
-
-    def down(col, q1, q2, q3):  # score 1 = largest values
-        return (
-            one
-            + (F.col(col) < F.col(q3)).cast("int")
-            + (F.col(col) < F.col(q2)).cast("int")
-            + (F.col(col) < F.col(q1)).cast("int")
-        ).cast("int")
-
-    return scored.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        up("recency_days", "rq1", "rq2", "rq3").alias("r_score"),
-        down("frequency", "fq1", "fq2", "fq3").alias("f_score"),
-        down("monetary", "mq1", "mq2", "mq3").alias("m_score"),
-    )
+    return _rfm_boundary_scored(_rfm_customer_agg(orders), exact=True)
 
 
 # ---------------------------------------------------------------------------

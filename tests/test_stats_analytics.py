@@ -251,6 +251,39 @@ def test_rfm_quantile_twin_has_no_window(spark):
     assert top["m_score"] == 1
 
 
+def test_rfm_segments_scale_path_gated(spark, monkeypatch):
+    """The r15 size gate: SPARK_GRAFT_SCALE_PLAN=1 (what plan_audit
+    sets) must flip customer_rfm_segments to the windowless
+    quantile-boundary plan — same schema including the segment label,
+    no WindowExec anywhere — while the default path keeps the exact
+    oracle-matched ntile quartiles at test scale."""
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        customer_rfm_segments,
+    )
+
+    default = customer_rfm_segments(spark, SF_SMOKE)
+    assert "Window" in default._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_PLAN", "1")
+    df = customer_rfm_segments(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert df.columns == default.columns
+    rows = df.collect()
+    assert rows and all(
+        1 <= r[c] <= 4 for r in rows for c in ("r_score", "f_score", "m_score")
+    )
+    assert all(
+        r["segment"] == f"{r['r_score']}-{r['f_score']}-{r['m_score']}"
+        for r in rows
+    )
+    # the explicit byte-threshold override is honored too
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_PLAN")
+    monkeypatch.setenv("SPARK_GRAFT_RFM_EXACT_MAX_BYTES", "0")
+    df2 = customer_rfm_segments(spark, SF_SMOKE)
+    assert "Window" not in df2._jdf.queryExecution().executedPlan().toString()
+
+
 def test_rfm_twins_agree_up_to_tie_handling(spark):
     """The ntile and boundary forms may only disagree on tied metric
     values (ties can straddle an ntile cut but never a boundary)."""

@@ -28,10 +28,18 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_path = "PLANS.md"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    # Audit the SCALE form of size-gated queries: queries that pick an
+    # exact small-input plan vs a scale-safe large-input plan (e.g.
+    # customer_rfm_segments' ntile -> quantile-boundary swap) must show
+    # the plan a 100 TB input would get, not the sf0.001 one.
+    os.environ["SPARK_GRAFT_SCALE_PLAN"] = "1"
 
     from cdc_kafka_project_spark.plans import plan_summary
     from cdc_kafka_project_spark.registry import all_queries
@@ -93,6 +101,47 @@ def main() -> int:
         ),
     }
 
+    # Single-partition (empty PARTITION BY) windows: fatal on a fact
+    # table at 100 TB, fine on a bounded aggregate. Every occurrence
+    # must either be rewritten (customer_rfm_segments' ntile path is
+    # size-gated out above SPARK_GRAFT_RFM_EXACT_MAX_BYTES — the audit
+    # forces the scale plan, see SPARK_GRAFT_SCALE_PLAN above) or
+    # carry a bounded-input rationale here. The bound named in each
+    # rationale is the window INPUT's row count, not the fact table's.
+    GLOBAL_WINDOW_EXEMPT = {
+        "benford_price_audit": "window over the 9 leading-digit rows",
+        "order_priority_chi2": (
+            "window over the |priorities| x |returnflags| contingency "
+            "cells (~15 rows)"
+        ),
+        "daily_revenue_acf": "lag windows over the |dates|-row daily rollup",
+        "weekly_revenue_wow": "lag window over the |weeks|-row weekly rollup",
+        "revenue_seasonality_decomp": (
+            "trend + residual windows over the |dates|-row daily rollup"
+        ),
+        "rolling_median_revenue": (
+            "rolling frame over the |dates|-row daily rollup"
+        ),
+        "forecast_backtest_snaive": (
+            "seasonal-lag window over the |dates|-row daily rollup"
+        ),
+        "user_growth_accounting": (
+            "running sum over the |weeks|-row growth rollup"
+        ),
+        "part_pareto_frontier": (
+            "running min over the |distinct total_qty| domain rollup "
+            "(r11 rewrite; never the part table)"
+        ),
+        "vocab_growth_curve": (
+            "cumulative sum over |docs|/100 bucket rows (2 longs each) "
+            "— the corpus and the shingle explode never enter a window"
+        ),
+        "feature_label_index": (
+            "dense_rank over the distinct c_mktsegment vocabulary "
+            "(|vocab| rows), broadcast back; facts never shuffle"
+        ),
+    }
+
     flags = []
     noted = []
     for s in rows:
@@ -100,10 +149,22 @@ def main() -> int:
             flags.append((s["name"], "cartesian product"))
         if s["exchanges"] > 8:
             if s["name"] in ITERATIVE_EXEMPT:
-                noted.append((s["name"], s["exchanges"],
+                noted.append((s["name"], f"{s['exchanges']} exchanges",
                               ITERATIVE_EXEMPT[s["name"]]))
             else:
                 flags.append((s["name"], f"{s['exchanges']} exchanges"))
+        if s.get("global_windows"):
+            if s["name"] in GLOBAL_WINDOW_EXEMPT:
+                noted.append((
+                    s["name"],
+                    f"{s['global_windows']} global window(s)",
+                    GLOBAL_WINDOW_EXEMPT[s["name"]],
+                ))
+            else:
+                flags.append((
+                    s["name"],
+                    f"{s['global_windows']} single-partition window(s)",
+                ))
 
     with open(out_path, "w") as f:
         f.write(
@@ -119,7 +180,7 @@ def main() -> int:
         if noted:
             f.write("## Exempt (rationale recorded)\n\n")
             for n, ex, why in noted:
-                f.write(f"- **{n}** ({ex} exchanges): {why}\n")
+                f.write(f"- **{n}** ({ex}): {why}\n")
             f.write("\n")
         if failures:
             f.write("## Build failures\n\n")
@@ -128,14 +189,16 @@ def main() -> int:
             f.write("\n")
         f.write(
             "## Per-query digest\n\n"
-            "| query | exchanges | bcast joins | SMJ | scans | cartesian |\n"
-            "|---|---|---|---|---|---|\n"
+            "| query | exchanges | bcast joins | SMJ | scans | cartesian "
+            "| global windows |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
         for s in sorted(rows, key=lambda r: (-r["exchanges"], r["name"])):
             f.write(
                 f"| {s['name']} | {s['exchanges']} | {s['broadcast_joins']} "
                 f"| {s['sort_merge_joins']} | {s['scans']} "
-                f"| {'YES' if s['cartesian'] else ''} |\n"
+                f"| {'YES' if s['cartesian'] else ''} "
+                f"| {s.get('global_windows') or ''} |\n"
             )
     print(
         f"{len(rows)} plans, {len(failures)} failures, {len(flags)} flags "
