@@ -101,17 +101,125 @@ def _oracle_pagerank(sf_dir: str):
     ).df()
 
 
-def _stage_pairs(sf_dir: str):
-    """Materialize the word-3-gram Jaccard edge set (the registered
-    oracles' _PAIRS_SQL prefix) as a temp table."""
-    from cdc_kafka_project_spark.queries.dedup import _PAIRS_SQL
+def _stage_shingle_inter(sf_dir: str):
+    """Materialize the word-3-gram shingle set, per-doc sizes, and the
+    pair-intersection counts — with the intersection self-join SHARDED
+    by shingle-hash range (r15 verdict item 2).
 
+    The r14 wall was DuckDB's SINGLE-STATEMENT string-shingle
+    self-join + aggregation: its one pipeline's live spill hit the
+    40/50 GB temp caps at the 300x replica (37.2/46.5 GiB OOM,
+    SWEEP_r14_300x) while the engine side completed. Sharding fixes
+    the spill profile, not the math: each shingle belongs to exactly
+    one hash shard, so a pair's intersection count is the SUM of its
+    per-shard partial counts — the INSERT loop bounds live spill to
+    one shard's join (~1/N of the corpus) and frees it per statement,
+    and the final combine is one hash agg over int64 triples. Same
+    relational semantics as the registered single-statement oracle
+    (dedup_ngram_jaccard / _PAIRS_SQL), still computed entirely by
+    DuckDB from base parquet.
+
+    Returns a connection holding ``sh-free`` temp tables
+    ``sizes_t(doc_id, n_sh)`` and ``inter_f(doc_a, doc_b, n_inter)``.
+    Shard count: SWEEP_JACCARD_SHARDS (default 16)."""
+    n_shards = int(os.environ.get("SWEEP_JACCARD_SHARDS", "16"))
     con = _connect(sf_dir, ("documents",))
     con.execute(
-        f"CREATE TEMP TABLE pairs_t AS WITH {_PAIRS_SQL} "
-        "SELECT doc_a, doc_b FROM pairs"
+        r"""CREATE TEMP TABLE sh_t AS
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents WHERE trim(text) <> ''
+        )
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3"""
     )
+    con.execute(
+        """CREATE TEMP TABLE sizes_t AS
+           SELECT doc_id, COUNT(*) AS n_sh FROM sh_t GROUP BY doc_id"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE inter_part
+           (doc_a BIGINT, doc_b BIGINT, n_inter BIGINT)"""
+    )
+    for s in range(n_shards):
+        con.execute(
+            f"""INSERT INTO inter_part
+            SELECT a.doc_id, b.doc_id, CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT doc_id, shingle FROM sh_t
+                  WHERE hash(shingle) % {n_shards} = {s}) a
+            JOIN (SELECT doc_id, shingle FROM sh_t
+                  WHERE hash(shingle) % {n_shards} = {s}) b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2"""
+        )
+    con.execute("DROP TABLE sh_t")
+    con.execute(
+        """CREATE TEMP TABLE inter_f AS
+           SELECT doc_a, doc_b, CAST(SUM(n_inter) AS BIGINT) AS n_inter
+           FROM inter_part GROUP BY doc_a, doc_b"""
+    )
+    con.execute("DROP TABLE inter_part")
     return con
+
+
+def _stage_pairs(sf_dir: str):
+    """Materialize the word-3-gram Jaccard edge set (the registered
+    oracles' _PAIRS_SQL semantics) as a temp table, via the sharded
+    intersection builder."""
+    con = _stage_shingle_inter(sf_dir)
+    con.execute(
+        """CREATE TEMP TABLE pairs_t AS
+           SELECT i.doc_a, i.doc_b
+           FROM inter_f i
+           JOIN sizes_t sa ON sa.doc_id = i.doc_a
+           JOIN sizes_t sb ON sb.doc_id = i.doc_b
+           WHERE i.n_inter
+                 / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.2"""
+    )
+    con.execute("DROP TABLE inter_f")
+    return con
+
+
+def _oracle_ngram_jaccard(sf_dir: str):
+    """Staged twin of the registered dedup_ngram_jaccard oracle: same
+    jaccard expression over the sharded intersection tables."""
+    con = _stage_shingle_inter(sf_dir)
+    return con.execute(
+        """SELECT i.doc_a, i.doc_b,
+                  i.n_inter
+                  / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+           FROM inter_f i
+           JOIN sizes_t sa ON sa.doc_id = i.doc_a
+           JOIN sizes_t sb ON sb.doc_id = i.doc_b
+           WHERE i.n_inter
+                 / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.2"""
+    ).df()
+
+
+def _oracle_levenshtein_verify(sf_dir: str):
+    """Staged twin of dedup_levenshtein_verify: candidate pairs from
+    the sharded builder, then the identical length-bound prefilter +
+    levenshtein verify expression as the registered oracle."""
+    con = _stage_pairs(sf_dir)
+    return con.execute(
+        r"""SELECT doc_a, doc_b, edit_distance,
+               floor((raw_sim) * 1e6 + 0.5) / 1e6 AS edit_similarity
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(levenshtein(ta.text, tb.text) AS BIGINT)
+                       AS edit_distance,
+                   1.0 - levenshtein(ta.text, tb.text)
+                       / CAST(greatest(length(ta.text), length(tb.text), 1)
+                              AS DOUBLE) AS raw_sim
+            FROM pairs_t c JOIN documents ta ON ta.doc_id = c.doc_a
+                           JOIN documents tb ON tb.doc_id = c.doc_b
+            WHERE 1.0 - abs(length(ta.text) - length(tb.text))
+                      / CAST(greatest(length(ta.text), length(tb.text), 1)
+                             AS DOUBLE) >= 0.5
+        ) WHERE raw_sim >= 0.5"""
+    ).df()
 
 
 _RECURSE = """
@@ -193,6 +301,13 @@ STAGED = {
     "brand_copurchase_lift": _oracle_brand_lift,
     "dedup_components": _oracle_components,
     "dedup_near_keep": _oracle_near_keep,
+    # r15: the exact-Jaccard family's single-statement oracle was the
+    # measured >=300x wall (SWEEP_r14_300x); the sharded builder
+    # bounds per-statement spill so these two get two-engine rows at
+    # the 300x tier (dedup_components/dedup_near_keep inherit the
+    # sharded _stage_pairs above).
+    "dedup_ngram_jaccard": _oracle_ngram_jaccard,
+    "dedup_levenshtein_verify": _oracle_levenshtein_verify,
 }
 
 
