@@ -60,6 +60,29 @@ def _connect(sf_dir: str, tables: tuple[str, ...]):
     return con
 
 
+def _brand_basket(con) -> None:
+    """Stage the distinct (order, brand) basket with the brand
+    DICTIONARY-ENCODED to an int id (r15, the 1000x retry): at the
+    sf100 replica the string-keyed ob temp table was the measured OOM
+    (37.2 GiB at the temp cap, SWEEP_r14_1000x_b) — ~20 bytes of
+    brand string per row where 4 suffice. ``bd`` (|brands| rows) maps
+    ids back to strings for the tiny post-aggregation relations; the
+    600M-row intermediates carry only int64+int32."""
+    con.execute(
+        """CREATE TEMP TABLE bd AS
+           SELECT brand, CAST(row_number() OVER (ORDER BY brand) AS INTEGER)
+                  AS bid
+           FROM (SELECT DISTINCT p_brand AS brand FROM part)"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE ob AS
+           SELECT DISTINCT l.l_orderkey AS okey, bd.bid
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           JOIN bd ON bd.brand = p.p_brand"""
+    )
+
+
 def _oracle_pagerank(sf_dir: str):
     from cdc_kafka_project_spark.queries.graph import (
         PR_ITERS,
@@ -67,20 +90,25 @@ def _oracle_pagerank(sf_dir: str):
     )
 
     con = _connect(sf_dir, ("lineitem", "part"))
-    con.execute(
-        """CREATE TEMP TABLE ob AS
-           SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
-           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"""
-    )
+    _brand_basket(con)
+    # the edge aggregate is |brands|^2 rows — decode ids back to brand
+    # strings here so the iteration SQL (shared with the registered
+    # oracle) sees the exact relations it expects
     con.execute(
         """CREATE TEMP TABLE e AS
-           SELECT a.brand AS src, b.brand AS dst,
-                  CAST(COUNT(*) AS BIGINT) AS w
-           FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand
-           GROUP BY a.brand, b.brand"""
+           SELECT sa.brand AS src, sb.brand AS dst, w
+           FROM (
+               SELECT a.bid AS src_id, b.bid AS dst_id,
+                      CAST(COUNT(*) AS BIGINT) AS w
+               FROM ob a JOIN ob b ON a.okey = b.okey AND a.bid <> b.bid
+               GROUP BY a.bid, b.bid
+           ) JOIN bd sa ON sa.bid = src_id
+             JOIN bd sb ON sb.bid = dst_id"""
     )
     con.execute(
-        "CREATE TEMP TABLE nodes_t AS SELECT DISTINCT brand FROM ob"
+        """CREATE TEMP TABLE nodes_t AS
+           SELECT bd.brand FROM (SELECT DISTINCT bid FROM ob) n
+           JOIN bd ON bd.bid = n.bid"""
     )  # from ob, not e: a brand with no co-purchase edge still ranks
     con.execute("DROP TABLE ob")
     con.execute(
@@ -266,30 +294,30 @@ def _oracle_brand_lift(sf_dir: str):
     )
 
     con = _connect(sf_dir, ("lineitem", "part"))
-    con.execute(
-        """CREATE TEMP TABLE ob AS
-           SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
-           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"""
-    )
+    _brand_basket(con)
+    # bd orders bid by brand string, so `a.bid < b.bid` == the
+    # registered oracle's `a.brand < b.brand` pair orientation
     return con.execute(
         f"""
         WITH n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
                    FROM ob),
         cb AS (
-            SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY brand
+            SELECT bid, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY bid
         ),
         pairs AS (
-            SELECT a.brand AS brand_a, b.brand AS brand_b,
+            SELECT a.bid AS bid_a, b.bid AS bid_b,
                    CAST(COUNT(*) AS BIGINT) AS c_ab
-            FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
-            GROUP BY a.brand, b.brand
+            FROM ob a JOIN ob b ON a.okey = b.okey AND a.bid < b.bid
+            GROUP BY a.bid, b.bid
         )
-        SELECT brand_a, brand_b, c_ab,
+        SELECT ba.brand AS brand_a, bb.brand AS brand_b, c_ab,
                floor(CAST(c_ab AS DOUBLE) * n.n_orders
                      / (ca.c * cb2.c) * 1e6 + 0.5) / 1e6 AS lift
         FROM pairs
-        JOIN cb ca ON ca.brand = pairs.brand_a
-        JOIN cb cb2 ON cb2.brand = pairs.brand_b
+        JOIN cb ca ON ca.bid = pairs.bid_a
+        JOIN cb cb2 ON cb2.bid = pairs.bid_b
+        JOIN bd ba ON ba.bid = pairs.bid_a
+        JOIN bd bb ON bb.bid = pairs.bid_b
         CROSS JOIN n
         WHERE c_ab >= {MIN_COPURCHASE_SUPPORT}
         """
