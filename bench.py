@@ -149,6 +149,40 @@ HEADLINE = [
 ]
 
 
+def _tail_promotion(
+    tail_names: list[str], sf: float | None, k: int = 20
+) -> list[str]:
+    """r15 verdict item 4: the ~122-name tail tier ran 1 run/query, so
+    its round-over-round deltas could never be adjudicated (single-run
+    pairs on a steal-prone host). Each bench run PROMOTES the k tail
+    names least recently promoted (never-promoted first, alphabetical
+    tiebreak — the same staleness-fronted discipline as the driver
+    gate rotation, tools/plan_gate_rotation.py) to the full 3-run
+    median+min treatment, so every tail name gets a median-quality
+    bench row every ~ceil(|tail|/k) rounds (~6 at k=20).
+
+    The promotion history is read from BENCH_HISTORY.jsonl's
+    ``rotated_tail`` field, same-sf entries only — local sf0.01 runs
+    must not advance the sf0.1 rotation the driver records."""
+    last = {n: -1 for n in tail_names}
+    if os.path.exists(HISTORY):
+        with open(HISTORY) as f:
+            idx = 0
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("sf") != sf:
+                    continue
+                idx += 1
+                for n in e.get("rotated_tail") or []:
+                    if n in last:
+                        last[n] = idx
+    order = sorted(tail_names, key=lambda n: (last[n], n))
+    return order[:k]
+
+
 def _calibration(spark) -> dict[str, float]:
     """Fixed deterministic probe of the host's CURRENT speed (round-11
     verdict item 3: the external-load band on this virtualized host
@@ -515,14 +549,27 @@ def main() -> None:
     # (queries_tail) and never fold into the headline total; the diff
     # tool labels tail verdicts as 1-run evidence.
     tail_names = sorted(n for n in queries if n not in HEADLINE)
+    # r15: ~20 tail names per run get the full 3-run median+min
+    # treatment (staleness-fronted rotation — see _tail_promotion);
+    # the rest stay 1-run visibility probes. Promoted medians land in
+    # the same queries_tail map (directly comparable round-over-round);
+    # their mins go to queries_tail_min so bench_diff can apply the
+    # headline-grade median+min regression predicate to them.
+    promoted = set(_tail_promotion(tail_names, sf))
     timings_tail: dict[str, float] = {}
+    timings_tail_min: dict[str, float] = {}
     t_tail0 = time.time()
     for name in tail_names:
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings_tail[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3 if name in promoted else 1):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+        timings_tail[name] = round(sorted(runs)[len(runs) // 2], 3)
+        if name in promoted:
+            timings_tail_min[name] = round(min(runs), 3)
         spark.catalog.clearCache()
         gc.collect()
     tail_total = round(sum(timings_tail.values()), 3)
@@ -547,9 +594,12 @@ def main() -> None:
         "queries": timings,
         "queries_min": timings_min,
         "queries_tail": timings_tail,
+        "queries_tail_min": timings_tail_min,
+        "rotated_tail": sorted(promoted),
         "tail_total_sec": tail_total,
         "tail_wall_sec": tail_wall,
         "runs_per_tail_query": 1,
+        "runs_per_rotated_tail_query": 3,
         "value_min": total_min,
         "index_build_sec": index_build_sec,
         "wall_sec": wall_sec,
@@ -568,13 +618,18 @@ def main() -> None:
     # per-query map pushed the line past the capture window).
     print("# per-query medians: " + json.dumps(timings), file=sys.stderr)
     print("# per-query mins: " + json.dumps(timings_min), file=sys.stderr)
-    print("# tail (1 run each): " + json.dumps(timings_tail), file=sys.stderr)
+    print("# tail (1 run each; rotated names 3-run median): "
+          + json.dumps(timings_tail), file=sys.stderr)
+    print("# tail rotated mins: " + json.dumps(timings_tail_min),
+          file=sys.stderr)
     compact = {
         k: v for k, v in record.items()
-        if k not in ("queries", "queries_min", "queries_tail")
+        if k not in ("queries", "queries_min", "queries_tail",
+                     "queries_tail_min", "rotated_tail")
     }
     compact["n_queries"] = len(timings)
     compact["n_queries_tail"] = len(timings_tail)
+    compact["n_tail_rotated"] = len(timings_tail_min)
     print(json.dumps(compact))
 
 

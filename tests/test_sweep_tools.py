@@ -420,3 +420,76 @@ def test_evidence_non_sweep_file_is_skipped(evidence_mod, tmp_path):
     log = tmp_path / "SWEEP_notes.log"
     log.write_text("# some notes\nPASS  alpha_q: 1 rows [1s]\n")
     assert evidence_mod.parse_log(str(log)) is None
+
+
+# ---------------------------------------------------------------------------
+# bench.py tail rotation (r15 verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bench_mod():
+    # bench.py imports the registry at module level, which is cheap
+    # (no SparkSession is created until main())
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(ROOT, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _write_history(path, entries):
+    import json
+
+    with open(path, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_tail_rotation_never_promoted_first(bench_mod, tmp_path,
+                                            monkeypatch):
+    """Staleness-fronted: names never promoted come first
+    (alphabetical), then the least recently promoted."""
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    _write_history(hist, [
+        {"sf": 0.1, "rotated_tail": ["b", "d"]},
+        {"sf": 0.1, "rotated_tail": ["a"]},
+    ])
+    monkeypatch.setattr(bench_mod, "HISTORY", str(hist))
+    got = bench_mod._tail_promotion(["a", "b", "c", "d", "e"], 0.1, k=3)
+    # c,e never promoted -> first; then b,d (entry 1) before a (entry 2)
+    assert got == ["c", "e", "b"]
+
+
+def test_tail_rotation_ignores_other_sf(bench_mod, tmp_path, monkeypatch):
+    """Local sf0.01 runs must not advance the sf0.1 rotation."""
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    _write_history(hist, [{"sf": 0.01, "rotated_tail": ["a", "b"]}])
+    monkeypatch.setattr(bench_mod, "HISTORY", str(hist))
+    got = bench_mod._tail_promotion(["a", "b", "c"], 0.1, k=2)
+    assert got == ["a", "b"]  # alphabetical: nothing promoted at sf0.1
+
+
+def test_tail_rotation_covers_all_names_in_ceil_rounds(bench_mod,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """Simulated successive runs promote every tail name within
+    ceil(|tail|/k) rounds — the every-~6-rounds coverage guarantee."""
+    import json as _json
+    import math
+
+    names = [f"q{i:03d}" for i in range(47)]
+    k = 10
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    hist.write_text("")
+    monkeypatch.setattr(bench_mod, "HISTORY", str(hist))
+    seen = set()
+    rounds = math.ceil(len(names) / k)
+    for _ in range(rounds):
+        got = bench_mod._tail_promotion(names, 0.1, k=k)
+        assert len(got) == k
+        seen.update(got)
+        with open(hist, "a") as f:
+            f.write(_json.dumps({"sf": 0.1, "rotated_tail": got}) + "\n")
+    assert seen == set(names)

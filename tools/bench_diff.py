@@ -238,10 +238,18 @@ def main() -> int:
     # unbenched ~122 names VISIBLE, not precisely attributing it.
     ot = old.get("queries_tail") or {}
     nt = new.get("queries_tail") or {}
+    # r15: names promoted by bench.py's tail rotation carry 3-run
+    # medians in queries_tail plus mins in queries_tail_min — when a
+    # name has min evidence on BOTH sides, its verdict gets the
+    # headline-grade median+min predicate; otherwise the 1-run label.
+    otm = old.get("queries_tail_min") or {}
+    ntm = new.get("queries_tail_min") or {}
     if ot or nt:
+        n_rot = len(ntm)
         lines += [
             "",
-            f"## Tail (1 run/query): "
+            f"## Tail (1 run/query; {n_rot} rotated names at 3-run "
+            f"median+min): "
             f"{old.get('tail_total_sec', 'n/a')}s → "
             f"{new.get('tail_total_sec', 'n/a')}s "
             f"({len(ot)} → {len(nt)} queries)",
@@ -258,10 +266,15 @@ def main() -> int:
             else:
                 o_s, n_s = f"{o:.3f}", f"{n:.3f}"
                 delta = f"{(n - o) / o * 100:+.0f}%" if o else "n/a (old=0)"
-            verdict = (
-                "REGRESSED? (1-run pair — rerun to confirm)"
-                if _regressed(o, n) else ""
-            )
+            if not _regressed(o, n):
+                verdict = ""
+            elif name in otm and name in ntm:
+                verdict = (
+                    "REGRESSED (code; 3-run both sides)"
+                    if _regressed(otm[name], ntm[name]) else "host band"
+                )
+            else:
+                verdict = "REGRESSED? (1-run pair — rerun to confirm)"
             lines.append(f"| {name} | {o_s} | {n_s} | {delta} | {verdict} |")
     out = "\n".join(lines) + "\n"
     with open(os.path.join(ROOT, "BENCH_DIFF.md"), "w") as f:
