@@ -142,7 +142,7 @@ def test_tail_section_diffs_full_registry(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["bench_diff.py", str(po), str(pn)])
     assert bd.main() == 0
     out = capsys.readouterr().out
-    assert "## Tail (1 run/query)" in out
+    assert "## Tail (1 run/query" in out
     slow = next(line for line in out.splitlines() if "| t_slow |" in line)
     fine = next(line for line in out.splitlines() if "| t_fine |" in line)
     newq = next(line for line in out.splitlines() if "| t_new |" in line)

@@ -87,6 +87,10 @@ DIGEST_NAMES: tuple[str, ...] = (
 STAGED_NAMES: tuple[str, ...] = (
     "pagerank_brand_copurchase", "brand_copurchase_lift",
     "dedup_components", "dedup_near_keep",
+    # r15: the exact-Jaccard names gained sharded staged oracles
+    # (shingle-hash-range INSERTs bound DuckDB's live spill) so the
+    # >=300x wall can be re-probed with the staged tier.
+    "dedup_ngram_jaccard", "dedup_levenshtein_verify",
 )
 
 #: queries excluded from the sweep at or above a replica factor, with
