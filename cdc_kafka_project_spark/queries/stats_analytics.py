@@ -1709,7 +1709,24 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). Each pairwise slope is a deterministic double ratio of
     exact-decimal-derived values; the median is one exact
     interpolating percentile.
+
+    r15: the single `percentile(s, 0.5)` aggregate was the measured
+    wall (11 of 13.6 s — a TypedImperativeAggregate holds every
+    distinct slope in one OpenHashMap and merges/sorts ~2.9M entries
+    in the final single reducer). Replaced by an EXACT distributed
+    selection with identical output: one pass computes the count and
+    a high-accuracy approx_percentile rank window around 0.5, a second
+    pass computes the exact rank of the window base plus the sorted
+    in-window values (a bounded collect — the window is ~0.2% of a
+    calendar-bounded pair set, a few thousand doubles), and the two
+    order statistics interpolate with Spark's own Percentile formula
+    ((higher-pos)*v_lo + (pos-lower)*v_hi), so the value is
+    bit-identical to percentile()'s. The approx window only narrows
+    WHERE the exact scan looks; if its rank guarantee were ever
+    violated the assertion falls back to the exact percentile
+    aggregate, never to a wrong answer.
     """
+    import math
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(19,2)"))
@@ -1717,7 +1734,14 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev")
     )
-    a = daily.alias("a")
+    # The day table is tiny (~2.4k rows), so AQE coalesces its exchange
+    # to ONE partition — which serializes the O(|days|^2) nested-loop
+    # pair generation AND the exact-percentile partial aggregation into
+    # a single task (measured 13.6 s; guide §2.6). Explicitly widening
+    # the STREAM side to core count parallelizes both (the build side
+    # stays a broadcast); the extra exchange moves ~2.4k rows.
+    par = spark.sparkContext.defaultParallelism
+    a = daily.repartition(par).alias("a")
     b = daily.alias("b")
     slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
         (
@@ -1725,9 +1749,50 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
         ).alias("s")
     )
-    return slopes.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        _round6(F.expr("percentile(s, 0.5)")).alias("ts_slope"),
+    # pass 1: exact count + rank window (accuracy 10000 -> rank error
+    # <= 1e-4*n per endpoint, so true rank 0.5*n lies strictly inside
+    # the [0.499, 0.501] window)
+    r1 = slopes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(s, array(0.499, 0.501), 10000)").alias("w"),
+    ).collect()[0]
+    n = int(r1["n"])
+    if n == 0:
+        return slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            _round6(F.expr("percentile(s, 0.5)")).alias("ts_slope"),
+        )
+    w_lo, w_hi = float(r1["w"][0]), float(r1["w"][1])
+    pos = 0.5 * (n - 1)
+    lo, hi = math.floor(pos), math.ceil(pos)
+    # pass 2: exact rank of the window base + the sorted window values
+    r2 = slopes.agg(
+        F.sum(F.when(F.col("s") < w_lo, 1).otherwise(0)).alias("below"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    (F.col("s") >= w_lo) & (F.col("s") <= w_hi), F.col("s")
+                )
+            )
+        ).alias("cand"),
+    ).collect()[0]
+    below, cand = int(r2["below"] or 0), list(r2["cand"])
+    if not (below <= lo and hi - below < len(cand)):
+        # approx window missed the true median rank (should be
+        # impossible within the sketch's guarantee) — exact slow path
+        return slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            _round6(F.expr("percentile(s, 0.5)")).alias("ts_slope"),
+        )
+    v_lo, v_hi = float(cand[lo - below]), float(cand[hi - below])
+    if hi == lo or v_hi == v_lo:
+        med = v_lo
+    else:
+        med = (hi - pos) * v_lo + (pos - lo) * v_hi
+    ts_slope = math.floor(med * 1e6 + 0.5) / 1e6
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_pairs"),
+        F.lit(ts_slope).cast("double").alias("ts_slope"),
     )
 
 

@@ -349,7 +349,12 @@ def user_spend_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_0 = x_0, s_i = (1-a)*s_{{i-1}} + a*x_i in strict event order.
     No window frame or aggregate expresses this, so it is the
     canonical applyInPandas use case: one key-partitioned shuffle,
-    then an ordered fold per user inside the Arrow batch.
+    then an ordered fold per user inside the Arrow batch. The
+    applyInPandas GROUP is a hash bucket of users, not one user —
+    each group is a separate Python crossing, so grouping on the raw
+    key pays |users| tiny Arrow round-trips (guide §4: measured 6.0 s
+    → ~1 s at sf0.1); the per-user fold order inside a bucket is
+    identical (sort by user, ts, event_id; fold per user run).
 
     The oracle folds the same series with DuckDB's list_reduce —
     identical seed and operation ORDER, so IEEE arithmetic agrees
@@ -358,6 +363,8 @@ def user_spend_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declared recursion, not an approximation (pandas ewm's
     adjust=True default, for instance, is a DIFFERENT formula).
     """
+    import math
+
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -365,23 +372,37 @@ def user_spend_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "value", "ts", "event_id")
 
     a = EWMA_ALPHA
+    spark_ = ev.sparkSession
+    try:
+        n_buckets = int(spark_.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_buckets = spark_.sparkContext.defaultParallelism
+    n_buckets = max(n_buckets, 2)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        s = None
-        for x in pdf["value"].astype(float):
-            s = x if s is None else (1.0 - a) * s + a * x
-        import math
-
-        ewma = math.floor(s * 1e6 + 0.5) / 1e6
+        pdf = pdf.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        uids: list = []
+        ns: list = []
+        ewmas: list = []
+        for uid, grp in pdf.groupby("user_id", sort=False):
+            s = None
+            for x in grp["value"].astype(float):
+                s = x if s is None else (1.0 - a) * s + a * x
+            uids.append(uid)
+            ns.append(len(grp))
+            ewmas.append(math.floor(s * 1e6 + 0.5) / 1e6)
         return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_purchases": [len(pdf)],
-                "ewma_spend": [ewma],
-            }
+            {"user_id": uids, "n_purchases": ns, "ewma_spend": ewmas}
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        fold, "user_id long, n_purchases long, ewma_spend double"
+    return (
+        ev.withColumn(
+            "__b", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+        )
+        .groupBy("__b")
+        .applyInPandas(
+            fold, "user_id long, n_purchases long, ewma_spend double"
+        )
     )
