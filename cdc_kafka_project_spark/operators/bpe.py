@@ -130,12 +130,85 @@ def _apply_merge(left: str, right: str, col: str = "symbols"):
 #: extra job x n_merges, which dominates small corpora.
 _CHECKPOINT_EVERY = 6
 
+#: Bounded-collect gate for driver-side training/segmentation — the
+#: same contract as the k-means/PQ trainers (operators/similarity.py:
+#: a documented <=100k-row driver read, never corpus-sized). BPE
+#: state after the corpus collapse is |vocab| rows; below this bound
+#: the per-round Spark jobs (pair-agg + argmax collect, x n_merges)
+#: are pure scheduler overhead over a tiny table (measured 10.7 s for
+#: 16 rounds over a 31-word vocab at sf0.1), so the rounds run on the
+#: collected table instead. Above it, the distributed loop is the
+#: scale path (a web-scale vocab is millions of rows).
+_DRIVER_TRAIN_MAX_VOCAB = 100_000
+
+
+def _train_bpe_driver(
+    word_freqs: list[tuple[tuple[str, ...], int]], n_merges: int
+) -> list[BpeMerge]:
+    """The merge loop on the collected |vocab|-bounded table. Exactly
+    the distributed semantics: overlapping adjacent-pair counts
+    weighted by word frequency, argmax tiebreak (count DESC, left ASC,
+    right ASC — Python str ordering == UTF8 binary collation, since
+    UTF-8 byte order preserves code-point order), greedy left-to-right
+    non-overlapping rewrite. Parity with the distributed loop is
+    pinned in tests/test_bpe.py."""
+    freq: dict[tuple[str, ...], int] = {}
+    for sym, f in word_freqs:
+        freq[sym] = freq.get(sym, 0) + f
+    merges: list[BpeMerge] = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, f in freq.items():
+            for p in zip(sym, sym[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        left, right = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append(BpeMerge(rank, left, right))
+        merged = left + right
+        new_freq: dict[tuple[str, ...], int] = {}
+        for sym, f in freq.items():
+            out: list[str] = []
+            i, n = 0, len(sym)
+            while i < n:
+                if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_freq[t] = new_freq.get(t, 0) + f
+        freq = new_freq
+    return merges
+
+
+def _segment_word(word: str, merges: list[BpeMerge]) -> list[str]:
+    """Driver twin of the chained :func:`_apply_merge` folds (greedy
+    left-to-right, non-overlapping, merges in rank order)."""
+    sym: list[str] = list(word)
+    for m in merges:
+        out: list[str] = []
+        i, n = 0, len(sym)
+        while i < n:
+            if i + 1 < n and sym[i] == m.left and sym[i + 1] == m.right:
+                out.append(m.merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
 
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     word_freqs: DataFrame | None = None,
+    driver_max_vocab: int | None = None,
 ) -> list[BpeMerge]:
     """Learn ``n_merges`` BPE merge rules from the corpus. Stops early
     when no adjacent pair remains. Returns merges in learned order.
@@ -145,7 +218,15 @@ def train_bpe(
     from ``docs`` — callers that also need the word table elsewhere
     (the apply tier's vocab segmentation) pass it so the corpus is
     scanned once for both uses. The caller keeps ownership; train_bpe
-    never releases it."""
+    never releases it.
+
+    ``driver_max_vocab``: vocab-size gate for the driver-side merge
+    loop (default ``_DRIVER_TRAIN_MAX_VOCAB``; pass 0 to force the
+    distributed loop). The corpus pass and the |vocab| collapse are
+    always distributed; only the per-round pair-count/argmax/rewrite
+    runs on the collected table when it fits the bounded-collect
+    contract — identical merges either way (tests/test_bpe.py pins
+    both paths against the reference)."""
     spark = docs.sparkSession
     # localCheckpoint, not persist: caching materializes the DATA but
     # the logical plan keeps its full lineage, so round N's analysis /
@@ -176,6 +257,18 @@ def train_bpe(
     # words per partition keeps a web-scale vocab (millions of words)
     # wide while a small corpus degrades gracefully to a few tasks.
     n_vocab = words.count()
+    gate = (
+        _DRIVER_TRAIN_MAX_VOCAB
+        if driver_max_vocab is None
+        else driver_max_vocab
+    )
+    if n_vocab <= gate:
+        rows = words.select("symbols", "freq").collect()
+        if not caller_owned:
+            cache.release_checkpoint(words)
+        return _train_bpe_driver(
+            [(tuple(r["symbols"]), r["freq"]) for r in rows], n_merges
+        )
     parts = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                        n_vocab // 25_000 + 1))
     prev = words
@@ -224,6 +317,7 @@ def bpe_vocab_table(
     merges: list[BpeMerge],
     text_col: str = "text",
     words: DataFrame | None = None,
+    driver_max_vocab: int | None = None,
 ) -> DataFrame:
     """(word, tokens array<string>, n_tokens) for every distinct corpus
     word under the learned merges — the segmentation LOOKUP TABLE.
@@ -238,16 +332,37 @@ def bpe_vocab_table(
     ``words``: an optional materialized distinct-word frame (any frame
     with a ``word`` column, e.g. the training word_freq_table) — pass
     it to segment from the existing artifact instead of re-scanning
-    the corpus for the distinct-word pass.
+    the corpus for the distinct-word pass. A MATERIALIZED words frame
+    under ``driver_max_vocab`` (default ``_DRIVER_TRAIN_MAX_VOCAB``;
+    0 forces the distributed folds) is segmented driver-side — the
+    lookup table is |vocab|-bounded state, so below the bounded-collect
+    gate one createDataFrame beats an n_merges-deep interpreted fold
+    chain per row; both paths are parity-pinned in tests/test_bpe.py.
     """
+    gate = (
+        _DRIVER_TRAIN_MAX_VOCAB
+        if driver_max_vocab is None
+        else driver_max_vocab
+    )
     if words is None:
         words = docs.select(
             F.explode(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
             ).alias("word")
         ).filter(F.col("word") != "").distinct()
+        gate = 0  # corpus-derived: counting it would add a scan
     else:
         words = words.select("word")
+    if gate and words.count() <= gate:
+        seg: dict[str, list[str]] = {}
+        rows = [r["word"] for r in words.collect()]
+        for w in rows:
+            if w not in seg:
+                seg[w] = _segment_word(w, merges)
+        return docs.sparkSession.createDataFrame(
+            [(w, seg[w], len(seg[w])) for w in rows],
+            "word string, tokens array<string>, n_tokens int",
+        )
     out = words.withColumn("tokens", F.split("word", ""))
     for m in merges:
         out = out.withColumn(

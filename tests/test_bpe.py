@@ -55,14 +55,50 @@ CORPUS = [
 
 
 @pytest.mark.parametrize("n_parts", [1, 7])
-def test_bpe_matches_reference_any_partitioning(spark, n_parts):
+@pytest.mark.parametrize("driver_max_vocab", [None, 0])
+def test_bpe_matches_reference_any_partitioning(
+    spark, n_parts, driver_max_vocab
+):
+    """Both trainer paths — the bounded-collect driver loop (default,
+    r15) and the distributed per-round loop (driver_max_vocab=0, the
+    above-gate scale path) — must reproduce the reference merge
+    sequence on any partitioning."""
     from cdc_kafka_project_spark.operators.bpe import train_bpe
 
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
     ).repartition(n_parts)
-    got = [(m.left, m.right) for m in train_bpe(docs, 10)]
+    got = [
+        (m.left, m.right)
+        for m in train_bpe(docs, 10, driver_max_vocab=driver_max_vocab)
+    ]
     assert got == _ref_bpe(CORPUS, 10)
+
+
+def test_bpe_vocab_table_driver_and_distributed_paths_agree(spark):
+    """r15: bpe_vocab_table segments driver-side below the bounded-
+    collect gate; the two paths must emit identical (word, tokens,
+    n_tokens) rows for a materialized words frame."""
+    from cdc_kafka_project_spark.operators.bpe import (
+        bpe_vocab_table,
+        train_bpe,
+        word_freq_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, 8)
+    wf = word_freq_table(docs).selectExpr(
+        "array_join(symbols, '') AS word", "freq"
+    ).localCheckpoint()
+    fast = bpe_vocab_table(docs, merges, words=wf)
+    slow = bpe_vocab_table(docs, merges, words=wf, driver_max_vocab=0)
+    to_set = lambda df: {  # noqa: E731
+        (r.word, tuple(r.tokens), r.n_tokens) for r in df.collect()
+    }
+    assert to_set(fast) == to_set(slow)
+    assert fast.count() == slow.count()
 
 
 def test_bpe_stops_early_when_no_pairs_left(spark):
