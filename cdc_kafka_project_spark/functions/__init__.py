@@ -291,9 +291,17 @@ def input_bytes(df) -> int:
     return total
 
 
-def spread(df, *cols):
+def spread(df, *cols, min_bytes: int = 0):
     """Repartition up to the session's default parallelism when the
     input scan would produce fewer splits.
+
+    ``min_bytes``: skip the repartition entirely when the scan's total
+    input is under this size. For callers whose per-row work is a
+    vectorized numpy/Arrow batch op (embedding scans), a tiny input's
+    exchange + full-width task wave costs more than one task's
+    vectorized pass (measured 1.14 s vs 0.26 s on an 0.8 MB corpus);
+    text callers whose explode fanout dwarfs input bytes keep the
+    default 0.
 
     Two jobs in one exchange: (a) a single parquet file reads as one
     partition locally, which would serialize every downstream explode/
@@ -323,13 +331,18 @@ def spread(df, *cols):
     raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     max_bytes = _parse_byte_size(str(raw))
     splits = 0
+    total = 0
     for f in files:
         path = f.removeprefix("file:")
         try:
             size = os.path.getsize(path)
+            total += size
             splits += max(1, math.ceil(size / max_bytes))
         except OSError:
             splits += 1  # remote/unstat-able file: count it once
+            total += min_bytes  # unknown size: never skip on its account
         if splits >= target:
             return df
+    if total < min_bytes:
+        return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

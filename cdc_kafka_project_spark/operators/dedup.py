@@ -584,26 +584,39 @@ def connected_components(
     labels = cache.scoped_localcheckpoint(
         nodes.select("src", F.col("src").alias("label"))
     )
+    # Convergence probe = exact label sum (decimal — no int64 wrap on
+    # huge id spaces): labels are monotonically non-increasing under
+    # min-propagation and the node set is fixed (every node's
+    # self-loop), so an unchanged sum <=> an unchanged labeling. One
+    # aggregate over the new table replaces the old join-based changed
+    # count, and — because a full-scan agg materializes EVERY
+    # partition — the per-round checkpoint can be lazy: one Spark job
+    # per round instead of two (the loop is job-count-bound on
+    # pair-graph-sized inputs; a limit(1)-style probe would early-exit
+    # and leave a lazy checkpoint partially materialized).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iters):
         new_labels = cache.scoped_localcheckpoint(
             edges.join(labels, "src")
             .groupBy(F.col("dst").alias("src"))
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label")),
+            eager=False,
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "src")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        # the old label table fed both joins above and is now
+        new_sum = _label_sum(new_labels)
+        # the old label table fed the join above and is now
         # superseded — free its blocks before the next round
         cache.release_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     cache.release_checkpoint(edges)  # only `labels` outlives the loop
     if not converged:
         # A silent exit here returns WRONG clusters (graph diameter >

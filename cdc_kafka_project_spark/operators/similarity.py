@@ -31,9 +31,21 @@ from cdc_kafka_project_spark.functions import (
     cosine_pd,
     fround,
     l2_norm,
-    spread,
+    spread as _spread_raw,
     to_double_array,
 )
+
+#: Embedding scans do vectorized numpy/Arrow batch work, so a sub-32MB
+#: input's spread() exchange + full-width task wave costs more than a
+#: single task's vectorized pass (measured 1.14 s vs 0.26 s at sf0.1);
+#: above the floor (the 100x replica and beyond) spread fires exactly
+#: as before. Text operators keep the unfloored spread — their explode
+#: fanout dwarfs input bytes.
+_EMB_SPREAD_MIN_BYTES = 32 << 20
+
+
+def spread(df, *cols):
+    return _spread_raw(df, *cols, min_bytes=_EMB_SPREAD_MIN_BYTES)
 
 
 def _qcol(query_vec: list[float]):
@@ -954,7 +966,15 @@ def cosine_near_dup_pairs(
     """
     dim = int(embeddings.select(F.size("embedding")).head()[0])
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
-    emb = spread(embeddings.select("vec_id", "embedding"))
+    # Materialize the projected corpus ONCE: it feeds the band table
+    # (referenced twice by the self-join) and both verify sides — four
+    # plan leaves. Before r15 the spread() exchange made the leaves
+    # collapse via ReusedExchange; with spread byte-floored, an
+    # explicit checkpoint keeps the one-scan discipline at every size
+    # (pinned by tests/test_plans.py's executed-scan audit).
+    emb = cache.scoped_localcheckpoint(
+        spread(embeddings.select("vec_id", "embedding"))
+    )
     banded = emb.select(
         "vec_id",
         F.posexplode(

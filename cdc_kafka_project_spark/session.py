@@ -60,6 +60,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partition discovery for the materialized ANN/token indexes: the
+    # LSH index has 2^n_planes (256) bucket directories, above the
+    # 32-dir default threshold, so EVERY probe paid a 254-task listing
+    # job just to enumerate local directories (measured 1.38 s ->
+    # 0.86 s per probe with driver-side listing). Local/driver-side
+    # listing of <=1024 dirs is microseconds on a local FS; on object
+    # stores where listing is the bottleneck, override via
+    # SPARK_GRAFT_PARALLEL_LISTING_THRESHOLD.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPARK_GRAFT_PARALLEL_LISTING_THRESHOLD", "1024"
+    ),
 }
 
 
