@@ -106,239 +106,239 @@ def load_all() -> None:
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- ROUND-14 WINDOW (round-13 verdict item 3; computed by
-    #    tools/plan_gate_rotation.py --changed doc_winnow_fingerprints,
-    #    dedup_ngram_jaccard,dedup_simhash,dedup_simhash_pairs,
-    #    dedup_near_keep,dedup_components,dedup_levenshtein_verify).
-    #    Tier 1: the seven names whose registered plan or oracle
-    #    changed this round — the winnow flat-Horner oracle rewrite,
-    #    the int64 shingle/token-hash exchanges (jaccard_pairs /
-    #    simhash) and the simhash filter-before-dedup fix — front
-    #    the window; then oracle-backed names by staleness (oldest
-    #    newest-driver-row first, alphabetical within a round). --
-    "doc_winnow_fingerprints",  # changed-this-round (r9)
-    "dedup_ngram_jaccard",  # changed-this-round (r9)
-    "dedup_simhash",  # changed-this-round (r11)
-    "dedup_simhash_pairs",  # changed-this-round (r11)
-    "dedup_near_keep",  # changed-this-round (r12)
-    "dedup_components",  # changed-this-round (r12)
-    "dedup_levenshtein_verify",  # changed-this-round (r13)
-    "dedup_normalized_groups",  # r9
-    "doc_chunks",  # r9
-    "doc_fingerprint_md5",  # r9
-    "doc_host_stats",  # r9
-    "doc_ngram_novelty",  # r9
-    "doc_pack_assignments",  # r9
-    "doc_pii_redact",  # r9
-    "doc_quality_filter",  # r9
-    "doc_repetition_stats",  # r9
-    "doc_source_quality_gate",  # r9
-    "doc_split_assign",  # r9
-    "doc_uniform_sample",  # r9
-    "doc_unigram_logprob",  # r9
-    "doc_url_canonical",  # r9
-    "embedding_index_pipeline",  # r9
-    "embedding_label_centroids",  # r9
-    "embedding_norms",  # r9
-    "embedding_pca_project",  # r9
-    "embedding_quantize_int8",  # r9
-    "event_value_anomalies",  # r9
-    "group_minmax_norm",  # r9
-    "heavy_hitter_tokens",  # r9
-    "media_audio_features",  # r9
-    "media_catalog",  # r9
-    "media_decode_features",  # r9
-    "media_frame_sample",  # r9
-    "media_resize",  # r9
-    "similarity_ann_recall",  # r9
-    "similarity_pairs_above",  # r9
-    "skewed_salted_segment_revenue",  # r9
-    "text_index_topk",  # r9
-    "asof_join_cogrouped",  # r10
-    "benford_price_audit",  # r10
-    "bloom_semi_join_revenue",  # r10
-    "brand_copurchase_lift",  # r10
-    "cdc_debezium_roundtrip",  # r10
-    "customer_rfm_quantile_scores",  # r10
-    "customer_rfm_segments",  # r10
-    "daily_revenue_acf",  # r10
-    "doc_boilerplate_fraction",  # r10
-    "doc_nb_quality_score",  # r10
-    "doc_readability",  # r10
-    "doc_sliding_chunks",  # r10
+    # -- ROUND-15 WINDOW (standing rotation; computed by
+    #    tools/plan_gate_rotation.py --changed asof_join_cogrouped,theilsen_revenue_slope,user_spend_ewma,
+    #    recursive_brand_reachability,bpe_merge_ranks,doc_bpe_token_counts,
+    #    embedding_quantize_int8,dedup_components,dedup_near_keep,similarity_near_dup).
+    #    Tier 1: the ten names whose registered plan changed in the
+    #    r15 optimization round (bucketed cogroup/EWMA folds, theilsen
+    #    exact selection, materialized reach edges, BPE driver gate,
+    #    quantize mapInArrow twin, CC sum-probe, near-dup checkpoint)
+    #    front the window; then oracle-backed names by staleness
+    #    (oldest newest-driver-row first, alphabetical within a round). --
+    "asof_join_cogrouped",  # changed-this-round (r14)
+    "theilsen_revenue_slope",  # changed-this-round (r11)
+    "user_spend_ewma",  # changed-this-round (r12)
+    "recursive_brand_reachability",  # changed-this-round (r11)
+    "bpe_merge_ranks",  # changed-this-round (r13)
+    "doc_bpe_token_counts",  # changed-this-round (r11)
+    "embedding_quantize_int8",  # changed-this-round (r14)
+    "dedup_components",  # changed-this-round (r14)
+    "dedup_near_keep",  # changed-this-round (r14)
+    "similarity_near_dup",  # changed-this-round (r11)
+    "embedding_label_outliers",  # r10
+    "event_top_paths",  # r10
+    "event_transition_matrix",  # r10
+    "event_value_mad_outliers",  # r10
+    "forecast_backtest_snaive",  # r10
+    "gapfill_linear_interp",  # r10
+    "histogram_prices",  # r10
+    "hopping_event_counts",  # r10
+    "ivm_join_delta_revenue",  # r10
+    "join_size_estimate",  # r10
+    "key_skew_report",  # r10
+    "lang_id",  # r10
+    "langid_confusion",  # r10
+    "lateral_topk_per_customer",  # r10
+    "media_phash_dup_pairs",  # r10
+    "null_semantics_probe",  # r10
+    "order_priority_chi2",  # r10
+    "pagerank_brand_copurchase",  # r10
+    "part_pareto_frontier",  # r10
+    "salted_join_segment_revenue",  # r10
+    "session_stats",  # r10
+    "sessionize",  # r10
+    "sketch_distinct_users",  # r10
+    "sketch_percentiles",  # r10
+    "source_quota_sample",  # r10
+    "source_weighted_sample",  # r10
+    "text_stats",  # r10
+    "token_count_regex",  # r10
+    "weekly_retention_cohorts",  # r10
+    "weekly_revenue_wow",  # r10
+    "asof_last_purchase",  # r11
+    "bm25_topk",  # r11
+    "cdc_incremental_scan",  # r11
+    "cdc_json_decode",  # r11
+    "cdc_json_encode",  # r11
+    "cdc_latest_state",  # r11
+    "cdc_merge_upsert",  # r11
+    "cdc_replica",  # r11
+    "cdc_running_totals",  # r11
+    "cdc_snapshot_diff",  # r11
     # -- BEHIND THE ROTATION, by staleness (oldest driver row
-    #    first, alphabetical within a round): r10 remainder, then
-    #    r11 / r12 / r13 tiers. Every name is oracle-backed as of
-    #    r13, so the no-oracle tail rule is vacuously satisfied. --
-    "embedding_label_outliers",  # r10 (displaced by the wider r14 fronted tier)
-    "event_top_paths",  # r10 (displaced by the wider r14 fronted tier)
-    "event_transition_matrix",  # r10 (displaced by the wider r14 fronted tier)
-    "event_value_mad_outliers",  # r10 (displaced by the wider r14 fronted tier)
-    "forecast_backtest_snaive",  # r10 (displaced by the wider r14 fronted tier)
-    "gapfill_linear_interp",
-    "histogram_prices",
-    "hopping_event_counts",
-    "ivm_join_delta_revenue",
-    "join_size_estimate",
-    "key_skew_report",
-    "lang_id",
-    "langid_confusion",
-    "lateral_topk_per_customer",
-    "media_phash_dup_pairs",
-    "null_semantics_probe",
-    "order_priority_chi2",
-    "pagerank_brand_copurchase",
-    "part_pareto_frontier",
-    "salted_join_segment_revenue",
-    "session_stats",
-    "sessionize",
-    "sketch_distinct_users",
-    "sketch_percentiles",
-    "source_quota_sample",
-    "source_weighted_sample",
-    "text_stats",
-    "token_count_regex",
-    "weekly_retention_cohorts",
-    "weekly_revenue_wow",
-    "asof_last_purchase",
-    "bm25_topk",
-    "cdc_incremental_scan",
-    "cdc_json_decode",
-    "cdc_json_encode",
-    "cdc_latest_state",
-    "cdc_merge_upsert",
-    "cdc_replica",
-    "cdc_running_totals",
-    "cdc_snapshot_diff",
-    "cdc_validate_dlq",
-    "cohort_ltv_curve",
-    "conversion_curve",
-    "curation_funnel_report",
-    "curation_pipeline",
-    "dedup_minhash_index_probe",
-    "doc_bpe_token_counts",
-    "event_value_psi_drift",
-    "funnel_view_click_purchase",
-    "lang_temperature_sample",
-    "price_qty_regression",
-    "purchase_click_attribution",
-    "purchase_rate_wilson_ci",
-    "q21_waiting_suppliers",
-    "recursive_brand_reachability",
-    "revenue_gini_by_segment",
-    "revenue_seasonality_decomp",
-    "rolling_median_revenue",
-    "semantic_decontaminate",
-    "similarity_near_dup",
-    "similarity_semdedup_keep",
-    "sketch_incremental_distinct",
-    "sketch_user_overlap",
-    "source_distinctive_terms",
-    "source_token_quota_sample",
-    "supplier_hhi_by_nation",
-    "text_tfidf_top_terms",
-    "theilsen_revenue_slope",
-    "user_growth_accounting",
-    "vocab_growth_curve",
-    "weekend_effect_ttest",
-    "zipf_slope",
-    "anti_join_no_big_orders",
-    "cdc_incremental_agg",
-    "cdc_scd2_history",
-    "cdc_time_travel",
-    "cdc_validate_valid",
-    "conditional_aggs",
-    "corpus_source_report",
-    "cube_agg",
-    "date_exprs",
-    "dedup_incremental_new_docs",
-    "dedup_minhash_lsh",
-    "denormalized_order_lines",
-    "doc_bigram_logprob",
-    "doc_decontaminate",
-    "doc_fingerprint_xx",
-    "doc_span_dedup",
-    "doc_stratified_split",
-    "embedding_binary_quantize",
-    "embedding_matryoshka_fidelity",
-    "event_props_variant",
-    "event_value_drift_kl",
-    "feature_label_index",
-    "feature_quantile_buckets",
-    "fk_integrity_audit",
-    "gapfill_daily_revenue",
-    "hard_negative_mining",
-    "interval_incident_event_stats",
-    "interval_incident_overlap_pairs",
-    "lang_source_pmi",
-    "q12_priority_case_agg",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q16_supplier_variety",
-    "q17_small_qty_avg",
-    "q1_pricing_summary",
-    "q2_min_price_per_type",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_revenue_delta",
-    "rolling_7d_user_spend",
-    "session_window_native",
-    "shard_assignment_by_bytes",
-    "similarity_hamming_rerank",
-    "split_leakage_audit",
-    "unpivot_lineitem_measures",
-    "user_spend_ewma",
-    "winsorized_price_stats",
-    "asof_join_next_purchase",
-    "asof_join_purchases",
-    "bpe_merge_ranks",
-    "column_profile",
-    "corr_lineitem_measures",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_keep_longest",
-    "distinct_counts",
-    "doc_contamination_hits",
-    "event_props_extract",
-    "event_props_typed",
-    "exact_moments",
-    "grouped_floor_sum",
-    "grouping_sets_sql",
-    "in_list_filter",
-    "latest_event_per_user",
-    "outer_join_nation_counts",
-    "percentile_prices",
-    "pivot_qty",
-    "q10_returned_revenue",
-    "q11_part_value_share",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q20_volume_suppliers",
-    "q22_idle_rich_customers",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_price_bands",
-    "rollup_agg",
-    "salted_event_type_totals",
-    "scalar_exprs",
-    "semi_join_big_spenders",
-    "set_except_keys",
-    "set_intersect_keys",
-    "set_union_active_keys",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_ann_pq",
-    "similarity_topk",
-    "string_funcs",
-    "token_frequency_top100",
-    "topk_orders",
-    "tumbling_hourly_agg",
-    "window_running_sum",
-    "window_topn_per_group",
-    "word_bigrams_top100",
+    #    first, alphabetical within a round). Every name is
+    #    oracle-backed, so the no-oracle tail rule is vacuously
+    #    satisfied. --
+    "cdc_validate_dlq",  # r11
+    "cohort_ltv_curve",  # r11
+    "conversion_curve",  # r11
+    "curation_funnel_report",  # r11
+    "curation_pipeline",  # r11
+    "dedup_minhash_index_probe",  # r11
+    "event_value_psi_drift",  # r11
+    "funnel_view_click_purchase",  # r11
+    "lang_temperature_sample",  # r11
+    "price_qty_regression",  # r11
+    "purchase_click_attribution",  # r11
+    "purchase_rate_wilson_ci",  # r11
+    "q21_waiting_suppliers",  # r11
+    "revenue_gini_by_segment",  # r11
+    "revenue_seasonality_decomp",  # r11
+    "rolling_median_revenue",  # r11
+    "semantic_decontaminate",  # r11
+    "similarity_semdedup_keep",  # r11
+    "sketch_incremental_distinct",  # r11
+    "sketch_user_overlap",  # r11
+    "source_distinctive_terms",  # r11
+    "source_token_quota_sample",  # r11
+    "supplier_hhi_by_nation",  # r11
+    "text_tfidf_top_terms",  # r11
+    "user_growth_accounting",  # r11
+    "vocab_growth_curve",  # r11
+    "weekend_effect_ttest",  # r11
+    "zipf_slope",  # r11
+    "anti_join_no_big_orders",  # r12
+    "cdc_incremental_agg",  # r12
+    "cdc_scd2_history",  # r12
+    "cdc_time_travel",  # r12
+    "cdc_validate_valid",  # r12
+    "conditional_aggs",  # r12
+    "corpus_source_report",  # r12
+    "cube_agg",  # r12
+    "date_exprs",  # r12
+    "dedup_incremental_new_docs",  # r12
+    "dedup_minhash_lsh",  # r12
+    "denormalized_order_lines",  # r12
+    "doc_bigram_logprob",  # r12
+    "doc_decontaminate",  # r12
+    "doc_fingerprint_xx",  # r12
+    "doc_span_dedup",  # r12
+    "doc_stratified_split",  # r12
+    "embedding_binary_quantize",  # r12
+    "embedding_matryoshka_fidelity",  # r12
+    "event_props_variant",  # r12
+    "event_value_drift_kl",  # r12
+    "feature_label_index",  # r12
+    "feature_quantile_buckets",  # r12
+    "fk_integrity_audit",  # r12
+    "gapfill_daily_revenue",  # r12
+    "hard_negative_mining",  # r12
+    "interval_incident_event_stats",  # r12
+    "interval_incident_overlap_pairs",  # r12
+    "lang_source_pmi",  # r12
+    "q12_priority_case_agg",  # r12
+    "q14_promo_share",  # r12
+    "q15_top_suppliers",  # r12
+    "q16_supplier_variety",  # r12
+    "q17_small_qty_avg",  # r12
+    "q1_pricing_summary",  # r12
+    "q2_min_price_per_type",  # r12
+    "q3_shipping_priority",  # r12
+    "q4_priority_exists",  # r12
+    "q5_region_revenue",  # r12
+    "q6_revenue_delta",  # r12
+    "rolling_7d_user_spend",  # r12
+    "session_window_native",  # r12
+    "shard_assignment_by_bytes",  # r12
+    "similarity_hamming_rerank",  # r12
+    "split_leakage_audit",  # r12
+    "unpivot_lineitem_measures",  # r12
+    "winsorized_price_stats",  # r12
+    "asof_join_next_purchase",  # r13
+    "asof_join_purchases",  # r13
+    "column_profile",  # r13
+    "corr_lineitem_measures",  # r13
+    "dedup_exact_groups",  # r13
+    "dedup_exact_keep",  # r13
+    "dedup_keep_longest",  # r13
+    "distinct_counts",  # r13
+    "doc_contamination_hits",  # r13
+    "event_props_extract",  # r13
+    "event_props_typed",  # r13
+    "exact_moments",  # r13
+    "grouped_floor_sum",  # r13
+    "grouping_sets_sql",  # r13
+    "in_list_filter",  # r13
+    "latest_event_per_user",  # r13
+    "outer_join_nation_counts",  # r13
+    "percentile_prices",  # r13
+    "pivot_qty",  # r13
+    "q10_returned_revenue",  # r13
+    "q11_part_value_share",  # r13
+    "q13_customer_distribution",  # r13
+    "q18_large_orders",  # r13
+    "q19_disjunctive_pred",  # r13
+    "q20_volume_suppliers",  # r13
+    "q22_idle_rich_customers",  # r13
+    "q7_nation_volume",  # r13
+    "q8_market_share",  # r13
+    "q9_product_profit",  # r13
+    "range_join_price_bands",  # r13
+    "rollup_agg",  # r13
+    "salted_event_type_totals",  # r13
+    "scalar_exprs",  # r13
+    "semi_join_big_spenders",  # r13
+    "set_except_keys",  # r13
+    "set_intersect_keys",  # r13
+    "set_union_active_keys",  # r13
+    "similarity_ann_ivf",  # r13
+    "similarity_ann_lsh",  # r13
+    "similarity_ann_pq",  # r13
+    "similarity_topk",  # r13
+    "string_funcs",  # r13
+    "token_frequency_top100",  # r13
+    "topk_orders",  # r13
+    "tumbling_hourly_agg",  # r13
+    "window_running_sum",  # r13
+    "window_topn_per_group",  # r13
+    "word_bigrams_top100",  # r13
+    "benford_price_audit",  # r14
+    "bloom_semi_join_revenue",  # r14
+    "brand_copurchase_lift",  # r14
+    "cdc_debezium_roundtrip",  # r14
+    "customer_rfm_quantile_scores",  # r14
+    "customer_rfm_segments",  # r14
+    "daily_revenue_acf",  # r14
+    "dedup_levenshtein_verify",  # r14
+    "dedup_ngram_jaccard",  # r14
+    "dedup_normalized_groups",  # r14
+    "dedup_simhash",  # r14
+    "dedup_simhash_pairs",  # r14
+    "doc_boilerplate_fraction",  # r14
+    "doc_chunks",  # r14
+    "doc_fingerprint_md5",  # r14
+    "doc_host_stats",  # r14
+    "doc_nb_quality_score",  # r14
+    "doc_ngram_novelty",  # r14
+    "doc_pack_assignments",  # r14
+    "doc_pii_redact",  # r14
+    "doc_quality_filter",  # r14
+    "doc_readability",  # r14
+    "doc_repetition_stats",  # r14
+    "doc_sliding_chunks",  # r14
+    "doc_source_quality_gate",  # r14
+    "doc_split_assign",  # r14
+    "doc_uniform_sample",  # r14
+    "doc_unigram_logprob",  # r14
+    "doc_url_canonical",  # r14
+    "doc_winnow_fingerprints",  # r14
+    "embedding_index_pipeline",  # r14
+    "embedding_label_centroids",  # r14
+    "embedding_norms",  # r14
+    "embedding_pca_project",  # r14
+    "event_value_anomalies",  # r14
+    "group_minmax_norm",  # r14
+    "heavy_hitter_tokens",  # r14
+    "media_audio_features",  # r14
+    "media_catalog",  # r14
+    "media_decode_features",  # r14
+    "media_frame_sample",  # r14
+    "media_resize",  # r14
+    "similarity_ann_recall",  # r14
+    "similarity_pairs_above",  # r14
+    "skewed_salted_segment_revenue",  # r14
+    "text_index_topk",  # r14
 ]
 
 
