@@ -296,21 +296,23 @@ def test_rotation_changed_no_oracle_stays_in_tail(rotation_mod, monkeypatch):
 
 
 def test_rotation_reproduces_committed_window(rotation_mod):
-    """The committed r14 _GATE_PRIORITY[:50] must equal the rotation
-    computed from the CORRECTNESS history truncated at r13 with the
-    seven r14-changed names (the winnow/simhash/jaccard dedup family
-    touched by the int64-hash and verify-before-exchange fixes)
-    fronted — pins tool and window to each other. The
-    ``upto`` truncation makes the pin permanent: it stays true after
-    CORRECTNESS_r14.json (and later rounds) land."""
+    """The committed r15 _GATE_PRIORITY[:50] must equal the rotation
+    computed from the CORRECTNESS history truncated at r14 with the
+    ten r15-changed names (the optimization round's touched plans:
+    bucketed cogroup/EWMA folds, theilsen exact selection, materialized
+    reach edges, BPE driver gate, quantize mapInArrow twin, CC
+    sum-probe, near-dup checkpoint) fronted — pins tool and window to
+    each other. The ``upto`` truncation makes the pin permanent: it
+    stays true after CORRECTNESS_r15.json (and later rounds) land."""
     from cdc_kafka_project_spark.registry import _GATE_PRIORITY
 
     ordered = [n for n, _ in rotation_mod.plan(
-        changed=["doc_winnow_fingerprints", "dedup_ngram_jaccard",
-                 "dedup_simhash", "dedup_simhash_pairs",
-                 "dedup_near_keep", "dedup_components",
-                 "dedup_levenshtein_verify"],
-        upto=13)]
+        changed=["asof_join_cogrouped", "theilsen_revenue_slope",
+                 "user_spend_ewma", "recursive_brand_reachability",
+                 "bpe_merge_ranks", "doc_bpe_token_counts",
+                 "embedding_quantize_int8", "dedup_components",
+                 "dedup_near_keep", "similarity_near_dup"],
+        upto=14)]
     assert ordered[:50] == _GATE_PRIORITY[:50]
 
 
