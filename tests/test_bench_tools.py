@@ -113,6 +113,69 @@ def test_host_factor_from_calibration_probes(tmp_path, monkeypatch, capsys):
     assert out.count("calib pre") == 2
 
 
+def test_verdicts_are_calib_normalized(tmp_path, monkeypatch, capsys):
+    """r16 (r15 verdict item 1): two consecutive driver rounds were
+    dominated by host-speed shifts — the per-query verdicts must scale
+    the OLD side by the measured host factor before applying the
+    median+min predicate, and a one-line JSON summary must carry the
+    raw and normalized totals plus the normalized geomean."""
+    bd = _bench_diff()
+    import json
+    import sys
+
+    calib_old = {"pre": {"single_sec": 1.0, "mt_sec": 1.0},
+                 "post": {"single_sec": 1.0, "mt_sec": 1.0}}
+    calib_new = {"pre": {"single_sec": 1.5, "mt_sec": 1.5},
+                 "post": {"single_sec": 1.5, "mt_sec": 1.5}}
+    old = {
+        "value": 2.0, "sf": 0.1, "runs_per_query": 3,
+        "aggregation": "median", "calib": calib_old,
+        # band: 1.0 -> 1.45 raw (+45%, would trip the raw predicate on
+        # both median and min) but EXACTLY the 1.5x host factor -> must
+        # NOT be flagged once normalized.
+        # real: 1.0 -> 3.0 (2x even after the 1.5x normalization).
+        "queries": {"band": 1.0, "real": 1.0},
+        "queries_min": {"band": 0.95, "real": 0.95},
+        "queries_tail": {"t_band": 1.0},
+        "queries_tail_min": {"t_band": 0.95},
+        "tail_total_sec": 1.0,
+    }
+    new = {
+        "value": 4.45, "sf": 0.1, "runs_per_query": 3,
+        "aggregation": "median", "calib": calib_new,
+        "queries": {"band": 1.45, "real": 3.0},
+        "queries_min": {"band": 1.40, "real": 2.9},
+        "queries_tail": {"t_band": 1.45},
+        "queries_tail_min": {"t_band": 1.40},
+        "tail_total_sec": 1.45,
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    monkeypatch.setattr(bd, "ROOT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["bench_diff.py", str(po), str(pn)])
+    assert bd.main() == 0
+    out = capsys.readouterr().out
+    band = next(line for line in out.splitlines() if "| band |" in line)
+    real = next(line for line in out.splitlines() if "| real |" in line)
+    tband = next(line for line in out.splitlines() if "| t_band |" in line)
+    assert "REGRESSED" not in band  # host-factor-sized shift: not code
+    assert "REGRESSED (code)" in real
+    assert "REGRESSED" not in tband  # tail rotated pair normalized too
+    # the one-line JSON summary with raw + normalized totals
+    js = next(line for line in out.splitlines()
+              if line.startswith('{"metric": "bench_diff"'))
+    s = json.loads(js)
+    assert abs(s["host_factor_new_over_old"] - 1.5) < 1e-6
+    assert abs(s["total_new_norm_sec"] - 4.45 / 1.5) < 1e-3
+    assert s["n_headline_regressed_norm"] == 1
+    assert s["verdicts_calib_normalized"] is True
+    # normalized geomean: band contributes 1.5/1.45, real 1.5/3.0
+    import math
+    want = math.exp((math.log(1.5 / 1.45) + math.log(1.5 / 3.0)) / 2)
+    assert abs(s["geomean_speedup_norm"] - want) < 1e-3
+
+
 def test_tail_section_diffs_full_registry(tmp_path, monkeypatch, capsys):
     """r13 verdict item 2: names outside the headline set are benched
     once each (queries_tail) and bench_diff must render them — with

@@ -42,6 +42,8 @@ def main() -> int:
         help="skip the untimed warmup action per query",
     )
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1 (med/min need at least one run)")
 
     spark = get_spark("measure")
     spark.sparkContext.setLogLevel("ERROR")
