@@ -1725,6 +1725,15 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE the exact scan looks; if its rank guarantee were ever
     violated the assertion falls back to the exact percentile
     aggregate, never to a wrong answer.
+
+    NOTE (plan tooling): the two selection passes execute EAGERLY at
+    DataFrame-construction time and the returned frame is a literal
+    Range+Project stub — tooling that builds this query only to
+    explain/audit its plan pays the full execution, and the dumped
+    plan reflects the stub, not the computation (r15 advice item 4;
+    the committed before-plan plus this docstring are the evidence).
+    r16: pass 2 aggregates the in-window values per DISTINCT slope so
+    tie-heavy medians cannot inflate the bounded collect.
     """
     import math
     orders = load_table(spark, sf_dir, "orders")
@@ -1765,26 +1774,52 @@ def theilsen_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_lo, w_hi = float(r1["w"][0]), float(r1["w"][1])
     pos = 0.5 * (n - 1)
     lo, hi = math.floor(pos), math.ceil(pos)
-    # pass 2: exact rank of the window base + the sorted window values
-    r2 = slopes.agg(
-        F.sum(F.when(F.col("s") < w_lo, 1).otherwise(0)).alias("below"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    (F.col("s") >= w_lo) & (F.col("s") <= w_hi), F.col("s")
-                )
-            )
-        ).alias("cand"),
-    ).collect()[0]
-    below, cand = int(r2["below"] or 0), list(r2["cand"])
-    if not (below <= lo and hi - below < len(cand)):
+    # pass 2: exact rank of the window base + the in-window value
+    # DISTRIBUTION as (value, count) per DISTINCT slope. r16 (r15
+    # advice item 2): the r15 collect_list of every in-window ROW could
+    # blow up when slopes tie heavily at the median — the VALUE window
+    # then holds arbitrarily more rows than the rank guarantee implies
+    # (all ties at the endpoints), risking one giant agg buffer/driver
+    # row. Grouping by value collapses ties, so the collected row count
+    # is bounded by the DISTINCT values inside the rank window
+    # (≈ window width + 2x the sketch's 1e-4 rank error ≈ 0.22% of n)
+    # regardless of tie structure, and the hash aggregate partials
+    # map-side instead of concatenating one collect_list buffer.
+    in_win = (F.col("s") >= w_lo) & (F.col("s") <= w_hi)
+    r2 = (
+        slopes.groupBy(F.when(in_win, F.col("s")).alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("s") < w_lo, 1).otherwise(0)).alias("b"),
+        )
+        .collect()
+    )
+    # in-window groups have v >= w_lo so contribute 0 to `below`; the
+    # single null group carries every out-of-window row's indicator sum
+    below = sum(int(r["b"] or 0) for r in r2)
+    vals = sorted(
+        (float(r["v"]), int(r["c"])) for r in r2 if r["v"] is not None
+    )
+    n_win = sum(c for _, c in vals)
+    if not (below <= lo and hi - below < n_win):
         # approx window missed the true median rank (should be
         # impossible within the sketch's guarantee) — exact slow path
         return slopes.agg(
             F.count(F.lit(1)).alias("n_pairs"),
             _round6(F.expr("percentile(s, 0.5)")).alias("ts_slope"),
         )
-    v_lo, v_hi = float(cand[lo - below]), float(cand[hi - below])
+
+    def _at(rank: int) -> float:
+        # order statistic at global 0-based `rank` from the (value,
+        # count) runs — identical to indexing the old sorted row list
+        r, acc = rank - below, 0
+        for v, c in vals:
+            acc += c
+            if r < acc:
+                return v
+        raise AssertionError("rank outside window")  # guarded above
+
+    v_lo, v_hi = _at(lo), _at(hi)
     if hi == lo or v_hi == v_lo:
         med = v_lo
     else:

@@ -572,6 +572,31 @@ def test_theilsen_robust_to_one_spike(spark):
     assert abs(base["ts_slope"] - want) < max(1.0, 0.01 * abs(want))
 
 
+def test_theilsen_tie_degenerate_median(spark, tmp_path):
+    """r16 (r15 advice item 2): when slopes tie heavily at the median —
+    here a perfectly linear daily series, so ALL O(n^2) pairwise slopes
+    are the SAME value — pass 2 must not materialize every in-window
+    row. The distinct-value aggregation collapses the whole window to
+    one (value, count) run and the median is exact."""
+    import datetime as dt
+
+    from cdc_kafka_project_spark.queries.stats_analytics import (
+        theilsen_revenue_slope,
+    )
+
+    n = 40
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), float(1000 + 7 * i))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    r = theilsen_revenue_slope(spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert r["ts_slope"] == 7.0
+
+
 def test_bloom_rejects_mismatched_key_types(spark):
     """xxhash64 is type-sensitive — int-vs-bigint keys would false-
     negative silently, so the operator must refuse them loudly."""
