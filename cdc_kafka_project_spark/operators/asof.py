@@ -325,9 +325,31 @@ def asof_join_cogrouped(
             ]
             r2 = r2.rename(columns={c: f"{c}{suffix}" for c in rvals})
             r2[f"{ts_col}{suffix}"] = r2[ts_col]
+            # NULL-key alignment (r15 advice item 3): Spark's window
+            # twin partitions with null == null (a null-key left row
+            # matches null-key right rows on ts alone), but pandas
+            # merge_asof(by=...) never aligns NaN/NaT/None groups. Merge
+            # on TEMP by-columns instead; a key column that carries a
+            # null in either frame is normalized to object dtype with a
+            # sentinel standing in for null (the fast no-null path
+            # passes the original column through untouched). The left
+            # frame's real key columns reach the output unmodified.
+            by_tmp = []
+            for i, k in enumerate(keys):
+                bk = f"__by_{i}"
+                by_tmp.append(bk)
+                if l[k].isna().any() or r2[k].isna().any():
+                    sent = "\x00__asof_null__"
+                    l[bk] = l[k].astype(object).where(l[k].notna(), sent)
+                    r2[bk] = r2[k].astype(object).where(r2[k].notna(), sent)
+                else:
+                    l[bk] = l[k]
+                    r2[bk] = r2[k]
+            r2 = r2[[*by_tmp, ts_col, f"{ts_col}{suffix}",
+                     *[f"{c}{suffix}" for c in rvals]]]
             out = pd.merge_asof(
-                l, r2, on=ts_col, by=keys, direction="backward"
-            )
+                l, r2, on=ts_col, by=by_tmp, direction="backward"
+            ).drop(columns=by_tmp)
         for c in int_like:
             out[c] = out[c].astype("Int64")
         return out

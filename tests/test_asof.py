@@ -231,6 +231,44 @@ def test_cogrouped_asof_matches_window_form_incl_empty_sides(spark):
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
 
 
+def test_cogrouped_asof_null_keys_match_window_form(spark):
+    """r16 (r15 advice item 3): Spark's window twin groups NULL keys
+    together (null == null in partitionBy), so a null-key left row
+    matches null-key right rows on ts alone. pandas merge_asof(by=...)
+    never aligns null groups — the bucketed form must normalize them,
+    or null-key rows silently lose their matches."""
+    from cdc_kafka_project_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(None, _t(10), "a"), (None, _t(30), "b"), (1, _t(10), "c")],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [(None, _t(5), 1.5), (None, _t(25), 2.5), (1, _t(9), 9.0)],
+        R_SCHEMA,
+    )
+    want = sorted(
+        asof_join(
+            left, right, ["k"], right_value_cols=["rv"], suffix="_r"
+        ).collect(),
+        key=lambda r: (r["k"] is None, r["k"], r["ts"]),
+    )
+    got = sorted(
+        asof_join_cogrouped(
+            left, right, ["k"], right_value_cols=["rv"], suffix="_r"
+        ).collect(),
+        key=lambda r: (r["k"] is None, r["k"], r["ts"]),
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # and the null-key rows really did match (not all-null fallthrough)
+    by_ts = {r["ts"]: r for r in got if r["k"] is None}
+    assert by_ts[_t(10)]["rv_r"] == 1.5
+    assert by_ts[_t(30)]["rv_r"] == 2.5
+
+
 def test_cogrouped_asof_survives_same_source_self_join(spark):
     """Left and right carved from ONE DataFrame (identical attribute
     ids) — the case where cogroup deduplicates shared columns unless
