@@ -255,16 +255,23 @@ def probe_token_index(
 
     terms = sorted({t.lower() for t in query_terms})
     model = read_model(path)
-    # bucket ids for the query terms via one tiny local plan (keeps the
-    # bucket function defined in exactly one place: _bucket)
-    term_df = spark.createDataFrame([(t,) for t in terms], "t string")
-    buckets = sorted({
-        int(r["b"])
-        for r in term_df.select(_bucket(F.col("t")).alias("b")).collect()
-    })
+    # bucket predicate as constant-foldable expressions (r16): the
+    # bucket function stays defined in exactly one place (_bucket), but
+    # applying it to LITERAL terms lets Catalyst constant-fold
+    # xxhash64(lit) at optimization time — partition pruning sees plain
+    # integer comparisons, and the r15 createDataFrame+collect round
+    # trip (one whole Spark job per probe just to hash <= |terms|
+    # strings) disappears from the probe path.
+    import functools
+    import operator
+
+    bucket_pred = functools.reduce(
+        operator.or_,
+        [F.col("__tbucket") == _bucket(F.lit(t)) for t in terms],
+    )
     postings = (
         spark.read.parquet(path)
-        .filter(F.col("__tbucket").isin(buckets))
+        .filter(bucket_pred)
         .filter(F.col("word").isin(list(terms)))
     )
     scored = postings.select(
