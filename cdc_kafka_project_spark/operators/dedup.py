@@ -1013,8 +1013,13 @@ def probe_minhash_index(
     probe_bands = minhash_band_table(sigs, bands=m["bands"], rows=m["rows"])
     idx_bands = spark.read.parquet(os.path.join(path, "bands"))
     idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    # probe bands are batch-bounded — broadcast them EXPLICITLY so the
+    # stored band table streams (guide §3.1). Left to estimates the
+    # planner flips the build side to the index once the probe subtree
+    # stops looking tiny, which at scale means broadcasting (or
+    # shuffling) the whole band table per probe.
     cand = (
-        probe_bands.alias("p")
+        F.broadcast(probe_bands.alias("p"))
         .join(
             idx_bands.alias("x"),
             (F.col("p.band_id") == F.col("x.band_id"))
@@ -1038,8 +1043,17 @@ def probe_minhash_index(
         extra = ["new_digest", "index_digest"]
     else:
         x_side = x_side.drop("digest")
+    # Broadcast the BATCH-BOUNDED side of the verify join explicitly
+    # (guide §3.1; r16). Left to size estimates the planner broadcasts
+    # whichever side looks small — at bench scale that was the stored
+    # sigs TABLE, which at 100 TB either blows the broadcast cap or
+    # degrades to shuffling the whole index per probe. Candidates ⋈
+    # probe sigs is bounded by the arriving batch (the probe's
+    # contract), so pinning the build side keeps the index sigs table
+    # stream-scanned — never shuffled, never broadcast — at any corpus
+    # size.
     verified = (
-        cand.join(p_side, "new_doc_id")
+        F.broadcast(cand.join(F.broadcast(p_side), "new_doc_id"))
         .join(x_side, "index_doc_id")
         .select(
             "new_doc_id",

@@ -727,12 +727,18 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     dd.ensure_minhash_index(corpus, path, n=3, num_perm=64, bands=16, rows=4)
-    # the injected frame is tiny (5 rows) — checkpoint it so deriving
-    # the batch does not re-scan the corpus for the copies branch
-    injected = cache.scoped_localcheckpoint(
-        corpus.orderBy("doc_id")
-        .limit(5)
-        .select((-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text")
+    # the injected frame is 5 rows BY CONSTRUCTION — collect them to
+    # the driver (bounded read, the query_vector contract) and rebuild
+    # as a local relation. r16: the r15 scoped checkpoint paid a
+    # materialization job + count on top of the TakeOrdered scan; one
+    # collect is the same single corpus pass with no extra jobs, and
+    # the copies branch becomes a zero-scan LocalTableScan.
+    top5 = (
+        corpus.select("doc_id", "text").orderBy("doc_id").limit(5).collect()
+    )
+    injected = spark.createDataFrame(
+        [(-int(r["doc_id"]) - 1, r["text"]) for r in top5],
+        "doc_id long, text string",
     )
     batch = (
         docs.filter(F.col("doc_id") % 10 == 0)
