@@ -474,6 +474,43 @@ def ensure_lsh_index(
         )
 
 
+def pruned_partition_read(spark, path: str, part_col: str, values) -> DataFrame:
+    """Read a ``partitionBy(part_col)`` parquet index restricted to the
+    probed partition VALUES by handing the reader only their
+    directories (one top-level listdir + |values| subdir discoveries)
+    instead of discovering every partition directory first. Catalyst's
+    partition pruning selects AFTER the full listing, so a probe of a
+    2^8-bucket LSH index paid a 256-directory discovery to plan a
+    9-directory read — at object-store scale that is the difference
+    between one LIST per probed bucket and a full-tree walk per query.
+
+    The ``isin`` filter stays on top as a semantic no-op (it is the
+    partition filter the plan pins); non-local paths or entirely absent
+    partitions fall back to the full discovery + filter, which is
+    always correct."""
+    import os
+
+    vals = sorted(set(values))
+    try:
+        present = set(os.listdir(path))
+    except OSError:
+        present = None
+    flt = F.col(part_col).isin(list(vals))
+    if present is not None:
+        dirs = [
+            os.path.join(path, f"{part_col}={v}")
+            for v in vals
+            if f"{part_col}={v}" in present
+        ]
+        if dirs:
+            return (
+                spark.read.option("basePath", path)
+                .parquet(*dirs)
+                .filter(flt)
+            )
+    return spark.read.parquet(path).filter(flt)
+
+
 def probe_lsh_index(
     spark,
     path: str,
@@ -498,7 +535,7 @@ def probe_lsh_index(
         if probe_hamming >= 1
         else []
     )
-    cand = spark.read.parquet(path).filter(F.col("__bucket").isin(probe))
+    cand = pruned_partition_read(spark, path, "__bucket", probe)
     cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
         cos = fround(cos, round_to)
@@ -617,7 +654,7 @@ def probe_ivf_index(
         ),
     )
     probe = by_dist[:nprobe]
-    cand = spark.read.parquet(path).filter(F.col("cid").isin(probe))
+    cand = pruned_partition_read(spark, path, "cid", probe)
     cos = cosine_pd(F.col("embedding"), _qcol(query_vec))
     if round_to is not None:
         cos = fround(cos, round_to)

@@ -612,10 +612,6 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partition-pruned probes the individual queries run."""
     emb = _emb(spark, sf_dir)
     qv = sim.query_vector(emb, QUERY_VEC_ID)
-    truth = {
-        r.vec_id
-        for r in sim.brute_force_topk(emb, qv, k=TOP_K, round_to=None).collect()
-    }
     # Build-if-absent with the SAME parameters the individual ANN
     # queries use, so a standalone recall run measures the identical
     # materialized indexes (fingerprint-checked, so this is a no-op
@@ -627,12 +623,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim.ensure_pq_index(
         emb, _index_dir(sf_dir, "pq_m8k32"), m=8, k_codes=32, iters=5, max_train=4096
     )
-    # One job for all three probes: the tagged union collects ≤ 3k
-    # rows in a single action, and Spark schedules the three
-    # independent probe subtrees concurrently instead of three
-    # sequential submit→collect round trips (measured ~0.6 s off the
-    # warm bench time at sf0.1).
-    probes = [
+    # ONE job for the exact truth scan AND all three probes (r16; was
+    # truth-collect + probes-collect = two sequential submit→collect
+    # round trips): the tagged union collects ≤ 4k rows in a single
+    # action and Spark schedules the four independent subtrees
+    # concurrently — the brute-force scan overlaps the probe reads.
+    parts = [
+        sim.brute_force_topk(emb, qv, k=TOP_K, round_to=None).select(
+            F.lit("truth").alias("method"), "vec_id"
+        ),
         sim.probe_lsh_index(
             spark, _index_dir(sf_dir, "lsh_p8"), qv, k=TOP_K, probe_hamming=1
         ).select(F.lit("lsh").alias("method"), "vec_id"),
@@ -643,10 +642,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, _index_dir(sf_dir, "pq_m8k32"), qv, k=TOP_K
         ).select(F.lit("pq").alias("method"), "vec_id"),
     ]
-    tagged = probes[0].unionByName(probes[1]).unionByName(probes[2])
-    by_method: dict[str, set] = {"lsh": set(), "ivf": set(), "pq": set()}
-    for r in tagged.collect():  # ≤ 3k rows — bounded driver read
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    by_method: dict[str, set] = {
+        "truth": set(), "lsh": set(), "ivf": set(), "pq": set()
+    }
+    for r in tagged.collect():  # ≤ 4k rows — bounded driver read
         by_method[r.method].add(r.vec_id)
+    truth = by_method.pop("truth")
     rows = [
         (m, TOP_K, len(ids & truth) / float(TOP_K))
         for m, ids in by_method.items()
