@@ -636,6 +636,10 @@ def ivm_join_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (decimal partials are associative). At scale the delta
     branch shuffles |Δ| rows and its orders probe prunes to Δ's key
     range — the full recompute shuffles the 100 TB fact every refresh.
+    r16: the MV state merges as bare fact partials and the priority
+    dimension attaches ONCE to the merged keys (identical rows —
+    priority is functionally dependent on orderkey), halving the
+    orders scans/builds.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -644,25 +648,30 @@ def ivm_join_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li2 = li
     rev = revenue_dec().cast("decimal(25,6)")
 
-    def agg_join(df: DataFrame) -> DataFrame:
-        part = df.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(rev).alias("rev_dec"),
         )
-        return part.join(
-            orders, part.orderkey == orders.o_orderkey
-        ).drop("o_orderkey")
 
     is_delta = F.col("l_shipdate") >= F.lit(IVM_WATERMARK).cast("timestamp")
-    mv = agg_join(li2.filter(~is_delta)).alias("mv")
-    delta = agg_join(li2.filter(is_delta)).alias("d")
+    mv = part_agg(li2.filter(~is_delta)).alias("mv")
+    delta = part_agg(li2.filter(is_delta)).alias("d")
     merged = mv.join(
         delta, F.col("mv.orderkey") == F.col("d.orderkey"), "full_outer"
     )
     zero = F.lit(0).cast("decimal(25,6)")
-    return merged.select(
+    # dimension lookup ONCE, after the partial-state merge (r16; guide
+    # §2.4): the r15 form joined orders into BOTH branches — two orders
+    # scans, two broadcast builds — only for the merge to coalesce the
+    # identical priority values back together. Merging the fact
+    # partials first and attaching priority to the merged keys is the
+    # same rows bit-for-bit (priority is functionally dependent on
+    # orderkey; both forms inner-join the same key set) with one
+    # orders scan and one build. Plan: 4 scans + 3 joins -> 3 scans +
+    # 2 joins.
+    state = merged.select(
         F.coalesce(F.col("mv.orderkey"), F.col("d.orderkey")).alias("orderkey"),
-        F.coalesce(F.col("mv.priority"), F.col("d.priority")).alias("priority"),
         (
             F.coalesce(F.col("mv.n_lines"), F.lit(0))
             + F.coalesce(F.col("d.n_lines"), F.lit(0))
@@ -672,3 +681,6 @@ def ivm_join_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("d.rev_dec"), zero)
         ).cast("double").alias("revenue"),
     )
+    return state.join(
+        orders, state.orderkey == orders.o_orderkey
+    ).select("orderkey", "priority", "n_lines", "revenue")

@@ -102,14 +102,30 @@ def token_frequency_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL entry point
     (``spark.sql`` over registered views — the engine's second API
-    surface; every DataFrame query here could be written this way)."""
+    surface; every DataFrame query here could be written this way).
+
+    r16 (guide §2.3, aggregate before you expand): GROUPING SETS plans
+    an Expand that replicates every INPUT row once per set — 3x the
+    fact through the decimal aggregate (the one genuinely core-bound
+    headline-family query in SCALING_r16.md, 11.6x at 8 cores). The
+    fact now collapses to its (flag, status) partials first — COUNT
+    re-aggregates as SUM, the DECIMAL sum is associative, so the rows
+    are bit-identical — and Expand replicates ~|flag x status| partial
+    rows instead of 100 TB of fact."""
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(
         """
+        WITH base AS (
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(25,6))) AS s
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
-               COUNT(*) AS n,
-               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty
-        FROM lineitem
+               SUM(n) AS n,
+               CAST(CAST(SUM(s) AS STRING) AS DOUBLE) AS sum_qty
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
