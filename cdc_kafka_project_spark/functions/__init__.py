@@ -40,6 +40,21 @@ def _dec(col: Column | str) -> Column:
     return c.cast("decimal(25,6)")
 
 
+def local_rows_df(spark, rows, schema):
+    """createDataFrame for SMALL driver-side row lists without the
+    default-parallelism slicing (r16). The plain ``createDataFrame``
+    parallelizes a Python list into ``defaultParallelism`` pickled
+    slices, so every downstream action pays one Python-worker round
+    trip PER SLICE — ~32 on this host for a handful of rows — and a
+    ``coalesce(1)`` pays them SEQUENTIALLY inside one task (measured
+    6–10 s to write a 7-row frame). One slice = one round trip
+    (measured 0.4 s for the same write). Only for driver-bounded row
+    lists — anything data-sized must not come through here."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def dsum(col: Column | str) -> Column:
     """Order-independent sum of a double column, returned as double.
 

@@ -304,9 +304,12 @@ def bpe_merge_table(
 ) -> DataFrame:
     """The learned merge rules as a DataFrame:
     (rank int, left string, right string, merged string)."""
+    from cdc_kafka_project_spark.functions import local_rows_df
+
     spark = docs.sparkSession
     merges = train_bpe(docs, n_merges, text_col)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(m.rank, m.left, m.right, m.merged) for m in merges],
         "rank int, left string, right string, merged string",
     )
@@ -359,7 +362,10 @@ def bpe_vocab_table(
         for w in rows:
             if w not in seg:
                 seg[w] = _segment_word(w, merges)
-        return docs.sparkSession.createDataFrame(
+        from cdc_kafka_project_spark.functions import local_rows_df
+
+        return local_rows_df(
+            docs.sparkSession,
             [(w, seg[w], len(seg[w])) for w in rows],
             "word string, tokens array<string>, n_tokens int",
         )

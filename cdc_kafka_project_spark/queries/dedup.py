@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark import cache
 from cdc_kafka_project_spark.catalog import load_table
-from cdc_kafka_project_spark.functions import fround
+from cdc_kafka_project_spark.functions import fround, local_rows_df
 from cdc_kafka_project_spark.operators import dedup as dd
 from cdc_kafka_project_spark.registry import query
 
@@ -736,7 +736,8 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     top5 = (
         corpus.select("doc_id", "text").orderBy("doc_id").limit(5).collect()
     )
-    injected = spark.createDataFrame(
+    injected = local_rows_df(
+        spark,
         [(-int(r["doc_id"]) - 1, r["text"]) for r in top5],
         "doc_id long, text string",
     )

@@ -26,6 +26,7 @@ from cdc_kafka_project_spark.functions import (
     discount_amount_dec,
     dsum,
     fround,
+    local_rows_df,
     revenue_dec,
 )
 from cdc_kafka_project_spark.registry import query
@@ -494,7 +495,8 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loop: BNLJ copies its input rows once per probed interval, so row
     # width multiplies directly into join cost
     od = _t(spark, sf_dir, "orders").select("o_totalprice")
-    bands = spark.createDataFrame(
+    bands = local_rows_df(
+        spark,
         [
             ("p00_100k", 0.0, 100000.0),
             ("p100_250k", 100000.0, 250000.0),

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_kafka_project_spark import cache
 from cdc_kafka_project_spark.catalog import load_table, table_rows
-from cdc_kafka_project_spark.functions import fround
+from cdc_kafka_project_spark.functions import fround, local_rows_df
 from cdc_kafka_project_spark.operators import similarity as sim
 from cdc_kafka_project_spark.registry import query
 
@@ -655,7 +655,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m, TOP_K, len(ids & truth) / float(TOP_K))
         for m, ids in by_method.items()
     ]
-    return spark.createDataFrame(rows, "method string, k int, recall double")
+    # local_rows_df: one slice, one worker round trip (not 32) when the
+    # consumer materializes this 3-row result
+    return local_rows_df(
+        spark, rows, "method string, k int, recall double"
+    )
 
 
 @query(
@@ -740,7 +744,8 @@ def embedding_index_pipeline_report(
     }
     got = probe.collect()  # k rows — bounded driver read for the metric
     recall = len({r.vec_id for r in got} & truth) / float(TOP_K)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(r.vec_id, float(r.cos_sim), recall) for r in got],
         "vec_id long, cos_pca double, recall_at_k double",
     )

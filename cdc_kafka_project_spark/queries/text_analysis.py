@@ -1444,16 +1444,31 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_kafka_project_spark.functions import tokens
 
     lab = docs.select("doc_id", "text", reason.isNull().alias("keep"))
-    dtok = lab.filter(F.trim("text") != "").select(
-        "doc_id",
-        "keep",
-        F.explode(
-            F.array_distinct(F.transform(tokens("text"), F.lower))
-        ).alias("word"),
+    # r16 (guide §5/§6): the lazy (doc, keep, word) pair stream fed BOTH
+    # the model counts and the scoring join, and the (n_keep, n_drop)
+    # row fed both the llr and the prior — four executed corpus scans,
+    # two of them paying tokenize+explode and all four the quality
+    # regex. Checkpointing the pair stream and the 1-row class count
+    # collapses that to the two honest passes (tokenize once, label
+    # once); it also gives the planner REAL sizes, so the scoring join
+    # stops broadcasting the corpus-sized pair stream (scale hazard —
+    # the word-keyed shuffle the docstring promises is the 100 TB
+    # shape; whether the |vocab| model broadcasts instead stays a
+    # stats decision).
+    dtok = scoped_localcheckpoint(
+        lab.filter(F.trim("text") != "").select(
+            "doc_id",
+            "keep",
+            F.explode(
+                F.array_distinct(F.transform(tokens("text"), F.lower))
+            ).alias("word"),
+        )
     )
-    n = lab.agg(
-        F.sum(F.col("keep").cast("int")).alias("n_keep"),
-        F.sum((~F.col("keep")).cast("int")).alias("n_drop"),
+    n = scoped_localcheckpoint(
+        lab.agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.sum((~F.col("keep")).cast("int")).alias("n_drop"),
+        )
     )
     counts = dtok.groupBy("word").agg(
         F.sum(F.col("keep").cast("int")).alias("df_keep"),
@@ -1466,9 +1481,13 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     ).cast("decimal(25,6)")
-    model = scoped_persist(
-        counts.join(F.broadcast(n)).select("word", llr.alias("llr"))
-    )
+    # shuffle_hash: the scoring join shuffles both sides by word and
+    # hash-builds the |vocab| model per partition — no sort (SMJ would
+    # sort the pair stream), no broadcast of anything corpus-shaped
+    # (the model can outgrow the broadcast cap at 100 TB vocab sizes)
+    model = counts.join(F.broadcast(n)).select(
+        "word", llr.alias("llr")
+    ).hint("shuffle_hash")
     prior = fround(
         F.log((F.col("n_keep") + F.lit(1.0)) / (F.col("n_drop") + F.lit(1.0))),
         6,

@@ -38,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_kafka_project_spark.functions import local_rows_df
 from cdc_kafka_project_spark.operators import cdc
 from cdc_kafka_project_spark.schemas import (
     EMP_CDC_SCHEMA,
@@ -133,9 +134,13 @@ def run_full_pipeline(
     log.create_topic(CDC_TOPIC, num_partitions=3)  # admin.py:53
     log.create_topic(DLQ_TOPIC, num_partitions=1)
 
-    # 2. workload (project2_dag.py:95-137)
+    # 2. workload (project2_dag.py:95-137). local_rows_df: the plain
+    # createDataFrame slices 7 rows into defaultParallelism pickled
+    # partitions and the coalesce(1) then paid ~32 SEQUENTIAL Python
+    # worker round trips in one write task — measured 6–10 s for this
+    # one statement, dominating the whole pipeline wall (r16).
     rows = events if events is not None else golden_workload()
-    spark.createDataFrame(rows, EMP_CDC_SCHEMA).coalesce(1).write.mode(
+    local_rows_df(spark, rows, EMP_CDC_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(source_dir)
 
