@@ -226,6 +226,61 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
     assert got2 == {"ECC": 149, "CIT": 200, "EMS": 10}
 
 
+def test_sized_state_session_caps_state_partitions(spark, tmp_path):
+    """r16: stateful_shuffle_width caps state partitioning at the key
+    domain (a per-group operator can never use more parallelism than
+    groups; empty state partitions still pay per-batch store
+    lifecycle), and sized_state_session applies it WITHOUT touching the
+    caller's session conf. The checkpoint's state dir layout is the
+    ground truth for how many stores the stream actually committed."""
+    import decimal
+    import os
+
+    from cdc_kafka_project_spark.streaming.stateful import (
+        latest_totals,
+        run_stateful_totals,
+        sized_state_session,
+        stateful_shuffle_width,
+    )
+
+    base_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert stateful_shuffle_width(spark, 3) == min(base_width, 3)
+    assert stateful_shuffle_width(spark, 10**6) == base_width
+
+    sess = sized_state_session(spark, 3)
+    assert int(sess.conf.get("spark.sql.shuffle.partitions")) == min(
+        base_width, 3
+    )
+    # caller's session untouched
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == base_width
+
+    src = tmp_path / "sal_sized"
+    src.mkdir()
+    d = dt.date(2015, 1, 1)
+    cp = str(tmp_path / "cp_sized")
+    out = str(tmp_path / "totals_sized")
+    rows = [
+        ("ECC", "d1", "t", d, decimal.Decimal("100.75")),
+        ("CIT", "d1", "t", d, decimal.Decimal("200.25")),
+        ("EMS", "d3", "t", d, decimal.Decimal("10.99")),
+    ]
+    spark.createDataFrame(rows, EMPLOYEE_SALARIES_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run_stateful_totals(
+        sess, str(src), EMPLOYEE_SALARIES_SCHEMA, cp, out
+    ).awaitTermination()
+    got = {
+        r.department: r.total_salary
+        for r in latest_totals(spark, out).collect()
+    }
+    assert got == {"ECC": 100, "CIT": 200, "EMS": 10}
+    # the state store committed exactly the capped partition count
+    state_dirs = os.listdir(os.path.join(cp, "state", "0"))
+    n_parts = len([x for x in state_dirs if x.isdigit()])
+    assert n_parts == min(base_width, 3), state_dirs
+
+
 def test_tws_plan_builds_without_execution(spark, tmp_path):
     """The transformWithStateInPandas plan must CONSTRUCT in any
     environment (protobuf is an execution-time dependency only):
