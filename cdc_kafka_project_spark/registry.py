@@ -106,76 +106,33 @@ def load_all() -> None:
 # Every name stays present regardless — this is a permutation, not a
 # filter; names not listed here sort after the listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- ROUND-15 WINDOW (standing rotation; computed by
-    #    tools/plan_gate_rotation.py --changed asof_join_cogrouped,theilsen_revenue_slope,user_spend_ewma,
-    #    recursive_brand_reachability,bpe_merge_ranks,doc_bpe_token_counts,
-    #    embedding_quantize_int8,dedup_components,dedup_near_keep,similarity_near_dup).
-    #    Tier 1: the ten names whose registered plan changed in the
-    #    r15 optimization round (bucketed cogroup/EWMA folds, theilsen
-    #    exact selection, materialized reach edges, BPE driver gate,
-    #    quantize mapInArrow twin, CC sum-probe, near-dup checkpoint)
-    #    front the window; then oracle-backed names by staleness
-    #    (oldest newest-driver-row first, alphabetical within a round). --
-    "asof_join_cogrouped",  # changed-this-round (r14)
-    "theilsen_revenue_slope",  # changed-this-round (r11)
-    "user_spend_ewma",  # changed-this-round (r12)
-    "recursive_brand_reachability",  # changed-this-round (r11)
-    "bpe_merge_ranks",  # changed-this-round (r13)
-    "doc_bpe_token_counts",  # changed-this-round (r11)
-    "embedding_quantize_int8",  # changed-this-round (r14)
-    "dedup_components",  # changed-this-round (r14)
-    "dedup_near_keep",  # changed-this-round (r14)
-    "similarity_near_dup",  # changed-this-round (r11)
-    "embedding_label_outliers",  # r10
-    "event_top_paths",  # r10
-    "event_transition_matrix",  # r10
-    "event_value_mad_outliers",  # r10
-    "forecast_backtest_snaive",  # r10
-    "gapfill_linear_interp",  # r10
-    "histogram_prices",  # r10
-    "hopping_event_counts",  # r10
-    "ivm_join_delta_revenue",  # r10
-    "join_size_estimate",  # r10
-    "key_skew_report",  # r10
-    "lang_id",  # r10
-    "langid_confusion",  # r10
-    "lateral_topk_per_customer",  # r10
-    "media_phash_dup_pairs",  # r10
-    "null_semantics_probe",  # r10
-    "order_priority_chi2",  # r10
-    "pagerank_brand_copurchase",  # r10
-    "part_pareto_frontier",  # r10
-    "salted_join_segment_revenue",  # r10
-    "session_stats",  # r10
-    "sessionize",  # r10
-    "sketch_distinct_users",  # r10
-    "sketch_percentiles",  # r10
-    "source_quota_sample",  # r10
-    "source_weighted_sample",  # r10
-    "text_stats",  # r10
-    "token_count_regex",  # r10
-    "weekly_retention_cohorts",  # r10
-    "weekly_revenue_wow",  # r10
-    "asof_last_purchase",  # r11
-    "bm25_topk",  # r11
-    "cdc_incremental_scan",  # r11
-    "cdc_json_decode",  # r11
-    "cdc_json_encode",  # r11
-    "cdc_latest_state",  # r11
-    "cdc_merge_upsert",  # r11
-    "cdc_replica",  # r11
-    "cdc_running_totals",  # r11
-    "cdc_snapshot_diff",  # r11
-    # -- BEHIND THE ROTATION, by staleness (oldest driver row
-    #    first, alphabetical within a round). Every name is
-    #    oracle-backed, so the no-oracle tail rule is vacuously
-    #    satisfied. --
+    # -- ROUND-16 WINDOW (standing rotation; computed by
+    #    tools/plan_gate_rotation.py --changed <the 14 r16-plan-
+    #    changed names — EVERY name whose registered plan or
+    #    operator internals changed this round, per the r15
+    #    advice that the changed set must be complete>.
+    #    Tier 1: the 14 changed names front the window; then
+    #    oracle-backed names by staleness (oldest newest-driver-
+    #    row first, alphabetical within a round). --
+    "asof_join_cogrouped",  # changed-this-round (r15)
+    "theilsen_revenue_slope",  # changed-this-round (r15)
+    "text_index_topk",  # changed-this-round (r14)
+    "dedup_minhash_index_probe",  # changed-this-round (r11)
+    "similarity_ann_lsh",  # changed-this-round (r13)
+    "similarity_ann_ivf",  # changed-this-round (r13)
+    "similarity_ann_recall",  # changed-this-round (r14)
+    "embedding_index_pipeline",  # changed-this-round (r14)
+    "ivm_join_delta_revenue",  # changed-this-round (r15)
+    "grouping_sets_sql",  # changed-this-round (r13)
+    "doc_nb_quality_score",  # changed-this-round (r14)
+    "range_join_price_bands",  # changed-this-round (r13)
+    "bpe_merge_ranks",  # changed-this-round (r15)
+    "doc_bpe_token_counts",  # changed-this-round (r15)
     "cdc_validate_dlq",  # r11
     "cohort_ltv_curve",  # r11
     "conversion_curve",  # r11
     "curation_funnel_report",  # r11
     "curation_pipeline",  # r11
-    "dedup_minhash_index_probe",  # r11
     "event_value_psi_drift",  # r11
     "funnel_view_click_purchase",  # r11
     "lang_temperature_sample",  # r11
@@ -207,6 +164,9 @@ _GATE_PRIORITY: list[str] = [
     "corpus_source_report",  # r12
     "cube_agg",  # r12
     "date_exprs",  # r12
+    # -- BEHIND THE ROTATION, by staleness (oldest driver row
+    #    first, alphabetical within a round); no-oracle names
+    #    sort after every oracle-backed name (pinned rule 3). --
     "dedup_incremental_new_docs",  # r12
     "dedup_minhash_lsh",  # r12
     "denormalized_order_lines",  # r12
@@ -258,7 +218,6 @@ _GATE_PRIORITY: list[str] = [
     "event_props_typed",  # r13
     "exact_moments",  # r13
     "grouped_floor_sum",  # r13
-    "grouping_sets_sql",  # r13
     "in_list_filter",  # r13
     "latest_event_per_user",  # r13
     "outer_join_nation_counts",  # r13
@@ -274,7 +233,6 @@ _GATE_PRIORITY: list[str] = [
     "q7_nation_volume",  # r13
     "q8_market_share",  # r13
     "q9_product_profit",  # r13
-    "range_join_price_bands",  # r13
     "rollup_agg",  # r13
     "salted_event_type_totals",  # r13
     "scalar_exprs",  # r13
@@ -282,8 +240,6 @@ _GATE_PRIORITY: list[str] = [
     "set_except_keys",  # r13
     "set_intersect_keys",  # r13
     "set_union_active_keys",  # r13
-    "similarity_ann_ivf",  # r13
-    "similarity_ann_lsh",  # r13
     "similarity_ann_pq",  # r13
     "similarity_topk",  # r13
     "string_funcs",  # r13
@@ -309,7 +265,6 @@ _GATE_PRIORITY: list[str] = [
     "doc_chunks",  # r14
     "doc_fingerprint_md5",  # r14
     "doc_host_stats",  # r14
-    "doc_nb_quality_score",  # r14
     "doc_ngram_novelty",  # r14
     "doc_pack_assignments",  # r14
     "doc_pii_redact",  # r14
@@ -323,7 +278,6 @@ _GATE_PRIORITY: list[str] = [
     "doc_unigram_logprob",  # r14
     "doc_url_canonical",  # r14
     "doc_winnow_fingerprints",  # r14
-    "embedding_index_pipeline",  # r14
     "embedding_label_centroids",  # r14
     "embedding_norms",  # r14
     "embedding_pca_project",  # r14
@@ -335,10 +289,53 @@ _GATE_PRIORITY: list[str] = [
     "media_decode_features",  # r14
     "media_frame_sample",  # r14
     "media_resize",  # r14
-    "similarity_ann_recall",  # r14
     "similarity_pairs_above",  # r14
     "skewed_salted_segment_revenue",  # r14
-    "text_index_topk",  # r14
+    "asof_last_purchase",  # r15
+    "bm25_topk",  # r15
+    "cdc_incremental_scan",  # r15
+    "cdc_json_decode",  # r15
+    "cdc_json_encode",  # r15
+    "cdc_latest_state",  # r15
+    "cdc_merge_upsert",  # r15
+    "cdc_replica",  # r15
+    "cdc_running_totals",  # r15
+    "cdc_snapshot_diff",  # r15
+    "dedup_components",  # r15
+    "dedup_near_keep",  # r15
+    "embedding_label_outliers",  # r15
+    "embedding_quantize_int8",  # r15
+    "event_top_paths",  # r15
+    "event_transition_matrix",  # r15
+    "event_value_mad_outliers",  # r15
+    "forecast_backtest_snaive",  # r15
+    "gapfill_linear_interp",  # r15
+    "histogram_prices",  # r15
+    "hopping_event_counts",  # r15
+    "join_size_estimate",  # r15
+    "key_skew_report",  # r15
+    "lang_id",  # r15
+    "langid_confusion",  # r15
+    "lateral_topk_per_customer",  # r15
+    "media_phash_dup_pairs",  # r15
+    "null_semantics_probe",  # r15
+    "order_priority_chi2",  # r15
+    "pagerank_brand_copurchase",  # r15
+    "part_pareto_frontier",  # r15
+    "recursive_brand_reachability",  # r15
+    "salted_join_segment_revenue",  # r15
+    "session_stats",  # r15
+    "sessionize",  # r15
+    "similarity_near_dup",  # r15
+    "sketch_distinct_users",  # r15
+    "sketch_percentiles",  # r15
+    "source_quota_sample",  # r15
+    "source_weighted_sample",  # r15
+    "text_stats",  # r15
+    "token_count_regex",  # r15
+    "user_spend_ewma",  # r15
+    "weekly_retention_cohorts",  # r15
+    "weekly_revenue_wow",  # r15
 ]
 
 

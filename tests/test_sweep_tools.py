@@ -296,23 +296,29 @@ def test_rotation_changed_no_oracle_stays_in_tail(rotation_mod, monkeypatch):
 
 
 def test_rotation_reproduces_committed_window(rotation_mod):
-    """The committed r15 _GATE_PRIORITY[:50] must equal the rotation
-    computed from the CORRECTNESS history truncated at r14 with the
-    ten r15-changed names (the optimization round's touched plans:
-    bucketed cogroup/EWMA folds, theilsen exact selection, materialized
-    reach edges, BPE driver gate, quantize mapInArrow twin, CC
-    sum-probe, near-dup checkpoint) fronted — pins tool and window to
-    each other. The ``upto`` truncation makes the pin permanent: it
-    stays true after CORRECTNESS_r15.json (and later rounds) land."""
+    """The committed r16 _GATE_PRIORITY[:50] must equal the rotation
+    computed from the CORRECTNESS history truncated at r15 with the
+    FOURTEEN r16-changed names fronted — every name whose registered
+    plan or operator internals changed this round (the r15 advice:
+    the --changed set must be complete, not a subset): null-key-safe
+    bucketed asof merge, theilsen distinct-value pass 2, token-index
+    literal buckets, minhash-probe broadcast pins, pruned partition
+    discovery (lsh/ivf/recall/pipeline), single-orders-join IVM,
+    pre-aggregated GROUPING SETS, checkpointed+shuffle-hash NB scorer,
+    local-relation dims/trainer tables (range_join, bpe x2). Pins tool
+    and window to each other; the ``upto`` truncation makes the pin
+    permanent after CORRECTNESS_r16.json lands."""
     from cdc_kafka_project_spark.registry import _GATE_PRIORITY
 
     ordered = [n for n, _ in rotation_mod.plan(
         changed=["asof_join_cogrouped", "theilsen_revenue_slope",
-                 "user_spend_ewma", "recursive_brand_reachability",
-                 "bpe_merge_ranks", "doc_bpe_token_counts",
-                 "embedding_quantize_int8", "dedup_components",
-                 "dedup_near_keep", "similarity_near_dup"],
-        upto=14)]
+                 "text_index_topk", "dedup_minhash_index_probe",
+                 "similarity_ann_lsh", "similarity_ann_ivf",
+                 "similarity_ann_recall", "embedding_index_pipeline",
+                 "ivm_join_delta_revenue", "grouping_sets_sql",
+                 "doc_nb_quality_score", "range_join_price_bands",
+                 "bpe_merge_ranks", "doc_bpe_token_counts"],
+        upto=15)]
     assert ordered[:50] == _GATE_PRIORITY[:50]
 
 
